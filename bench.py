@@ -1,0 +1,76 @@
+"""Benchmark runner — the driver's per-round perf probe.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect) after a warm-up of the input file listing. Wall time per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+from lakehouse_architecture_spark.session import SessionFactory
+
+#: Representative spread: scan/agg, joins, windows, streaming-shaped,
+#: dedup/similarity/text (the 100 TB operator families).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_nation_revenue",
+    "q_join_left_outer",
+    "q_window_topk",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_json_extract",
+    "q_asof_join",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_embedding_knn",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = SessionFactory(app_name="lakehouse_bench").get_or_create()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = ALL_QUERIES[name]
+        t0 = time.time()
+        df = spec.build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Catalog — table paths, formats, and view registration.
+
+Replaces the reference's hand-built object-store key strings
+(``app/sliver.py:161-171`` builds ``silver/date=YYYY-MM-DD/...`` by string
+concatenation) with a declarative table registry: every table has a root
+path, a format, and an optional partition spec, and partitioned writes go
+through Spark's native ``partitionBy`` so readers get real partition pruning
+(the reference's hand-written layout never registered the partition column,
+so its own reads could not prune — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The driver-generated benchmark tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    path: str
+    format: str = "parquet"
+    partition_by: tuple[str, ...] = ()
+    options: dict[str, str] = field(default_factory=dict)
+
+
+class Catalog:
+    """Path+format registry with read/write helpers.
+
+    Keeps all physical-layout decisions (format, partition columns, write
+    options) out of job code, the way the Hive Metastore does for the
+    reference's Thrift/BI path (``docker-compose.yml:21-35``) — but without
+    requiring a metastore service for local/test use.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | None = None) -> None:
+        self.spark = spark
+        self.root = root
+        self._tables: dict[str, TableSpec] = {}
+
+    def register(self, spec: TableSpec) -> TableSpec:
+        self._tables[spec.name] = spec
+        return spec
+
+    def table_spec(self, name: str) -> TableSpec:
+        return self._tables[name]
+
+    def define(
+        self,
+        name: str,
+        relpath: str | None = None,
+        format: str = "parquet",
+        partition_by: tuple[str, ...] = (),
+        **options: str,
+    ) -> TableSpec:
+        path = os.path.join(self.root, relpath or name) if self.root else (relpath or name)
+        return self.register(TableSpec(name, path, format, partition_by, options))
+
+    def read(self, name: str) -> DataFrame:
+        spec = self._tables[name]
+        reader = self.spark.read.format(spec.format)
+        for k, v in spec.options.items():
+            reader = reader.option(k, v)
+        return reader.load(spec.path)
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        spec = self._tables[name]
+        writer = df.write.format(spec.format).mode(mode)
+        if spec.partition_by:
+            writer = writer.partitionBy(*spec.partition_by)
+        for k, v in spec.options.items():
+            writer = writer.option(k, v)
+        writer.save(spec.path)
+
+    def create_view(self, name: str) -> DataFrame:
+        df = self.read(name)
+        df.createOrReplaceTempView(name)
+        return df
+
+
+#: Testdata columns written as parquet TIMESTAMP(NANOS) — Spark has no nanos
+#: timestamp type, so they are read as long (nanosAsLong) and truncated to
+#: microseconds, which is exactly what DuckDB does when it reads the same
+#: files (TIMESTAMP_NS → TIMESTAMP, verified).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables and register temp views.
+
+    Views let operators be written either via the DataFrame API or
+    ``spark.sql`` — Catalyst produces the same plan for both, and the SQL
+    path is exactly what the reference's Thrift/BI entry point (SURVEY.md
+    EP3) exposes.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for c in _NANO_TS_COLS.get(name, ()):
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                # integer div — nanos exceed double's 2^53 exact range, so
+                # a float division here would corrupt timestamps
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

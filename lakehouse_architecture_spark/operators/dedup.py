@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-architected for 100 TB:
+
+* **exact** — hash-groupBy on the raw text (one shuffle on the text hash).
+* **fingerprint** — exact dedup after normalization (see operators/text.py).
+* **n-gram Jaccard** — shingle → inverted-index self-join → per-pair
+  intersection counts → Jaccard; candidate space is bounded by shared
+  shingles, never the full n².
+* **MinHash + LSH** — portable universal-hash minhash signatures, banded
+  into buckets; near-dup candidates are pairs sharing a band bucket. The
+  classic sub-quadratic path (shuffle on band signature, not on pairs).
+* **SimHash** — 64-bit sign-of-weighted-sum fingerprint; near-dups share
+  the fingerprint (or differ in few bits).
+
+Hash functions are md5-derived (functions/hashing.py) so every step has an
+exact DuckDB oracle. Spark's MinHashLSH (spark.ml) exists but uses
+engine-private hash seeds; these implementations keep the math portable and
+stay in pure DataFrame ops (explode + groupBy + join), which Catalyst plans
+as ordinary shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.hashing import md5_hash64, minhash_perm
+
+
+def exact_duplicates(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Groups of rows identical on ``key_cols``: returns one row per
+    duplicate group with the canonical (min) id and the group size.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (min ``order_col``) per ``key_cols`` group —
+    deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). One shuffle; no window needed (min-struct trick keeps it
+    a hash aggregate with map-side partials instead of a sort).
+    """
+    others = [c for c in df.columns if c not in key_cols]
+    packed = df.groupBy(*key_cols).agg(
+        F.min(F.struct(order_col, *[c for c in others if c != order_col])).alias("__r")
+    )
+    return packed.select(*key_cols, *[F.col(f"__r.{c}").alias(c) for c in others])
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: pairs are generated only for documents sharing at
+    least one shingle, then |A∩B| is a count per pair and |A∪B| = |A|+|B|−∩.
+    Shuffles: one on shingle (the index join), one on the pair key. Hot
+    shingles (stopword runs) can skew the index join — at production scale
+    drop shingles with document frequency above a cap first (cheap extra
+    aggregate); the semantics here keep all shingles so the oracle matches.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, perm i, minhash value) — portable universal-hash minhash."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sh = sh.withColumn("h", md5_hash64(F.col("shingle")))
+    perms = sh.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("i")
+    )
+    return perms.groupBy("id", "i").agg(
+        F.min(minhash_perm(F.col("h"), F.col("i"))).alias("mh")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing ≥1 LSH band bucket.
+
+    rows-per-band r = num_perm/bands; band key = (band, concat of the r
+    minhash values). Returns (id_a < id_b, n_shared_bands). At scale the
+    bucket join shuffles on the band signature — sub-quadratic as long as
+    buckets stay small; a bucket-size cap guards pathological buckets.
+    """
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    band = (
+        sig.withColumn("band", (F.col("i") / F.lit(r)).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            # order-stable band signature: minhash values sorted by perm index
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                "_",
+            ).alias("sig"),
+        )
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (distinct-token weights = 1).
+
+    bit b of the fingerprint = 1 iff Σ_tokens sign(bit b of md5hash(token))
+    > 0. Computed as explode(tokens) × explode(bits) → groupBy — two narrow
+    explodes and one aggregate; no UDFs.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("h", md5_hash64(F.col("tok")))
+    )
+    # 60-bit md5-derived hash → use lower `bits` bits (bits <= 60)
+    bit = toks.select(
+        "id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).withColumn(
+        # shiftright with a *column* shift amount needs expr() — the PySpark
+        # wrapper only takes a Python int
+        "w", F.when(F.expr("shiftright(h, b)").bitwiseAND(1) == 1, 1).otherwise(-1)
+    )
+    return (
+        bit.groupBy("id", "b")
+        .agg(F.sum("w").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("id")
+        .agg(F.sum(F.expr("cast(bitval as bigint) * shiftleft(cast(1 as bigint), b)")).alias("simhash"))
+    )

@@ -1,0 +1,137 @@
+"""Relational operators Spark lacks as single calls, built scale-first.
+
+The reference contains no joins at all (SURVEY.md §2.6) — its only join-like
+behavior is a driver-side seen-ID anti-join (``app/bronze.py:113-116``).
+Spark's built-in join surface covers inner/outer/semi/anti/cross; this module
+adds the composite operators a full analytics engine needs: top-k per group,
+as-of join, and point-in-interval (range) join — each implemented as a
+composition of DataFrame ops so Catalyst/AQE still plan the physical join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number over a window.
+
+    ``order_cols`` must define a TOTAL order (include a unique tiebreak
+    column) or results are nondeterministic under parallelism.
+
+    Scale: one shuffle on ``group_cols``; with AQE the per-group sort is a
+    partial top-k (Spark pushes a WindowGroupLimit when a row_number filter
+    is detected), so skewed groups do not sort their full partition.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row with
+    ``right_time <= left_time`` (``<`` when ``strict``) and equal key.
+
+    Implemented with the union + forward-fill-window trick rather than a
+    range cross-join: tag both sides, sort within key by (time, side), and
+    carry the last seen right-side values forward. One shuffle on the key,
+    no cartesian blow-up — the scalable formulation for 100 TB (a per-key
+    merge join in disguise; same shape as pandas.merge_asof but distributed).
+
+    Returns the left rows plus ``value_cols`` (null when no match).
+    """
+    # side ordering: right rows must sort before left rows at equal time for
+    # non-strict (<=) semantics, after them for strict (<).
+    right_tag = 0 if not strict else 1
+    left_tag = 1 - right_tag
+
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(left_tag).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(right_tag).alias("__side"),
+        F.lit(None).cast(l2.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = l2.unionByName(r2)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "__side",
+        "__left",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == left_tag).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join without a cartesian product.
+
+    Buckets both sides on ``floor(value / bucket_width)``; an interval is
+    replicated to every bucket it overlaps, the join becomes an equi-join on
+    the bucket id (+ optional extra key), and the exact range predicate is
+    applied post-join. With ``bucket_width`` ≈ the typical interval length,
+    replication is O(1) per interval and the join is a plain shuffled hash
+    join — the standard scalable formulation (vs Spark's default
+    BroadcastNestedLoopJoin for pure theta joins, which is O(n·m)).
+
+    ``point_col``/``start_col``/``end_col`` must be numeric (cast timestamps
+    to epoch seconds first). Inclusive bounds on both ends.
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("bigint")
+    )
+    iv = intervals.withColumn(
+        "__b0", F.floor(F.col(start_col) / F.lit(bucket_width)).cast("bigint")
+    ).withColumn(
+        "__b1", F.floor(F.col(end_col) / F.lit(bucket_width)).cast("bigint")
+    )
+    iv = iv.withColumn(
+        "__bucket", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    ).drop("__b0", "__b1")
+    keys = ["__bucket"] + ([extra_key] if extra_key else [])
+    joined = p.join(iv, on=keys, how="inner").filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* **Brute-force top-k cosine** — exact baseline. The dot product is a pure
+  Catalyst higher-order-function expression (``aggregate`` over
+  ``zip_with``), entirely JVM-side; the candidate set is (queries ×
+  corpus), so keep the query side small or use the LSH path.
+* **Random-hyperplane LSH buckets** — scale path. Deterministic pseudo-
+  random hyperplanes are derived from md5 hashes (portable → oracle-able);
+  vectors sharing a signature bucket are the only candidate pairs. Probing
+  neighboring buckets (Hamming-1) trades recall for cost.
+
+An IVF-style variant (coarse quantizer = first-k vectors as centroids) is
+provided for completeness; at 100 TB you would broadcast the centroid set
+(tiny) and shuffle once on the assigned cell id.
+
+Embedding norms/dots are computed in float64 after casting each element —
+element order is fixed by the array, so results are bit-deterministic and
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.hashing import md5_hash64
+from lakehouse_architecture_spark.operators.relational import top_k_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in declared array order (sequential fold → deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus streams
+    through once with no shuffle until the per-query top-k aggregation.
+    Excludes self-matches on id equality.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def hyperplane(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible in
+    any engine: component (p, d) = (md5int('p:d') mod 2001) - 1000.
+    Computed driver-side (tiny) and broadcast as literals.
+    """
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(float((h % 2001) - 1000))
+        out.append(row)
+    return out
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-string signature: bit p = 1 iff vec·plane_p > 0."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(w) for w in plane])) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """Near-neighbor candidate pairs = vectors sharing an LSH bucket, scored
+    with exact cosine and filtered by ``min_cos``. Shuffles once on the
+    signature (bucket) key — sub-quadratic vs the full cross join.
+    """
+    hp = hyperplane(dim, planes)
+    sigd = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), hp).alias("sig"),
+    )
+    a = sigd.alias("a")
+    b = sigd.alias("b")
+    return (
+        a.join(b, on="sig")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos") >= min_cos)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "sig",
+            "cos",
+        )
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse centroids = the ``n_cells`` lowest-id corpus
+    vectors (deterministic quantizer); every vector is assigned to its
+    nearest centroid by cosine; a query searches only its own cell.
+
+    This is the standard inverted-file trade: recall < 1, cost ≈ n/√cells.
+    Centroids are broadcast; the cell join is an equi-join on cell id.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "ccos", F.round(cosine(F.col(vc), F.col("cvec")), 6)
+        )
+        best = top_k_per_group(
+            scored, [idc], [F.col("ccos").desc(), F.col("cent_id").asc()], 1
+        )
+        return best.select(df["*"], F.col("cent_id").alias("cell"))
+
+    c_assigned = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "neighbor_id",
+        "nv",
+    )
+    q_assigned = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+    )
+    scored = (
+        q_assigned.join(c_assigned, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .select("query_id", "neighbor_id", "cell", "cos")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id").asc()], k,
+        rank_col="rank",
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All pure Catalyst expressions (regex + string built-ins) — no Python in the
+hot path, so every operator is a narrow map that scales linearly and keeps
+whole-stage codegen intact. Each has an exact ANSI-SQL oracle equivalent in
+``queries/text_queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small + deterministic so the oracle can replicate.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), _WS)
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks each
+    count separately (a cheap proxy for BPE token counts used to budget
+    training data). Counted via regexp occurrences.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document length / punctuation / digit / whitespace counts."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_m": F.length(t),
+            "n_tokens": token_count(t),
+            "n_punct": F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", "")),
+            "n_digits": F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", "")),
+            "n_spaces": F.length(t) - F.length(F.regexp_replace(t, r"\s", "")),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: mean word length, punct ratio, stopword
+    ratio, and a composite 0-100 score. Formula is engine-defined (the
+    reference has no text ops) and exactly reproducible in SQL.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("double")
+    n_chars = F.length(t).cast("double")
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double")
+    stop = sum(
+        (F.size(F.filter(tokens(t), lambda x: x == F.lit(w)))
+         for w in LANG_MARKERS["en"]),
+        F.lit(0),
+    ).cast("double")
+    mean_word_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(0.0)
+    score = (
+        F.lit(100.0)
+        - F.least(F.lit(40.0), F.abs(mean_word_len - 5.0) * 8.0)
+        - F.least(F.lit(30.0), punct_ratio * 100.0)
+        + F.least(F.lit(10.0), stop_ratio * 50.0)
+    )
+    return df.withColumns(
+        {
+            "mean_word_len": F.round(mean_word_len, 4),
+            "punct_ratio": F.round(punct_ratio, 4),
+            "stopword_ratio": F.round(stop_ratio, 4),
+            "quality": F.round(score, 2),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score = count of marker-word hits per
+    language; predicted language = argmax (ties broken by language code
+    order). Returns ``pred_lang`` + per-language hit counts.
+    """
+    toks = tokens(F.col(text_col))
+
+    def marker_count(words: tuple[str, ...]):
+        # NB: the lambda must take exactly one arg — PySpark interprets a
+        # second lambda parameter as the element *index*.
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_count(words) for lang, words in LANG_MARKERS.items()}
+    out = df.withColumns({f"score_{lang}": s for lang, s in scores.items()})
+    # argmax with deterministic tie-break on language code
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # struct sort compares fields in order (s, then l): descending sort puts
+    # the max score first, ties broken by language code DESC — the oracle
+    # replicates exactly this tiebreak.
+    best = F.sort_array(pairs, asc=False)[0]
+    return out.withColumn(
+        "pred_lang", F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Document fingerprint: md5-derived 60-bit hash of the normalized text
+    (lowercase, punctuation stripped, whitespace collapsed). Two documents
+    with the same fingerprint are normalization-equal — the standard cheap
+    near-exact dedup key.
+    """
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(t), r"[^\w\s]", ""), _WS, " "))
+    return df.withColumn(out_col, md5_hash64(norm))

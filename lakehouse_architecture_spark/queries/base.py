@@ -1,0 +1,40 @@
+"""Query registry plumbing for the driver contract (__spark_entry__.py).
+
+Every engine capability is declared as a :class:`QuerySpec`: a Spark builder
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an exactly
+equivalent DuckDB oracle SQL string. The driver runs both sides at sf0.01
+and hash-compares values — so builders follow the determinism rules:
+
+* double aggregates go through DECIMAL(38,6) (functions/aggregates.py);
+* no raw timestamps in outputs (cast to date or formatted string);
+* every ranking/limit has a total-order tiebreak;
+* computed columns aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakehouse_architecture_spark.catalog import load_tables
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    doc: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register the testdata tables as temp views for this query.
+
+    Pins the two session confs the determinism rules depend on — the driver
+    may call builders on a session this engine did not construct.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return load_tables(spark, sf_dir)

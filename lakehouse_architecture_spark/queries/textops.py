@@ -1,0 +1,436 @@
+"""Training-data pipeline queries: dedup (exact/fingerprint/MinHash-LSH/
+SimHash/n-gram-Jaccard), similarity search (brute-force + LSH buckets),
+text analysis (tokens/quality/language-ID), and multimodal plumbing.
+
+The hash-based operators use md5-derived integers (functions/hashing.py), so
+every step — including MinHash permutations and SimHash bit math — has an
+exact DuckDB oracle. Constants here (num_perm=16, bands=4, planes=8,
+shingle n=3) must stay in sync between builder and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators import similarity as sim
+from lakehouse_architecture_spark.operators.dedup import (
+    dedup_keep_first,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from lakehouse_architecture_spark.operators.multimodal import decode_binary_meta
+from lakehouse_architecture_spark.operators.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    char_stats,
+    fingerprint,
+    language_id,
+    quality_score,
+)
+from lakehouse_architecture_spark.queries.base import QuerySpec, tables
+
+# Shared oracle CTEs -------------------------------------------------------
+
+_HASH64 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+# word 3-shingles per document, distinct (matches operators.dedup.word_shingles)
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i.i + 1, i.i + 3), ' ') AS shingle
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, greatest(len(tk) - 3, 0))) AS i) i
+  WHERE length(array_to_string(list_slice(tk, i.i + 1, i.i + 3), ' ')) > 0
+)
+"""
+
+
+# --- dedup: keep-first per (user_id, event_type) over events --------------
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    out = dedup_keep_first(t["events"], ["user_id", "event_type"], "ts")
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "value",
+        "props",
+    )
+
+
+_Q_DEDUP_KEEP_FIRST_SQL = """
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts, value, props
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- dedup: normalization fingerprint groups over documents ---------------
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    fp = fingerprint(t["documents"])
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("fp", "canonical_id", "group_size")
+    )
+
+
+_NORM_EXPR = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_Q_FINGERPRINT_SQL = f"""
+SELECT {_HASH64.format(expr=_NORM_EXPR)} AS fp,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- dedup: n-gram Jaccard pairs ------------------------------------------
+_JACCARD_THRESHOLD = 0.2
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+_Q_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- dedup: MinHash + LSH banding -----------------------------------------
+_NUM_PERM, _BANDS = 16, 4
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return minhash_lsh_candidates(
+        t["documents"], "doc_id", "text", num_perm=_NUM_PERM, bands=_BANDS, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+_Q_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i AS i,
+         MIN((((p.i + 1) * 2654435761 % 1000000007) * (h % 1000000007)
+              + ((p.i + 1) * 40503 % 1000000007)) % 1000000007) AS mh
+  FROM hashed, (SELECT unnest(generate_series(0, {_NUM_PERM - 1})) AS i) p
+  GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {_NUM_PERM // _BANDS} AS band,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, band
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- dedup: SimHash fingerprints ------------------------------------------
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return simhash(t["documents"], "doc_id", "text", bits=60).orderBy("id")
+
+
+_Q_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {_HASH64.format(expr='tok')} AS h FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id AS id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+ORDER BY id
+"""
+
+
+# --- similarity: brute-force cosine top-k ---------------------------------
+_KNN_K = 5
+_DIMS_CTE = "dims AS (SELECT unnest(generate_series(1, 64)) AS d)"
+_NORMS_CTE = """
+norms AS (
+  SELECT vec_id,
+         sqrt(SUM(CAST(embedding[d.d] AS DOUBLE) * CAST(embedding[d.d] AS DOUBLE))) AS nrm
+  FROM embeddings, dims d
+  GROUP BY vec_id
+)
+"""
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return sim.brute_force_knn(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=_KNN_K
+    ).select("query_id", "neighbor_id", "cos", "rank").orderBy("query_id", "rank")
+
+
+_Q_KNN_SQL = f"""
+WITH {_DIMS_CTE},
+{_NORMS_CTE},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+dots AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(q.embedding[d.d] AS DOUBLE) * CAST(c.embedding[d.d] AS DOUBLE)) AS dp
+  FROM q, embeddings c, dims d
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(dp / (nq.nrm * nc.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- similarity: random-hyperplane LSH bucket pairs -----------------------
+_PLANES = 8
+
+
+def _q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return sim.lsh_bucket_pairs(
+        t["embeddings"], dim=64, planes=_PLANES, min_cos=0.0
+    ).orderBy("id_a", "id_b")
+
+
+_Q_LSH_BUCKETS_SQL = f"""
+WITH {_DIMS_CTE},
+{_NORMS_CTE},
+planes AS (
+  SELECT p.p AS p, d.d AS d,
+         CAST(({_HASH64.format(expr="CAST(p.p AS VARCHAR) || ':' || CAST(d.d - 1 AS VARCHAR)")} % 2001) - 1000 AS DOUBLE) AS w
+  FROM (SELECT unnest(generate_series(0, {_PLANES - 1})) AS p) p, dims d
+),
+pdots AS (
+  SELECT e.vec_id, pl.p, SUM(CAST(e.embedding[pl.d] AS DOUBLE) * pl.w) AS dp
+  FROM embeddings e, planes pl
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM pdots GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.sig AS sig
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+pairdots AS (
+  SELECT pr.id_a, pr.id_b, pr.sig,
+         SUM(CAST(ea.embedding[d.d] AS DOUBLE) * CAST(eb.embedding[d.d] AS DOUBLE)) AS dp
+  FROM pairs pr
+  JOIN embeddings ea ON ea.vec_id = pr.id_a
+  JOIN embeddings eb ON eb.vec_id = pr.id_b, dims d
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, sig,
+       ROUND(dp / (na.nrm * nb.nrm), 6) AS cos
+FROM pairdots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE ROUND(dp / (na.nrm * nb.nrm), 6) >= 0.0
+ORDER BY id_a, id_b
+"""
+
+
+# --- text analysis: char/token stats --------------------------------------
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        char_stats(t["documents"])
+        .withColumn("n_subtokens", bpe_ish_token_count("text"))
+        .select(
+            "doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits",
+            "n_spaces", "n_subtokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_m,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INT) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+       CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_spaces,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subtokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- text analysis: quality scoring ---------------------------------------
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return quality_score(t["documents"]).select(
+        "doc_id", "mean_word_len", "punct_ratio", "stopword_ratio", "quality"
+    ).orderBy("doc_id")
+
+
+_Q_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CASE WHEN trim(text) = '' THEN CAST(0 AS DOUBLE)
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END AS n_tok,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CASE WHEN trim(text) = '' THEN CAST(0 AS DOUBLE)
+              ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) END AS stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id,
+         CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1)) / n_tok ELSE 0.0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_tok > 0 THEN stop / n_tok ELSE 0.0 END AS sr
+  FROM base
+)
+SELECT doc_id,
+       ROUND(mwl, 4) AS mean_word_len,
+       ROUND(pr, 4) AS punct_ratio,
+       ROUND(sr, 4) AS stopword_ratio,
+       ROUND(100.0 - least(40.0, abs(mwl - 5.0) * 8.0)
+                   - least(30.0, pr * 100.0)
+                   + least(10.0, sr * 50.0), 2) AS quality
+FROM ratios
+ORDER BY doc_id
+"""
+
+
+# --- text analysis: language identification -------------------------------
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return language_id(t["documents"]).select(
+        "doc_id", "lang", "pred_lang",
+        *[f"score_{lang}" for lang in sorted(LANG_MARKERS)],
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CASE WHEN trim(text) = '' THEN 0 ELSE CAST(len(list_filter("
+            f"regexp_split_to_array(trim(text), '\\s+'), x -> x IN ({markers}))) AS INT) END"
+            f" AS score_{lang}"
+        )
+    # argmax with tie-break on language code DESC (matches sort_array desc
+    # over (score, lang) structs in operators.text.language_id)
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    case = " ".join(
+        f"WHEN score_{lang} = g THEN '{lang}'" for lang in langs_desc
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)}
+  FROM documents
+), g AS (
+  SELECT *, greatest({', '.join('score_' + lang for lang in sorted(LANG_MARKERS))}) AS g
+  FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN g = 0 THEN 'und' {case} END AS pred_lang,
+       {', '.join('score_' + lang for lang in sorted(LANG_MARKERS))}
+FROM g
+ORDER BY doc_id
+"""
+
+
+# --- multimodal: binary payload metadata via Arrow-batched mapInPandas ----
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # Documents stand in for opaque media payloads: bytes = utf-8 encoding.
+    binary_df = t["documents"].select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_binary_meta(binary_df, "payload").select(
+        "doc_id", "n_bytes", "head_byte", "tail_byte", "byte_sum_mod"
+    ).orderBy("doc_id")
+
+
+_Q_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ord(substr(text, 1, 1)) AS INT) AS head_byte,
+       CAST(ord(substr(text, length(text), 1)) AS INT) AS tail_byte,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ord(substr(text, i, 1)))) % 256 AS INT) AS byte_sum_mod
+FROM documents
+ORDER BY doc_id
+"""
+
+
+TEXTOPS_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_dedup_keep_first", "deterministic keep-first dedup", _q_dedup_keep_first, _Q_DEDUP_KEEP_FIRST_SQL),
+    QuerySpec("q_fingerprint_groups", "normalization-fingerprint dedup groups", _q_fingerprint, _Q_FINGERPRINT_SQL),
+    QuerySpec("q_ngram_jaccard", "word-3-gram Jaccard near-dup pairs", _q_ngram_jaccard, _Q_NGRAM_JACCARD_SQL),
+    QuerySpec("q_minhash_lsh", "MinHash+LSH band candidate pairs", _q_minhash_lsh, _Q_MINHASH_SQL),
+    QuerySpec("q_simhash", "60-bit SimHash fingerprints", _q_simhash, _Q_SIMHASH_SQL),
+    QuerySpec("q_embedding_knn", "brute-force cosine top-k neighbors", _q_knn, _Q_KNN_SQL),
+    QuerySpec("q_lsh_bucket_pairs", "random-hyperplane LSH near-neighbor pairs", _q_lsh_buckets, _Q_LSH_BUCKETS_SQL),
+    QuerySpec("q_text_stats", "char/token/sub-token statistics", _q_text_stats, _Q_TEXT_STATS_SQL),
+    QuerySpec("q_text_quality", "heuristic quality scoring", _q_quality, _Q_QUALITY_SQL),
+    QuerySpec("q_language_id", "stopword-marker language ID", _q_langid, _langid_sql()),
+    QuerySpec("q_multimodal_meta", "binary payload metadata via mapInPandas", _q_multimodal, _Q_MULTIMODAL_SQL),
+]

@@ -1,0 +1,111 @@
+"""Unit tests for composite relational + dedup + similarity operators on
+tiny literal DataFrames (edge cases the oracle suite can't isolate)."""
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.dedup import (
+    dedup_keep_first,
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    word_shingles,
+)
+from lakehouse_architecture_spark.operators.relational import (
+    asof_join,
+    range_join_bucketed,
+    top_k_per_group,
+)
+from lakehouse_architecture_spark.operators.similarity import brute_force_knn
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "g string, id int, v double",
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2)
+    got = {(r["g"], r["id"], r["rn"]) for r in out.collect()}
+    assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], "k int, t int, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (1, 20, 300.0), (2, 9, 400.0)],
+        "k int, t int, v double",
+    )
+    out = asof_join(
+        left,
+        right.withColumnRenamed("t", "rt"),
+        on="k",
+        left_time="t",
+        right_time="rt",
+        value_cols=["v"],
+    )
+    got = {(r["k"], r["t"], r["v"]) for r in out.collect()}
+    # t=20 matches the equal-time right row (non-strict); t=5 on k=2 has no
+    # earlier right row -> NULL
+    assert got == {(1, 10, 100.0), (1, 20, 300.0), (2, 5, None)}
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    points = spark.createDataFrame(
+        [(i, float(i * 7 % 50)) for i in range(40)], "pid int, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(j * 5), float(j * 5 + 8)) for j in range(10)],
+        "iid int, lo double, hi double",
+    )
+    fast = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(points, intervals, "x", "lo", "hi", 8.0).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    }
+    assert fast == naive and len(naive) > 0
+
+
+def test_exact_duplicates_and_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 20), (3, "y", 30)], "id int, key string, ord int"
+    )
+    dups = exact_duplicates(df, ["key"], "id").collect()
+    assert [(r["key"], r["canonical_id"], r["group_size"]) for r in dups] == [("x", 1, 2)]
+
+    kept = dedup_keep_first(df, ["key"], "ord")
+    got = {(r["key"], r["id"]) for r in kept.collect()}
+    assert got == {("x", 1), ("y", 3)}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id int, text string")
+    got = {r["shingle"] for r in word_shingles(df, "id", "text", 3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different text here now")],
+        "doc_id int, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_brute_force_knn_self_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),   # near 1
+            (3, [0.0, 1.0, 0.0]),   # orthogonal to 1
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = brute_force_knn(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]

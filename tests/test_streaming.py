@@ -1,0 +1,149 @@
+"""Structured Streaming replacements for the reference's batch bookkeeping
+(SURVEY.md §2.9): checkpointed file source, exactly-once across restarts,
+watermarked windows, streaming dedup."""
+
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_architecture_spark.streaming.incremental import (
+    incremental_file_source,
+    run_available_now,
+    sessionized_counts,
+    streaming_dedup,
+    windowed_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_file_source_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    _write_batch(spark, src, [(1, t0, 1, "click", 1.0), (2, t0, 1, "view", 2.0)])
+
+    stream = incremental_file_source(spark, src, SCHEMA)
+    q = run_available_now(stream, ckpt, sink_path=out)
+    q.awaitTermination(60)
+
+    assert spark.read.parquet(out).count() == 2
+
+    # second batch arrives; restart processes ONLY the new file
+    _write_batch(spark, src, [(3, t0, 2, "click", 3.0)])
+    q2 = run_available_now(incremental_file_source(spark, src, SCHEMA), ckpt, sink_path=out)
+    q2.awaitTermination(60)
+
+    df = spark.read.parquet(out)
+    assert df.count() == 3  # no reprocessing of files 1-2 (the reference's
+    # copy+delete protocol could double-process on crash; checkpoint cannot)
+    assert {r["event_id"] for r in df.collect()} == {1, 2, 3}
+    shutil.rmtree(src)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "wsrc")
+    ckpt = str(tmp_path / "wckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 5)
+    t1 = dt.datetime(2024, 1, 1, 10, 55)
+    t2 = dt.datetime(2024, 1, 1, 11, 5)
+    t3 = dt.datetime(2024, 1, 1, 12, 30)
+
+    sink = str(tmp_path / "wsink")
+
+    def run_once():
+        stream = incremental_file_source(spark, src, SCHEMA)
+        agg = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+        q = run_available_now(agg, ckpt, sink_path=sink)
+        q.awaitTermination(60)
+        try:
+            return {
+                (r["window_start"], r["n"], r["total_value"])
+                for r in spark.read.parquet(sink).collect()
+            }
+        except Exception:  # no closed windows emitted yet -> empty sink
+            return set()
+
+    # batch 1: both 10:xx events — watermark (persisted in the checkpoint)
+    # ends below 11:00, so append mode emits nothing yet
+    _write_batch(spark, src, [(1, t0, 1, "click", 1.0), (2, t1, 1, "click", 2.0)])
+    assert run_once() == set()
+
+    # batch 2 (11:05) lifts the watermark only to 10:55 — still below the
+    # 10:00 window's end (11:00), so nothing closes yet. Batch 3 (12:30)
+    # lifts it to 12:20, closing both the 10:00 and 11:00 windows. The
+    # watermark survives query restarts because it lives in the checkpoint.
+    _write_batch(spark, src, [(3, t2, 1, "click", 4.0)])
+    assert run_once() == set()
+    _write_batch(spark, src, [(4, t3, 1, "click", 8.0)])
+    assert run_once() == {
+        ("2024-01-01 10:00:00", 2, 3.0),
+        ("2024-01-01 11:00:00", 1, 4.0),
+    }
+
+    # batch mode over the same data emits all windows (watermark is a no-op)
+    batch = spark.read.parquet(src)
+    brows = {
+        (r["window_start"], r["n"])
+        for r in windowed_counts(batch, window="1 hour").collect()
+    }
+    assert brows == {
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 11:00:00", 1),
+        ("2024-01-01 12:00:00", 1),
+    }
+
+
+def test_streaming_dedup_seen_ids(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "dsrc")
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    _write_batch(
+        spark,
+        src,
+        [(1, t0, 1, "click", 1.0), (1, t0, 1, "click", 1.0), (2, t0, 2, "view", 2.0)],
+    )
+    stream = incremental_file_source(spark, src, SCHEMA)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    q = run_available_now(deduped, str(tmp_path / "dckpt"), query_name="dout")
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) AS n FROM dout").collect()[0]["n"] == 2
+
+
+def test_sessionized_counts_batch(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 1.0),  # same session
+        (3, base + dt.timedelta(hours=3), 1, "click", 1.0),     # new session
+        (4, base, 2, "view", 1.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sessionized_counts(df, gap="30 minutes")
+    got = {(r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01 09:00:00", 2),
+        (1, "2024-01-01 12:00:00", 1),
+        (2, "2024-01-01 09:00:00", 1),
+    }
