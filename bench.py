@@ -39,6 +39,10 @@ HEADLINE = [
     "q_simhash",
     "q_embedding_knn",
     "q_text_stats",
+    "q07_trade_matrix",
+    "q18_large_orders",
+    "q_analytic_windows",
+    "q_array_funcs",
 ]
 
 
@@ -48,6 +52,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = SessionFactory(app_name="lakehouse_bench").get_or_create()
+
+    # JVM/codegen warm-up so the first timed query doesn't pay session
+    # startup (observed ~6s of q01's first-run time was warm-up)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

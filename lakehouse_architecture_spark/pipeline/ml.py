@@ -1,0 +1,72 @@
+"""ML bridge — the reference's training task rebuilt on spark.ml.
+
+The reference trains sklearn RandomForest on a full ``toPandas()`` collect
+(``airflow/dags/realestate_pipeline.py:207-229`` — M1-M4 in SURVEY.md
+§2.10), which caps at driver memory. This replicates the same modeling
+decisions (features [area, bedrooms, location_encoded], target price,
+RandomForest with 100 trees, seed 42, 80/20 split, R² metric) with
+distributed spark.ml so the same pipeline runs at any scale.
+
+MLflow logging is optional (import-gated) — tracking-server wiring is
+deployment config, not engine logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TrainResult:
+    model: object
+    r2: float
+    n_train: int
+    n_test: int
+
+
+def train_price_model(
+    gold: DataFrame,
+    feature_cols: tuple[str, ...] = ("area", "bedrooms", "location_encoded"),
+    label_col: str = "price",
+    n_trees: int = 100,
+    seed: int = 42,
+) -> TrainResult:
+    """RandomForest regression on the gold table, fully distributed.
+
+    Mirrors realestate_pipeline.py:217-228: fillna(0) on features, 80/20
+    split with the same seed, R² on the held-out split.
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    df = gold.select(*feature_cols, label_col).na.fill(0, subset=list(feature_cols))
+    df = df.filter(F.col(label_col).isNotNull())
+    assembler = VectorAssembler(inputCols=list(feature_cols), outputCol="features")
+    vec = assembler.transform(df)
+    train, test = vec.randomSplit([0.8, 0.2], seed=seed)
+    rf = RandomForestRegressor(
+        featuresCol="features", labelCol=label_col, numTrees=n_trees, seed=seed
+    )
+    model = rf.fit(train)
+    pred = model.transform(test)
+    r2 = RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="r2"
+    ).evaluate(pred)
+    return TrainResult(model=model, r2=r2, n_train=train.count(), n_test=test.count())
+
+
+def log_to_mlflow(result: TrainResult, params: dict | None = None) -> bool:
+    """Optional MLflow logging (reference: realestate_pipeline.py:228-235).
+    Returns False when mlflow is not installed — never a hard dependency."""
+    try:
+        import mlflow
+    except ImportError:
+        return False
+    with mlflow.start_run():
+        mlflow.log_params(params or {})
+        mlflow.log_metric("r2", result.r2)
+    return True

@@ -9,11 +9,17 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_architecture_spark.queries.base import QuerySpec
 from lakehouse_architecture_spark.queries.events import EVENTS_QUERIES
 from lakehouse_architecture_spark.queries.relational import RELATIONAL_QUERIES
+from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
 
 ALL_QUERIES: dict[str, QuerySpec] = {
     spec.name: spec
-    for spec in (*RELATIONAL_QUERIES, *EVENTS_QUERIES, *TEXTOPS_QUERIES)
+    for spec in (
+        *RELATIONAL_QUERIES,
+        *RELATIONAL2_QUERIES,
+        *EVENTS_QUERIES,
+        *TEXTOPS_QUERIES,
+    )
 }
 
 

@@ -421,6 +421,73 @@ ORDER BY doc_id
 """
 
 
+# --- similarity: IVF-style ANN (deterministic coarse quantizer) -----------
+_IVF_CELLS = 8
+
+
+def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return sim.ivf_knn(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        n_cells=_IVF_CELLS,
+        k=3,
+    ).select("query_id", "neighbor_id", "cell", "cos", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+# Assignment = argmax cosine against the _IVF_CELLS lowest-id vectors
+# (tiebreak: lowest centroid id); search restricted to the query's cell.
+_Q_IVF_SQL = f"""
+WITH {_DIMS_CTE},
+{_NORMS_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id ASC LIMIT {_IVF_CELLS}
+),
+cdots AS (
+  SELECT e.vec_id, c.cent_id,
+         ROUND(SUM(CAST(e.embedding[d.d] AS DOUBLE) * CAST(c.cvec[d.d] AS DOUBLE))
+               / (ne.nrm * nc.nrm), 6) AS ccos
+  FROM embeddings e
+  JOIN norms ne ON ne.vec_id = e.vec_id
+  CROSS JOIN cents c
+  JOIN norms nc ON nc.vec_id = c.cent_id, dims d
+  GROUP BY e.vec_id, c.cent_id, ne.nrm, nc.nrm
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell
+  FROM (SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id ASC) AS rn
+        FROM cdots)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, ac.cell,
+         ROUND(SUM(CAST(eq.embedding[d.d] AS DOUBLE) * CAST(c.embedding[d.d] AS DOUBLE))
+               / (nq.nrm * nc2.nrm), 6) AS cos
+  FROM q
+  JOIN assign aq ON aq.vec_id = q.query_id
+  JOIN assign ac ON ac.cell = aq.cell
+  JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id <> q.query_id
+  JOIN embeddings eq ON eq.vec_id = q.query_id
+  JOIN norms nq ON nq.vec_id = q.query_id
+  JOIN norms nc2 ON nc2.vec_id = c.vec_id, dims d
+  GROUP BY q.query_id, c.vec_id, ac.cell, nq.nrm, nc2.nrm
+)
+SELECT query_id, neighbor_id, cell, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+FROM pairs
+QUALIFY rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_dedup_keep_first", "deterministic keep-first dedup", _q_dedup_keep_first, _Q_DEDUP_KEEP_FIRST_SQL),
     QuerySpec("q_fingerprint_groups", "normalization-fingerprint dedup groups", _q_fingerprint, _Q_FINGERPRINT_SQL),
@@ -428,6 +495,7 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_minhash_lsh", "MinHash+LSH band candidate pairs", _q_minhash_lsh, _Q_MINHASH_SQL),
     QuerySpec("q_simhash", "60-bit SimHash fingerprints", _q_simhash, _Q_SIMHASH_SQL),
     QuerySpec("q_embedding_knn", "brute-force cosine top-k neighbors", _q_knn, _Q_KNN_SQL),
+    QuerySpec("q_ivf_knn", "IVF-cell-restricted approximate kNN", _q_ivf_knn, _Q_IVF_SQL),
     QuerySpec("q_lsh_bucket_pairs", "random-hyperplane LSH near-neighbor pairs", _q_lsh_buckets, _Q_LSH_BUCKETS_SQL),
     QuerySpec("q_text_stats", "char/token/sub-token statistics", _q_text_stats, _Q_TEXT_STATS_SQL),
     QuerySpec("q_text_quality", "heuristic quality scoring", _q_quality, _Q_QUALITY_SQL),

@@ -1,0 +1,51 @@
+"""spark.ml training bridge (M1-M4) + MERGE-style upsert semantics."""
+
+from lakehouse_architecture_spark.operators.upsert import merge_upsert, touched_partitions
+from lakehouse_architecture_spark.pipeline.medallion import silver_to_gold
+from lakehouse_architecture_spark.pipeline.ml import train_price_model
+
+
+def test_train_price_model(spark):
+    import random
+
+    random.seed(42)
+    rows = [
+        (
+            str(i),
+            random.choice(["HCM", "HN", "DN"]),
+            float(random.randint(30, 200)),
+            random.randint(1, 5),
+            None,
+        )
+        for i in range(300)
+    ]
+    # price correlated with area so the model has signal
+    rows = [(i, loc, a, b, a * 50.0 + b * 10.0) for (i, loc, a, b, _) in rows]
+    silver = spark.createDataFrame(
+        rows, "id string, location string, area double, bedrooms int, price double"
+    )
+    gold = silver_to_gold(silver)
+    res = train_price_model(gold, n_trees=20)
+    assert res.n_train + res.n_test == 300
+    assert res.r2 > 0.8  # near-linear target must be easy for a forest
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        "id int, v string, dt string",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", "2024-01-01"), (4, "d", "2024-01-03")], "id int, v string, dt string"
+    )
+    merged = {(r["id"], r["v"]) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert merged == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    # insert-only = the reference's seen-ID ledger: first writer wins
+    ledger = {
+        (r["id"], r["v"])
+        for r in merge_upsert(target, updates, ["id"], insert_only=True).collect()
+    }
+    assert ledger == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+    assert sorted(touched_partitions(updates, "dt")) == ["2024-01-01", "2024-01-03"]

@@ -1,0 +1,57 @@
+"""Scale guardrails: physical plans must stay broadcast/pushdown-shaped.
+
+Correct-at-sf0.01 is not enough — these assert the plan shapes that survive
+a 1000-executor, 100 TB deployment (SURVEY.md §4)."""
+
+from lakehouse_architecture_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    formatted_plan,
+)
+from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return ALL_QUERIES[name].build(spark, SF)
+
+
+def test_q01_pushdown(spark):
+    df = _q(spark, "q01_pricing_summary")
+    assert_pushed_filters(df)  # shipdate predicate reaches the parquet reader
+    # partial (map-side) aggregation before the shuffle
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_join_queries_broadcast_dims(spark):
+    for name in ("q03_top_revenue_orders", "q05_nation_revenue"):
+        df = _q(spark, name)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+        assert_pushed_filters(df)
+
+
+def test_asof_join_is_single_shuffle(spark):
+    # the union+window formulation must not produce any join operator at all
+    plan = formatted_plan(_q(spark, "q_asof_join"))
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} leaked into as-of join plan"
+    assert "Window" in plan
+
+
+def test_range_join_avoids_nested_loop(spark):
+    # bucketed formulation -> equi-join, not O(n*m) BroadcastNestedLoopJoin
+    df = _q(spark, "q_range_join")
+    assert_no_cartesian(df)
+
+
+def test_lsh_pairs_equi_join_on_signature(spark):
+    df = _q(spark, "q_lsh_bucket_pairs")
+    assert_no_cartesian(df)  # bucket join, never the full cross product
+
+
+def test_dedup_queries_scale_shapes(spark):
+    for name in ("q_minhash_lsh", "q_ngram_jaccard", "q_fingerprint_groups"):
+        assert_no_cartesian(_q(spark, name))
