@@ -53,9 +53,12 @@ def main() -> None:
 
     spark = SessionFactory(app_name="lakehouse_bench").get_or_create()
 
-    # JVM/codegen warm-up so the first timed query doesn't pay session
-    # startup (observed ~6s of q01's first-run time was warm-up)
+    # JVM/codegen/parquet-reader warm-up so the first timed query doesn't
+    # pay session startup (~3.5s of q01's first-run time was Hadoop FS init
+    # + codegen, measured by repeat runs)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.selectExpr("sum(cast(r_regionkey as decimal(38,6)))").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

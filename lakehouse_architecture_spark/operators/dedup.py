@@ -86,12 +86,19 @@ def ngram_jaccard_pairs(
     drop shingles with document frequency above a cap first (cheap extra
     aggregate); the semantics here keep all shingles so the oracle matches.
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    # join on the 60-bit shingle hash, not the string: same result (the
+    # oracle hashes identically, so even a collision is mirrored) and a far
+    # cheaper shuffle key than multi-word strings at corpus scale
+    sh = (
+        word_shingles(df, id_col, text_col, n)
+        .select("id", md5_hash64(F.col("shingle")).alias("h"))
+        .cache()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, on="shingle")
+        a.join(b, on="h")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -120,14 +127,21 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, perm i, minhash value) — portable universal-hash minhash."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    sh = sh.withColumn("h", md5_hash64(F.col("shingle")))
-    perms = sh.select(
-        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("i")
+    """One row per document with columns mh0..mh{num_perm-1}.
+
+    Wide-aggregation formulation: all permutations are min-aggregated in a
+    single groupBy over the shingle rows — one shuffle, no num_perm× row
+    blow-up (an explode-per-permutation version was ~4× slower at sf0.1 and
+    scales worse: the shuffle would carry num_perm copies of the corpus).
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "h", md5_hash64(F.col("shingle"))
     )
-    return perms.groupBy("id", "i").agg(
-        F.min(minhash_perm(F.col("h"), F.col("i"))).alias("mh")
+    return sh.groupBy("id").agg(
+        *[
+            F.min(minhash_perm(F.col("h"), F.lit(i))).alias(f"mh{i}")
+            for i in range(num_perm)
+        ]
     )
 
 
@@ -141,26 +155,26 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: documents sharing ≥1 LSH band bucket.
 
-    rows-per-band r = num_perm/bands; band key = (band, concat of the r
-    minhash values). Returns (id_a < id_b, n_shared_bands). At scale the
-    bucket join shuffles on the band signature — sub-quadratic as long as
-    buckets stay small; a bucket-size cap guards pathological buckets.
+    rows-per-band r = num_perm/bands; band key = (band index, '_'-joined
+    minhash values of the band, in permutation order). Returns
+    (id_a < id_b, n_shared_bands). At scale the bucket join shuffles on the
+    band signature — sub-quadratic as long as buckets stay small.
     """
     r = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    band = (
-        sig.withColumn("band", (F.col("i") / F.lit(r)).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            # order-stable band signature: minhash values sorted by perm index
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                "_",
-            ).alias("sig"),
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band = sig.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a = band.alias("a")
     b = band.alias("b")
@@ -172,12 +186,14 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (distinct-token weights = 1).
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash over distinct whitespace tokens (weights = 1), ``bits`` ≤ 60
+    (the md5-derived hash width).
 
     bit b of the fingerprint = 1 iff Σ_tokens sign(bit b of md5hash(token))
-    > 0. Computed as explode(tokens) × explode(bits) → groupBy — two narrow
-    explodes and one aggregate; no UDFs.
+    > 0. Wide-aggregation formulation: one token-explode, then a single
+    groupBy with ``bits`` conditional sums — no per-bit row blow-up (the
+    shuffle carries one row per token, not ``bits`` rows per token).
     """
     toks = (
         df.select(
@@ -189,20 +205,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         .filter(F.col("tok") != "")
         .withColumn("h", md5_hash64(F.col("tok")))
     )
-    # 60-bit md5-derived hash → use lower `bits` bits (bits <= 60)
-    bit = toks.select(
-        "id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    ).withColumn(
-        # shiftright with a *column* shift amount needs expr() — the PySpark
-        # wrapper only takes a Python int
-        "w", F.when(F.expr("shiftright(h, b)").bitwiseAND(1) == 1, 1).otherwise(-1)
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        bit.groupBy("id", "b")
-        .agg(F.sum("w").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("id")
-        .agg(F.sum(F.expr("cast(bitval as bigint) * shiftleft(cast(1 as bigint), b)")).alias("simhash"))
+    fingerprint = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(bits)
+        ),
+        F.lit(0).cast("bigint"),
     )
+    return bit_sums.select("id", fingerprint.alias("simhash"))

@@ -29,12 +29,21 @@ class QuerySpec:
     oracle: str | None = None
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load + register the testdata tables as temp views for this query.
 
     Pins the two session confs the determinism rules depend on — the driver
-    may call builders on a session this engine did not construct.
+    may call builders on a session this engine did not construct. Loads are
+    cached per (session, sf_dir): re-reading ten parquet footers per query
+    added ~0.3s to every build.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    return load_tables(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+    return cached

@@ -473,6 +473,28 @@ ORDER BY l_returnflag
 """
 
 
+# --- approximate aggregates (sketch-based; no cross-engine oracle) --------
+def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct counts + approximate quantiles. Sketches are
+    engine-specific by construction, so the driver records the rows-only
+    check; exact counterparts are oracle-checked in q_agg_distinct and
+    q_percentile."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+            F.expr("approx_percentile(l_extendedprice, array(0.25, 0.75))").alias(
+                "approx_iqr"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 RELATIONAL2_QUERIES: list[QuerySpec] = [
     QuerySpec("q04_priority_exists", "EXISTS subquery via left_semi", _q04, _Q04_SQL),
     QuerySpec("q07_trade_matrix", "dimension in two roles (self-aliased join)", _q07, _Q07_SQL),
@@ -489,4 +511,5 @@ RELATIONAL2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_analytic_windows", "ntile/percent_rank/cume_dist/first_value", _q_analytic_windows, _Q_ANALYTIC_WINDOWS_SQL),
     QuerySpec("q_percentile", "exact interpolated percentiles", _q_percentile, _Q_PERCENTILE_SQL),
     QuerySpec("q_conditional_agg", "count_if / bool_and / bool_or / filtered sum", _q_conditional_agg, _Q_CONDITIONAL_AGG_SQL),
+    QuerySpec("q_approx_aggs", "HLL++ distinct + approx percentiles (rows-only)", _q_approx_aggs, None),
 ]

@@ -112,10 +112,11 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+shh AS (SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,

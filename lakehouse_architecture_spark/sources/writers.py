@@ -13,6 +13,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def write_bronze_json(
+    df: "DataFrame",
+    path: str,
+    mode: str = "append",
+) -> None:
+    """Bronze sink (S8): raw rows as JSON lines, executor-side.
+
+    Replaces the reference's driver-side ``put_object(BytesIO(json.dumps))``
+    (``app/bronze.py:130-138``) — each partition writes its own files, so a
+    100 TB bronze batch never flows through one process.
+    """
+    df.write.mode(mode).json(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -21,11 +21,11 @@ def test_entry_runs(spark):
 def test_queries_and_oracles_aligned():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(qs) >= 30
+    assert len(qs) >= 50
     # every oracle key has a matching query
     assert set(oracles) <= set(qs)
-    # currently every query is SQL-expressible -> full oracle coverage
-    assert set(oracles) == set(qs)
+    # only sketch-based queries may lack an oracle (rows-only check)
+    assert set(qs) - set(oracles) == {"q_approx_aggs"}
 
 
 def test_multimodal_stub_plumbing(spark):
