@@ -10,6 +10,7 @@ from lakehouse_architecture_spark.queries.base import QuerySpec
 from lakehouse_architecture_spark.queries.events import EVENTS_QUERIES
 from lakehouse_architecture_spark.queries.relational import RELATIONAL_QUERIES
 from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
+from lakehouse_architecture_spark.queries.relational3 import RELATIONAL3_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
 
 ALL_QUERIES: dict[str, QuerySpec] = {
@@ -17,6 +18,7 @@ ALL_QUERIES: dict[str, QuerySpec] = {
     for spec in (
         *RELATIONAL_QUERIES,
         *RELATIONAL2_QUERIES,
+        *RELATIONAL3_QUERIES,
         *EVENTS_QUERIES,
         *TEXTOPS_QUERIES,
     )

@@ -1,0 +1,160 @@
+"""Third coverage batch: map functions, RANGE window frames, deterministic
+hash sampling, and the long tail of string functions.
+
+Hash sampling note: ``df.sample()`` draws from an engine-private RNG, so two
+engines can never agree row-for-row. The scalable, reproducible alternative
+is systematic hash sampling — ``md5hash(key) % N < k`` — which is exactly
+oracle-checkable, stable under retries/partitioning, and the standard way to
+carve deterministic subsets of a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
+from lakehouse_architecture_spark.functions.hashing import md5_hash64, md5_hash64_sql
+from lakehouse_architecture_spark.queries.base import QuerySpec, tables
+
+
+# --- map functions over JSON-derived maps ---------------------------------
+def _q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return (
+        t["events"]
+        .withColumn("m", m)
+        .select(
+            "event_id",
+            F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+            F.element_at(F.col("m"), "k").alias("k_value"),
+            F.size("m").alias("n_entries"),
+            F.array_join(
+                F.transform(F.map_values("m"), lambda v: v.cast("string")), ","
+            ).alias("values_csv"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_Q_MAP_FUNCS_SQL = """
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS keys_csv,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       CAST(len(json_keys(props)) AS INT) AS n_entries,
+       array_to_string(list_transform(json_keys(props),
+            k -> json_extract_string(props, '$.' || k)), ',') AS values_csv
+FROM events
+ORDER BY event_id
+"""
+
+
+# --- RANGE window frame: trailing 7-day revenue per supplier --------------
+def _q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_suppkey") <= 3).withColumn(
+        # l_shipdate is TIMESTAMP_NTZ; cast to TIMESTAMP is instant-identical
+        # under the pinned UTC session, and unix_micros needs it
+        "ship_day",
+        F.floor(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")) / F.lit(86_400_000_000)
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ship_day")
+        .rangeBetween(-7, 0)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "ship_day",
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double"),
+                4,
+            ).alias("trailing7d_qty"),
+        )
+        .orderBy("l_suppkey", "ship_day", "l_orderkey", "l_linenumber")
+    )
+
+
+_Q_RANGE_FRAME_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, ship_day,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+         PARTITION BY l_suppkey ORDER BY ship_day
+         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS trailing7d_qty
+FROM (
+  SELECT *, epoch_us(l_shipdate) // 86400000000 AS ship_day
+  FROM lineitem WHERE l_suppkey <= 3
+)
+ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber
+"""
+
+
+# --- deterministic hash sampling ------------------------------------------
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # ~5% systematic sample keyed on the order id — reproducible anywhere
+    sampled = t["orders"].filter(
+        md5_hash64(F.col("o_orderkey").cast("string")) % 100 < 5
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("o_totalprice", "sampled_total"),
+    ).orderBy("o_orderstatus")
+
+
+_Q_HASH_SAMPLE_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_sampled,
+       {dsum_sql('o_totalprice')} AS sampled_total
+FROM orders
+WHERE {md5_hash64_sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- string long tail ------------------------------------------------------
+def _q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "0").alias("brand_pad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_upvowel"),
+        F.substring_index("p_type", " ", 1).alias("type_first_word"),
+        F.repeat(F.lit("ab"), 3).alias("abx3"),
+        F.left(F.col("p_name"), F.lit(5)).alias("name_left5"),
+        F.right(F.col("p_name"), F.lit(4)).alias("name_right4"),
+        F.instr("p_name", "o").alias("first_o"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.split_part("p_type", F.lit(" "), F.lit(-1)).alias("type_last_word"),
+    )
+
+
+_Q_STRING_FUNCS2_SQL = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '0') AS brand_pad,
+       reverse(p_name) AS name_rev,
+       translate(p_type, 'aeiou', 'AEIOU') AS type_upvowel,
+       split_part(p_type, ' ', 1) AS type_first_word,
+       repeat('ab', 3) AS abx3,
+       left(p_name, 5) AS name_left5,
+       right(p_name, 4) AS name_right4,
+       CAST(instr(p_name, 'o') AS INT) AS first_o,
+       trim('  pad  ') AS trimmed,
+       split_part(p_type, ' ', -1) AS type_last_word
+FROM part
+"""
+
+
+RELATIONAL3_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_map_funcs", "map functions over JSON-derived maps", _q_map_funcs, _Q_MAP_FUNCS_SQL),
+    QuerySpec("q_range_frame", "RANGE window frame (trailing 7 days)", _q_range_frame, _Q_RANGE_FRAME_SQL),
+    QuerySpec("q_hash_sample", "deterministic systematic hash sampling", _q_hash_sample, _Q_HASH_SAMPLE_SQL),
+    QuerySpec("q_string_funcs2", "string function long tail", _q_string_funcs2, _Q_STRING_FUNCS2_SQL),
+]

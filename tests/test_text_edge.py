@@ -1,0 +1,64 @@
+"""Edge cases for text operators: empty/whitespace/punctuation-only text."""
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.dedup import simhash, word_shingles
+from lakehouse_architecture_spark.operators.text import (
+    char_stats,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+EDGE_ROWS = [
+    (1, ""),
+    (2, "   "),
+    (3, "!!!"),
+    (4, "one"),
+    (5, "the the the"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(EDGE_ROWS, "doc_id int, text string")
+
+
+def test_token_count_edges(spark):
+    out = {
+        r["doc_id"]: r["n"]
+        for r in _df(spark).select("doc_id", token_count("text").alias("n")).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 3}
+
+
+def test_char_stats_and_quality_no_nulls(spark):
+    stats = char_stats(_df(spark)).collect()
+    assert all(r["n_tokens"] is not None for r in stats)
+    q = quality_score(_df(spark)).collect()
+    assert all(r["quality"] is not None for r in q)
+    empty = next(r for r in q if r["doc_id"] == 1)
+    assert empty["mean_word_len"] == 0.0 and empty["stopword_ratio"] == 0.0
+
+
+def test_language_id_edges(spark):
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(_df(spark)).collect()}
+    assert out[1] == "und" and out[2] == "und"  # no markers -> undetermined
+    assert out[5] == "en"
+
+
+def test_fingerprint_normalization_equivalence(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO ... world")],
+        "doc_id int, text string",
+    )
+    fps = [r["fp"] for r in fingerprint(df).collect()]
+    assert fps[0] == fps[1] == fps[2]  # same after normalization
+
+
+def test_shingles_and_simhash_short_docs(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id int, text string")
+    sh = word_shingles(df, "doc_id", "text", 3).collect()
+    assert {(r["id"], r["shingle"]) for r in sh} == {(1, "a b")}  # shorter-than-n doc
+    sims = simhash(df, "doc_id", "text")
+    assert {r["id"] for r in sims.collect()} == {1}  # empty doc has no tokens
