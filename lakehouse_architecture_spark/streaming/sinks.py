@@ -1,0 +1,54 @@
+"""Streaming sinks: exactly-once upsert via foreachBatch.
+
+The reference's silver write is a blind per-file overwrite with a
+non-atomic move protocol (``app/sliver.py:173-187``). The streaming-native
+replacement is ``foreachBatch`` + MERGE semantics: each micro-batch upserts
+into the target keyed table; the checkpoint guarantees each batch is applied
+once per epoch, and the upsert makes replays idempotent (same keys → same
+final state) — the standard exactly-once recipe for non-transactional sinks.
+
+With a transactional table format (see pipeline/table_format.py) the
+per-batch rewrite becomes a real MERGE INTO; on plain parquet the engine
+rewrites the snapshot — correct, if heavier, and partition-prunable via
+operators/upsert.touched_partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from lakehouse_architecture_spark.operators.upsert import merge_upsert
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Run the stream with each micro-batch MERGEd into ``target_path``."""
+    spark = stream.sparkSession
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.dropDuplicates(keys)  # last-writer within a batch is
+        # arbitrary; dedup first so the upsert is well-defined
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:  # first batch: no target yet
+            batch.write.mode("overwrite").parquet(target_path)
+            return
+        merged = merge_upsert(target, batch, keys)
+        # write-then-swap via overwrite: parquet has no transactions, so the
+        # checkpoint + idempotent merge carry the exactly-once guarantee
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
