@@ -152,9 +152,59 @@ FROM part
 """
 
 
+# --- unpivot via stack ------------------------------------------------------
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["part"]
+        .selectExpr(
+            "p_partkey",
+            "stack(2, 'size', CAST(p_size AS DOUBLE),"
+            " 'retailprice', p_retailprice) AS (metric, value)",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+_Q_UNPIVOT_SQL = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', p_retailprice FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+# --- min_by / max_by (deterministic: unique ordering value) ----------------
+def _q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(o_orderstatus, o_orderkey)").alias("latest_key_status"),
+            F.expr("min_by(o_totalprice, o_orderkey)").alias("first_key_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_Q_MINMAX_BY_SQL = """
+SELECT o_custkey,
+       arg_max(o_orderstatus, o_orderkey) AS latest_key_status,
+       arg_min(o_totalprice, o_orderkey) AS first_key_price,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 RELATIONAL3_QUERIES: list[QuerySpec] = [
     QuerySpec("q_map_funcs", "map functions over JSON-derived maps", _q_map_funcs, _Q_MAP_FUNCS_SQL),
     QuerySpec("q_range_frame", "RANGE window frame (trailing 7 days)", _q_range_frame, _Q_RANGE_FRAME_SQL),
     QuerySpec("q_hash_sample", "deterministic systematic hash sampling", _q_hash_sample, _Q_HASH_SAMPLE_SQL),
     QuerySpec("q_string_funcs2", "string function long tail", _q_string_funcs2, _Q_STRING_FUNCS2_SQL),
+    QuerySpec("q_unpivot", "unpivot wide->long via stack", _q_unpivot, _Q_UNPIVOT_SQL),
+    QuerySpec("q_minmax_by", "min_by/max_by with unique ordering key", _q_minmax_by, _Q_MINMAX_BY_SQL),
 ]

@@ -1,0 +1,113 @@
+"""Property-based spot checks (SURVEY.md §5.4): cleaning expressions against
+a Python reimplementation of the reference UDFs, dedup idempotence, and
+merge-upsert algebra, over hypothesis-generated inputs."""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.cleaning import (
+    normalize_price_expr,
+    parse_area_expr,
+)
+from lakehouse_architecture_spark.operators.dedup import dedup_keep_first
+from lakehouse_architecture_spark.operators.upsert import merge_upsert
+
+_NUM = re.compile(r"[\d,\.]+")
+
+
+def _py_parse_area(s):
+    """Reference semantics (app/sliver.py:41-51): first numeric token,
+    comma -> decimal point, float(); unparseable -> None."""
+    if s is None:
+        return None
+    m = _NUM.search(s)
+    if not m:
+        return None
+    try:
+        return float(m.group(0).replace(",", "."))
+    except ValueError:
+        return None
+
+
+def _py_normalize_price(s):
+    """Reference semantics (app/sliver.py:63-83)."""
+    if s is None:
+        return None
+    low = s.lower()
+    num = _py_parse_area(s)
+    if "tỷ" in low:
+        return num
+    if "triệu" in low:
+        return num / 1000.0 if num is not None else None
+    digits = re.sub(r"[^\d]", "", s)
+    return float(digits) / 1e9 if digits else None
+
+
+# text strategy biased toward the interesting shapes: numbers, commas,
+# Vietnamese units, junk
+_price_text = st.one_of(
+    st.text(max_size=12),
+    st.builds(
+        lambda a, b, unit: f"{a},{b} {unit}",
+        st.integers(0, 99),
+        st.integers(0, 9),
+        st.sampled_from(["tỷ", "triệu", "đồng", ""]),
+    ),
+    st.integers(0, 10**10).map(str),
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_price_text, min_size=1, max_size=8))
+def test_cleaning_matches_reference_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = df.select(
+        parse_area_expr(F.col("s")).alias("area"),
+        normalize_price_expr(F.col("s")).alias("price"),
+    ).collect()
+    for v, row in zip(values, got):
+        assert row["area"] == _py_parse_area(v), f"area({v!r})"
+        assert row["price"] == _py_normalize_price(v), f"price({v!r})"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dedup_keep_first_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [(k, o, v) for k, o, v in rows], "k int, ord int, v int"
+    )
+    once = dedup_keep_first(df, ["k"], "ord")
+    twice = dedup_keep_first(once, ["k"], "ord")
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b  # idempotence
+    assert len(a) == len({k for k, _, _ in rows})  # one row per key
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.text(max_size=3)), max_size=10),
+    st.lists(st.tuples(st.integers(0, 8), st.text(max_size=3)), max_size=10),
+)
+def test_merge_upsert_last_writer_wins(spark, base, updates):
+    # dedupe inputs per key (merge semantics assume keyed relations)
+    base_d = {k: v for k, v in base}
+    upd_d = {k: v for k, v in updates}
+    target = spark.createDataFrame(
+        [(k, v) for k, v in base_d.items()], "k int, v string"
+    ) if base_d else spark.createDataFrame([], "k int, v string")
+    upd = spark.createDataFrame(
+        [(k, v) for k, v in upd_d.items()], "k int, v string"
+    ) if upd_d else spark.createDataFrame([], "k int, v string")
+    merged = {r["k"]: r["v"] for r in merge_upsert(target, upd, ["k"]).collect()}
+    assert merged == {**base_d, **upd_d}  # dict-update algebra
