@@ -152,6 +152,103 @@ FROM part
 """
 
 
+# --- date arithmetic belt ---------------------------------------------------
+def _q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+            (F.dayofweek(d) - 1).alias("dow"),  # Spark 1=Sun -> DuckDB 0=Sun
+            F.quarter(d).alias("qtr"),
+            F.dayofmonth(d).alias("dom"),
+            F.month(d).alias("mth"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_Q_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+       CAST(month(o_orderdate) AS INT) AS mth
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# --- null-handling belt ------------------------------------------------------
+def _q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # left join produces genuine NULLs to exercise the belt
+    joined = t["customer"].join(
+        t["orders"].filter(F.col("o_totalprice") > 300000.0),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    )
+    return (
+        joined.select(
+            "c_custkey",
+            F.col("o_orderkey").alias("big_order_key"),
+            F.coalesce("o_totalprice", F.lit(-1.0)).alias("price_or_default"),
+            F.isnull("o_orderkey").alias("has_no_big_order"),
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nonbuilding"),
+            F.nvl2(F.col("o_orderkey"), F.lit("yes"), F.lit("no")).alias("flag"),
+        )
+        .orderBy("c_custkey", "big_order_key")
+    )
+
+
+_Q_NULL_FUNCS_SQL = """
+SELECT c_custkey,
+       o_orderkey AS big_order_key,
+       coalesce(o_totalprice, -1.0) AS price_or_default,
+       o_orderkey IS NULL AS has_no_big_order,
+       nullif(c_mktsegment, 'BUILDING') AS seg_nonbuilding,
+       CASE WHEN o_orderkey IS NOT NULL THEN 'yes' ELSE 'no' END AS flag
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0)
+       ON c_custkey = o_custkey
+ORDER BY c_custkey, big_order_key
+"""
+
+
+# --- bitwise operations ------------------------------------------------------
+def _q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    k = F.col("p_partkey")
+    return t["part"].select(
+        "p_partkey",
+        (k.bitwiseAND(F.lit(255))).alias("low_byte"),
+        (k.bitwiseOR(F.lit(4096))).alias("with_flag"),
+        (k.bitwiseXOR(F.col("p_size").cast("bigint"))).alias("xored"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+_Q_BIT_OPS_SQL = """
+SELECT p_partkey,
+       p_partkey & 255 AS low_byte,
+       p_partkey | 4096 AS with_flag,
+       xor(p_partkey, CAST(p_size AS BIGINT)) AS xored,
+       p_partkey << 3 AS shl3,
+       p_partkey >> 2 AS shr2,
+       CAST(bit_count(p_partkey) AS INT) AS popcount
+FROM part
+"""
+
+
 # --- unpivot via stack ------------------------------------------------------
 def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -207,4 +304,7 @@ RELATIONAL3_QUERIES: list[QuerySpec] = [
     QuerySpec("q_string_funcs2", "string function long tail", _q_string_funcs2, _Q_STRING_FUNCS2_SQL),
     QuerySpec("q_unpivot", "unpivot wide->long via stack", _q_unpivot, _Q_UNPIVOT_SQL),
     QuerySpec("q_minmax_by", "min_by/max_by with unique ordering key", _q_minmax_by, _Q_MINMAX_BY_SQL),
+    QuerySpec("q_date_arith", "date arithmetic belt (add/diff/last_day/dow)", _q_date_arith, _Q_DATE_ARITH_SQL),
+    QuerySpec("q_null_funcs", "null-handling belt (coalesce/nullif/nvl2)", _q_null_funcs, _Q_NULL_FUNCS_SQL),
+    QuerySpec("q_bit_ops", "bitwise operation belt", _q_bit_ops, _Q_BIT_OPS_SQL),
 ]
