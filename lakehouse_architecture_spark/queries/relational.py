@@ -190,10 +190,13 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 # --- joins: anti / semi / outer ---
 def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
-    # the reference's seen-ID ledger (app/bronze.py:113-116) as a left_anti
+    # the reference's seen-ID ledger (app/bronze.py:113-116) as a left_anti;
+    # anti-joined against *high-value* orders so the result is non-empty at
+    # every scale factor (every customer has at least one order)
+    big = t["orders"].filter(F.col("o_totalprice") > 250000.0)
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
 
@@ -201,7 +204,8 @@ def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
 """
 
 

@@ -193,9 +193,12 @@ def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("c_acctbal").cast(DECIMAL)).cast("double") / F.count("c_acctbal")).alias("a")
         ).collect()[0]["a"]
     )
+    # anti-join against high-value orders (every customer has *some* order,
+    # so a bare anti-join would be empty at every sf)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000.0)
     rich_idle = (
         cust.filter(F.col("c_acctbal") > avg_bal)
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     )
     return (
         rich_idle.groupBy("c_mktsegment")
@@ -208,7 +211,8 @@ _Q22_SQL = f"""
 SELECT c_mktsegment, COUNT(*) AS n_customers, {dsum_sql('c_acctbal')} AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')} FROM customer)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
