@@ -1,0 +1,93 @@
+"""Connected components — the cluster step of near-dup deduplication.
+
+Near-dup pair generation (MinHash-LSH / Jaccard / cosine buckets) yields
+edges; production dedup needs the transitive closure: every document labeled
+with its component's canonical (minimum) id, so one representative per
+cluster survives (SURVEY.md §4: "text dedup = MinHash + connected
+components").
+
+Implementation is iterative min-label propagation over DataFrames:
+
+    label(n) <- min(label(n), min over neighbors of label(neighbor))
+
+repeated until a fixpoint. Each round is one join + one aggregate (both
+shuffle on node id); rounds needed ≈ graph diameter for plain propagation —
+near-dup graphs are overwhelmingly tiny cliques, so 2-4 rounds converge.
+The loop checks convergence with a changed-row count per round and is
+capped by ``max_iterations`` (a driver-side loop over lazy plans — the
+standard Spark pattern for iterative algorithms; each iteration's result is
+localCheckpoint()ed to keep lineage from growing exponentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    Returns (node, component). Nodes = everything appearing in ``edges``;
+    isolated documents (no edges) keep themselves as canonical and don't
+    need to enter the computation.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full-corpus canonical assignment: every row of ``df`` mapped to its
+    cluster's canonical id (itself when it has no near-duplicates).
+    Downstream keeps rows where ``id == canonical_id``."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        df.join(comp, df[id_col] == comp.node, "left")
+        .select(
+            df["*"],
+            F.coalesce("component", df[id_col]).alias("canonical_id"),
+        )
+    )

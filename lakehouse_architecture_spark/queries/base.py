@@ -29,7 +29,7 @@ class QuerySpec:
     oracle: str | None = None
 
 
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -37,12 +37,14 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     Pins the two session confs the determinism rules depend on — the driver
     may call builders on a session this engine did not construct. Loads are
-    cached per (session, sf_dir): re-reading ten parquet footers per query
-    added ~0.3s to every build.
+    cached per (application, sf_dir): re-reading ten parquet footers per
+    query added ~0.3s to every build. Keyed by applicationId (not object
+    identity) so a stopped-and-recreated session can never alias a stale
+    entry.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TABLE_CACHE.get(key)
     if cached is None:
         cached = _TABLE_CACHE[key] = load_tables(spark, sf_dir)

@@ -20,6 +20,8 @@ from lakehouse_architecture_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from lakehouse_architecture_spark.operators.graph import dedup_clusters
+from lakehouse_architecture_spark.operators.pandas_ops import grouped_rank
 from lakehouse_architecture_spark.operators.multimodal import decode_binary_meta
 from lakehouse_architecture_spark.operators.text import (
     LANG_MARKERS,
@@ -422,6 +424,71 @@ ORDER BY doc_id
 """
 
 
+# --- dedup: connected components over near-dup pairs ----------------------
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+    return dedup_clusters(t["documents"], pairs, "doc_id").select(
+        "doc_id", "canonical_id"
+    ).orderBy("doc_id")
+
+
+# Transitive closure via recursive CTE; component label = min reachable id.
+_Q_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+shh AS (SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS canonical_id
+FROM documents d
+LEFT JOIN comp ON comp.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --- grouped-map pandas: per-group ranking over events --------------------
+def _q_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    src = t["events"].select("event_id", "event_type", "value")
+    return grouped_rank(src, "event_type", ["value", "event_id"]).orderBy(
+        "event_type", "grp_rank"
+    )
+
+
+_Q_GROUPED_PANDAS_SQL = """
+SELECT event_id, event_type, value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS INT) AS grp_rank,
+       CAST(COUNT(*) OVER (PARTITION BY event_type) AS INT) AS grp_size
+FROM events
+ORDER BY event_type, grp_rank
+"""
+
+
 # --- similarity: IVF-style ANN (deterministic coarse quantizer) -----------
 _IVF_CELLS = 8
 
@@ -493,6 +560,8 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_dedup_keep_first", "deterministic keep-first dedup", _q_dedup_keep_first, _Q_DEDUP_KEEP_FIRST_SQL),
     QuerySpec("q_fingerprint_groups", "normalization-fingerprint dedup groups", _q_fingerprint, _Q_FINGERPRINT_SQL),
     QuerySpec("q_ngram_jaccard", "word-3-gram Jaccard near-dup pairs", _q_ngram_jaccard, _Q_NGRAM_JACCARD_SQL),
+    QuerySpec("q_dedup_components", "connected-components canonical assignment", _q_dedup_components, _Q_DEDUP_COMPONENTS_SQL),
+    QuerySpec("q_grouped_pandas", "applyInPandas per-group ranking", _q_grouped_pandas, _Q_GROUPED_PANDAS_SQL),
     QuerySpec("q_minhash_lsh", "MinHash+LSH band candidate pairs", _q_minhash_lsh, _Q_MINHASH_SQL),
     QuerySpec("q_simhash", "60-bit SimHash fingerprints", _q_simhash, _Q_SIMHASH_SQL),
     QuerySpec("q_embedding_knn", "brute-force cosine top-k neighbors", _q_knn, _Q_KNN_SQL),

@@ -98,6 +98,29 @@ def test_ngram_jaccard_identical_docs(spark):
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
 
 
+def test_connected_components_chain_and_clique(spark):
+    from lakehouse_architecture_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a int, id_b int",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 99]], "doc_id int")
+    clusters = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(docs, edges, "doc_id").collect()
+    }
+    # docs without edges are their own canonical
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 99: 99}
+
+
 def test_brute_force_knn_self_similarity(spark):
     df = spark.createDataFrame(
         [
