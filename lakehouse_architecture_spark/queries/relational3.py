@@ -249,6 +249,47 @@ FROM part
 """
 
 
+# --- array/string aggregation (deterministic: sorted before joining) -------
+def _q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # collect_set order is partition-dependent; sort_array makes the result
+    # well-defined — the only safe way to compare (or ship) collected arrays
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("o_custkey")), 1, 5).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("first5_custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# FILTER (WHERE ... IS NOT NULL) mirrors Spark's collect_set/collect_list
+# null-dropping so the oracle stays equivalent even if the data ever grows
+# NULLs in these columns.
+_Q_COLLECT_SQL = """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)
+           FILTER (WHERE o_orderstatus IS NOT NULL)), ',') AS statuses,
+       array_to_string(list_transform(
+           list_sort(list(o_custkey) FILTER (WHERE o_custkey IS NOT NULL))[1:5],
+           x -> CAST(x AS VARCHAR)), ',') AS first5_custkeys,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- unpivot via stack ------------------------------------------------------
 def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -307,4 +348,5 @@ RELATIONAL3_QUERIES: list[QuerySpec] = [
     QuerySpec("q_date_arith", "date arithmetic belt (add/diff/last_day/dow)", _q_date_arith, _Q_DATE_ARITH_SQL),
     QuerySpec("q_null_funcs", "null-handling belt (coalesce/nullif/nvl2)", _q_null_funcs, _Q_NULL_FUNCS_SQL),
     QuerySpec("q_bit_ops", "bitwise operation belt", _q_bit_ops, _Q_BIT_OPS_SQL),
+    QuerySpec("q_collect", "deterministic collect_set/collect_list aggregation", _q_collect, _Q_COLLECT_SQL),
 ]
