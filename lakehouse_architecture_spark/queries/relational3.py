@@ -249,6 +249,55 @@ FROM part
 """
 
 
+# --- explicit cross join (small x small, intentionally cartesian) ----------
+def _q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # deliberate cartesian of two tiny dims — the one place a cross product
+    # is the right plan (5 x 25 rows); fact-side cross joins stay banned by
+    # the plan guards
+    return (
+        t["region"]
+        .crossJoin(t["nation"])
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q_CROSS_JOIN_SQL = """
+SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+"""
+
+
+# --- regexp_extract_all: all matches per row as a joined list --------------
+def _q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit(r"[a-z]{5,}"), 0), ","
+        ).alias("long_words"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[a-z]{5,}"), 0)).alias(
+            "n_long_words"
+        ),
+    ).orderBy("p_partkey")
+
+
+# COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+_Q_REGEXP_ALL_SQL = """
+SELECT p_partkey,
+       COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), ','), '') AS long_words,
+       CAST(len(regexp_extract_all(p_name, '[a-z]{5,}')) AS INT) AS n_long_words
+FROM part
+ORDER BY p_partkey
+"""
+
+
 # --- array/string aggregation (deterministic: sorted before joining) -------
 def _q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -349,4 +398,6 @@ RELATIONAL3_QUERIES: list[QuerySpec] = [
     QuerySpec("q_null_funcs", "null-handling belt (coalesce/nullif/nvl2)", _q_null_funcs, _Q_NULL_FUNCS_SQL),
     QuerySpec("q_bit_ops", "bitwise operation belt", _q_bit_ops, _Q_BIT_OPS_SQL),
     QuerySpec("q_collect", "deterministic collect_set/collect_list aggregation", _q_collect, _Q_COLLECT_SQL),
+    QuerySpec("q_cross_join", "explicit small-dim cross join", _q_cross_join, _Q_CROSS_JOIN_SQL),
+    QuerySpec("q_regexp_all", "regexp_extract_all per-row match lists", _q_regexp_all, _Q_REGEXP_ALL_SQL),
 ]
