@@ -1,0 +1,75 @@
+"""Table maintenance: compaction and clustered layout.
+
+The reference writes one parquet "file" per crawl batch under overwrite
+mode (``app/sliver.py:167-173``) — the classic small-file accumulation that
+degrades scan planning at scale (SURVEY.md §4 "small-file problem"). With a
+transactional format this is ``OPTIMIZE``; on plain parquet the engine
+provides:
+
+* :func:`compact_table` — rewrite a table (or a partition subset) into
+  size-targeted files.
+* :func:`clustered_write` — range-partition + sort-within-partitions on the
+  clustering keys before writing, so parquet row-group min/max statistics
+  become selective and scans skip files that can't match (a poor man's
+  Z-ORDER for the 1-key case).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_col: str | None = None,
+    partitions: list | None = None,
+) -> int:
+    """Rewrite ``path`` into ~``target_file_mb`` files. Returns the file
+    count written. When ``partition_col``+``partitions`` are given, only
+    those partitions are rewritten (everything else untouched) — compaction
+    at 100 TB must never be a full-table rewrite.
+    """
+    import glob
+    import os
+
+    df = spark.read.parquet(path)
+    if partition_col and partitions is not None:
+        df = df.filter(F.col(partition_col).isin(partitions))
+    size_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    out = df.coalesce(n_files)
+    # write to a temp sibling then swap — keeps readers from seeing a
+    # half-compacted table (a transactional format makes this atomic)
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def clustered_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition on the cluster keys and sort within each file so
+    row-group min/max stats are disjoint -> effective data skipping for
+    predicates on ``cluster_cols``."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
