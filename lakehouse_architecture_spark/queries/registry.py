@@ -12,6 +12,7 @@ from lakehouse_architecture_spark.queries.relational import RELATIONAL_QUERIES
 from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
 from lakehouse_architecture_spark.queries.relational3 import RELATIONAL3_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
+from lakehouse_architecture_spark.queries.timeseries import TIMESERIES_QUERIES
 
 ALL_QUERIES: dict[str, QuerySpec] = {
     spec.name: spec
@@ -21,6 +22,7 @@ ALL_QUERIES: dict[str, QuerySpec] = {
         *RELATIONAL3_QUERIES,
         *EVENTS_QUERIES,
         *TEXTOPS_QUERIES,
+        *TIMESERIES_QUERIES,
     )
 }
 

@@ -1,0 +1,146 @@
+"""Time-series queries: gap-fill + forward-fill, and exact second-moment
+statistics (correlation/covariance from decimal-exact sums).
+
+Gap-fill is the canonical time-series operator Spark lacks as a built-in:
+materialize a complete per-key time grid, left-join the observed points,
+and forward-fill with ``last(..., ignorenulls)`` over an ordered window —
+one grid explode + one shuffle per key. (TimescaleDB's time_bucket_gapfill /
+locf shape, rebuilt on DataFrame ops.)
+
+corr/covar: engine-native ``corr()`` implementations use different
+incremental formulas in different engines (last-ulp divergence), so the
+oracle-checked version computes Pearson r from decimal-exact component sums
+(n, Σx, Σy, Σxy, Σx², Σy²) — identical algebra on both sides, bit-stable
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
+from lakehouse_architecture_spark.queries.base import QuerySpec, tables
+
+
+# --- gap-fill: hourly per-user grid over day 1, forward-filled -------------
+def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    ev = t["events"].filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+        & (F.col("user_id") <= 20)
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(dsum("value", "hour_value"))
+    # complete per-user grid: every user x every hour of the day
+    users = hourly.select("user_id").distinct()
+    grid = users.crossJoin(
+        spark.range(24).select(
+            (F.lit("2024-01-01").cast("timestamp") + F.make_interval(hours=F.col("id"))).alias("hour")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("hour_value").isNotNull().alias("observed"),
+            F.round(
+                F.coalesce(F.last("hour_value", ignorenulls=True).over(w), F.lit(0.0)),
+                6,
+            ).alias("filled_value"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+_Q_GAPFILL_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+    AND user_id <= 20
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         {dsum_sql('value')} AS hour_value
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, TIMESTAMP '2024-01-01' + h.h * INTERVAL 1 HOUR AS hour
+  FROM (SELECT DISTINCT user_id FROM hourly) u,
+       (SELECT unnest(generate_series(0, 23)) AS h) h
+)
+SELECT g.user_id,
+       strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       hourly.hour_value IS NOT NULL AS observed,
+       ROUND(COALESCE(
+         LAST_VALUE(hourly.hour_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS filled_value
+FROM grid g
+LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.hour = g.hour
+ORDER BY g.user_id, g.hour
+"""
+
+
+# --- exact Pearson correlation / covariance from decimal sums --------------
+def _q_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * y, "sxy"),
+        dsum(x * x, "sxx"),
+        dsum(y * y, "syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+_Q_EXACT_CORR_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 4)
+         AS covar_qty_price,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+TIMESERIES_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_gapfill", "time-grid gap-fill with forward fill (locf)", _q_gapfill, _Q_GAPFILL_SQL),
+    QuerySpec("q_exact_corr", "Pearson corr/covar from decimal-exact sums", _q_exact_corr, _Q_EXACT_CORR_SQL),
+]
