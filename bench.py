@@ -43,6 +43,8 @@ HEADLINE = [
     "q18_large_orders",
     "q_analytic_windows",
     "q_array_funcs",
+    "q_gapfill",
+    "q_grouped_pandas",
 ]
 
 
