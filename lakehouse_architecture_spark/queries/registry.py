@@ -11,6 +11,7 @@ from lakehouse_architecture_spark.queries.events import EVENTS_QUERIES
 from lakehouse_architecture_spark.queries.relational import RELATIONAL_QUERIES
 from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
 from lakehouse_architecture_spark.queries.relational3 import RELATIONAL3_QUERIES
+from lakehouse_architecture_spark.queries.relational4 import RELATIONAL4_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
 from lakehouse_architecture_spark.queries.timeseries import TIMESERIES_QUERIES
 
@@ -20,6 +21,7 @@ ALL_QUERIES: dict[str, QuerySpec] = {
         *RELATIONAL_QUERIES,
         *RELATIONAL2_QUERIES,
         *RELATIONAL3_QUERIES,
+        *RELATIONAL4_QUERIES,
         *EVENTS_QUERIES,
         *TEXTOPS_QUERIES,
         *TIMESERIES_QUERIES,
