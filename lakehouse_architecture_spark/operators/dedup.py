@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.hashing import md5_hash64, minhash_perm
+from lakehouse_architecture_spark.operators.partitioning import spread_by_id
 
 
 def exact_duplicates(
@@ -59,6 +60,8 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> Data
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
+    # restore parallelism before the explode (partitioning.py rationale)
+    df = spread_by_id(df, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
@@ -196,7 +199,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     shuffle carries one row per token, not ``bits`` rows per token).
     """
     toks = (
-        df.select(
+        spread_by_id(df, id_col)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))

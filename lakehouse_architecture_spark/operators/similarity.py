@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.hashing import md5_hash64
+from lakehouse_architecture_spark.operators.partitioning import spread
 from lakehouse_architecture_spark.operators.relational import top_k_per_group
 
 
@@ -68,7 +69,9 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    # spread the corpus so the dot-product scan parallelizes even when the
+    # input collapses to few partitions (partitioning.py rationale)
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -127,6 +130,8 @@ def lsh_bucket_pairs(
     signature (bucket) key — sub-quadratic vs the full cross join.
     """
     hp = hyperplane(dim, planes)
+    # planes×dim multiply-adds per row: spread before the signature scan
+    df = spread(df)
     sigd = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -170,7 +175,7 @@ def ivf_knn(
     )
 
     def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        scored = spread(df).crossJoin(F.broadcast(cents)).withColumn(
             "ccos", F.round(cosine(F.col(vc), F.col("cvec")), 6)
         )
         best = top_k_per_group(
