@@ -62,6 +62,137 @@ def decode_binary_meta(df: DataFrame, payload_col: str) -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    frame_bytes: int = 64,
+    every_k: int = 2,
+) -> DataFrame:
+    """Video-style frame sampling: one output row per sampled frame.
+
+    Treats the payload as a sequence of fixed-size ``frame_bytes`` frames
+    and keeps every ``every_k``-th one — the row-EXPANDING mapInPandas
+    shape (1 blob → N frames) a real video pipeline uses, with the frame
+    payload replaced by deterministic byte stats so the op is
+    oracle-checkable. Output: passthrough + frame_index/frame_offset/
+    frame_len/frame_head. Partition-parallel; the payload never crosses a
+    shuffle (stats are computed in the same task that read the blob).
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["frame_index int, frame_offset bigint, frame_len int, frame_head int"]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                blob = rec[payload_col] or b""
+                base = {c: rec[c] for c in passthrough}
+                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_k):
+                    off = fi * frame_bytes
+                    chunk = blob[off : off + frame_bytes]
+                    rows.append(
+                        {
+                            **base,
+                            "frame_index": fi,
+                            "frame_offset": off,
+                            "frame_len": len(chunk),
+                            "frame_head": chunk[0],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=passthrough
+                + ["frame_index", "frame_offset", "frame_len", "frame_head"],
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_image_fake(
+    df: DataFrame, payload_col: str, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Image-resize plumbing with a deterministic fake decoder.
+
+    The "decode" derives source dimensions from the bytes (head/tail mod
+    64 + 1) instead of parsing a real codec — clearly marked; swap
+    ``_fake_decode`` for PIL in deployment. Everything around it is the
+    real resize job shape: schema contract, Arrow batches, per-row scale
+    factors, payload pruned from the output.
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["src_w int, src_h int, out_w int, out_h int, scale_x double, scale_y double"]
+    )
+
+    def _fake_decode(blob: bytes) -> tuple[int, int]:
+        # FAKE decoder (no codec in this environment): dims from byte stats.
+        return 1 + blob[0] % 64, 1 + blob[-1] % 64
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for blob in pdf[payload_col]:
+                if not blob:
+                    rows.append((None, None, None, None, None, None))
+                    continue
+                w, h = _fake_decode(blob)
+                rows.append(
+                    (w, h, target_w, target_h,
+                     round(target_w / w, 6), round(target_h / h, 6))
+                )
+            meta = pd.DataFrame(
+                rows, columns=["src_w", "src_h", "out_w", "out_h", "scale_x", "scale_y"]
+            )
+            out = pdf[passthrough].reset_index(drop=True)
+            yield pd.concat([out, meta], axis=1)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def audio_features_fake(
+    df: DataFrame, payload_col: str, n_windows: int = 8
+) -> DataFrame:
+    """Audio feature-extract plumbing: fixed-length per-window feature
+    vector (``array<double>``) per blob.
+
+    The feature is a deterministic fake — mean byte value per one of
+    ``n_windows`` equal windows (a real job computes RMS energy / MFCCs
+    over PCM samples; swap ``_window_energy``). The Spark-side contract is
+    the real one: array column output, batch iterator, payload pruned.
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["features array<double>"]
+    )
+
+    def _window_energy(blob: bytes) -> list[float]:
+        # FAKE feature (no audio codec here): mean byte value per window.
+        if not blob:
+            return [0.0] * n_windows
+        w = max(1, len(blob) // n_windows)
+        feats = []
+        for i in range(n_windows):
+            chunk = blob[i * w : (i + 1) * w] if i < n_windows - 1 else blob[i * w :]
+            feats.append(round(sum(chunk) / len(chunk), 6) if chunk else 0.0)
+        return feats
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[passthrough].copy()
+            out["features"] = pdf[payload_col].map(
+                lambda b: _window_energy(b) if b is not None else None
+            )
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def decode_image_stub(df: DataFrame, payload_col: str) -> DataFrame:
     """Image-decode plumbing with the decoder stubbed out.
 

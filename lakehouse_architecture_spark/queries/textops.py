@@ -22,7 +22,10 @@ from lakehouse_architecture_spark.operators.dedup import (
 )
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
 from lakehouse_architecture_spark.operators.pandas_ops import grouped_rank
-from lakehouse_architecture_spark.operators.multimodal import decode_binary_meta
+from lakehouse_architecture_spark.operators.multimodal import (
+    decode_binary_meta,
+    sample_frames,
+)
 from lakehouse_architecture_spark.operators.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
@@ -424,6 +427,30 @@ ORDER BY doc_id
 """
 
 
+# --- multimodal: video-style frame sampling (row-expanding mapInPandas) ---
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    binary_df = t["documents"].select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        sample_frames(binary_df, "payload", frame_bytes=64, every_k=2)
+        .orderBy("doc_id", "frame_index")
+    )
+
+
+_Q_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_index,
+       CAST(fi * 64 AS BIGINT) AS frame_offset,
+       CAST(LEAST(64, length(text) - fi * 64) AS INT) AS frame_len,
+       CAST(ord(substr(text, fi * 64 + 1, 1)) AS INT) AS frame_head
+FROM documents,
+     UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS t(fi)
+ORDER BY doc_id, frame_index
+"""
+
+
 # --- dedup: connected components over near-dup pairs ----------------------
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -571,4 +598,5 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_text_quality", "heuristic quality scoring", _q_quality, _Q_QUALITY_SQL),
     QuerySpec("q_language_id", "stopword-marker language ID", _q_langid, _langid_sql()),
     QuerySpec("q_multimodal_meta", "binary payload metadata via mapInPandas", _q_multimodal, _Q_MULTIMODAL_SQL),
+    QuerySpec("q_frame_sample", "row-expanding frame sampling over binary payloads", _q_frame_sample, _Q_FRAME_SAMPLE_SQL),
 ]

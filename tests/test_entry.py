@@ -28,6 +28,42 @@ def test_queries_and_oracles_aligned():
     assert set(qs) - set(oracles) == {"q_approx_aggs"}
 
 
+def test_multimodal_frame_sampling(spark):
+    from lakehouse_architecture_spark.operators.multimodal import sample_frames
+
+    # 150 bytes -> frames of 64 at offsets 0/64/128; every_k=2 keeps 0 and 128
+    blob = bytes(range(100)) + bytes(50)
+    df = spark.createDataFrame([(1, blob), (2, b"")], "id int, payload binary")
+    rows = sorted(
+        sample_frames(df, "payload", frame_bytes=64, every_k=2).collect(),
+        key=lambda r: (r["id"], r["frame_index"]),
+    )
+    assert [(r["id"], r["frame_index"], r["frame_offset"], r["frame_len"]) for r in rows] == [
+        (1, 0, 0, 64),
+        (1, 2, 128, 22),
+    ]
+    assert rows[0]["frame_head"] == 0 and rows[1]["frame_head"] == 0
+
+
+def test_multimodal_resize_and_audio_features(spark):
+    from lakehouse_architecture_spark.operators.multimodal import (
+        audio_features_fake,
+        resize_image_fake,
+    )
+
+    df = spark.createDataFrame([(1, bytes([10, 1, 2, 3, 20]))], "id int, payload binary")
+    r = resize_image_fake(df, "payload", target_w=32, target_h=16).collect()[0]
+    assert (r["src_w"], r["src_h"]) == (11, 21)  # 1 + head%64, 1 + tail%64
+    assert (r["out_w"], r["out_h"]) == (32, 16)
+    assert r["scale_x"] == round(32 / 11, 6)
+
+    a = audio_features_fake(df, "payload", n_windows=2).collect()[0]
+    assert len(a["features"]) == 2
+    # windows of 2 bytes, tail window absorbs the remainder: [10,1], [2,3,20]
+    assert a["features"][0] == 5.5
+    assert a["features"][1] == round(25 / 3, 6)
+
+
 def test_multimodal_stub_plumbing(spark):
     from lakehouse_architecture_spark.operators.multimodal import decode_image_stub
     from pyspark.sql import functions as F
