@@ -55,3 +55,31 @@ def test_lsh_pairs_equi_join_on_signature(spark):
 def test_dedup_queries_scale_shapes(spark):
     for name in ("q_minhash_lsh", "q_ngram_jaccard", "q_fingerprint_groups"):
         assert_no_cartesian(_q(spark, name))
+
+
+def test_tpch_tail_queries_broadcast_dims(spark):
+    # relational4: dimension sides must broadcast, no nested loops leak in
+    for name in (
+        "q08_market_share",
+        "q09_product_profit",
+        "q16_supplier_cnt",
+        "q20_heavy_suppliers",
+    ):
+        df = _q(spark, name)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+
+
+def test_q21_self_joins_are_hash_joins(spark):
+    # three lineitem roles -> semi/anti hash joins, never a nested loop
+    plan = formatted_plan(_q(spark, "q21_sole_late"))
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in Q21 plan"
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    # the 1-row threshold side must broadcast; the cross join is 1-row so
+    # a BroadcastNestedLoopJoin over it is fine, a CartesianProduct is not
+    plan = formatted_plan(_q(spark, "q11_important_parts"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
