@@ -137,3 +137,50 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     t = F.col(text_col)
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(t), r"[^\w\s]", ""), _WS, " "))
     return df.withColumn(out_col, md5_hash64(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash + window min).
+
+    The MOSS algorithm (Schleimer, Wilkerson, Aiken 2003): hash every
+    character k-gram, slide a window of ``w`` consecutive k-gram positions,
+    select each window's minimum hash; a document's fingerprint set is the
+    distinct selected hashes. Any shared substring of length ≥ k + w - 1
+    between two documents guarantees a shared fingerprint — the local,
+    partial-overlap-robust complement to whole-document hashes.
+
+    Pure Catalyst higher-order functions (transform/slice/array_min) — the
+    O(len·w) per-row work is a narrow map, parallelized by spread_by_id.
+    Returns distinct (id, fp) pairs; documents shorter than k + w - 1
+    produce no rows. Oracle-portable: hashes are md5-derived
+    (functions/hashing.py).
+    """
+    from lakehouse_architecture_spark.operators.partitioning import spread_by_id
+
+    t = F.col(text_col)
+    n_grams = F.length(t) - k + 1
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: md5_hash64(t.substr(i, F.lit(k))),
+    )
+    # window count re-derived from the hash array (text is dropped by then)
+    n_windows = F.size(F.col("__gh")) - w + 1
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("__gh"), j, w)),
+        )
+    )
+    return (
+        spread_by_id(df, id_col)
+        # sequence(1, n) with n < 1 counts DOWN — guard short docs first
+        .filter(F.length(t) >= k + w - 1)
+        .select(F.col(id_col).alias("id"), gram_hashes.alias("__gh"))
+        .select("id", F.explode(fps).alias("fp"))
+    )

@@ -33,6 +33,7 @@ from lakehouse_architecture_spark.operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    winnow_fingerprints,
 )
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
@@ -427,6 +428,45 @@ ORDER BY doc_id
 """
 
 
+# --- fingerprinting: winnowing (rolling k-gram hash + window min) ---------
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    fp = winnow_fingerprints(t["documents"], "doc_id", "text", k=8, w=4)
+    return (
+        fp.groupBy("id")
+        .agg(
+            F.countDistinct("fp").alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_fps", "min_fp", "max_fp")
+        .orderBy("doc_id")
+    )
+
+
+_Q_WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - 8 + 2),
+           i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS gh
+  FROM documents
+  WHERE length(text) >= 11
+), f AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(gh) - 4 + 2),
+           j -> list_min(gh[j:j + 3]))) AS fp
+  FROM g
+)
+SELECT doc_id,
+       COUNT(DISTINCT fp) AS n_fps,
+       MIN(fp) AS min_fp,
+       MAX(fp) AS max_fp
+FROM f
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --- multimodal: video-style frame sampling (row-expanding mapInPandas) ---
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -599,4 +639,5 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_language_id", "stopword-marker language ID", _q_langid, _langid_sql()),
     QuerySpec("q_multimodal_meta", "binary payload metadata via mapInPandas", _q_multimodal, _Q_MULTIMODAL_SQL),
     QuerySpec("q_frame_sample", "row-expanding frame sampling over binary payloads", _q_frame_sample, _Q_FRAME_SAMPLE_SQL),
+    QuerySpec("q_winnow_fingerprint", "winnowing rolling-hash fingerprints (MOSS)", _q_winnow, _Q_WINNOW_SQL),
 ]

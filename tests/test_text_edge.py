@@ -62,3 +62,29 @@ def test_shingles_and_simhash_short_docs(spark):
     assert {(r["id"], r["shingle"]) for r in sh} == {(1, "a b")}  # shorter-than-n doc
     sims = simhash(df, "doc_id", "text")
     assert {r["id"] for r in sims.collect()} == {1}  # empty doc has no tokens
+
+
+def test_winnow_guarantee_and_short_doc(spark):
+    from lakehouse_architecture_spark.operators.text import winnow_fingerprints
+
+    shared = "zqxjkvbwp_COMMON_RUN_zzqqxxjj"  # len 29 >= k+w-1
+    df = spark.createDataFrame(
+        [
+            (1, "aaa " + shared + " bbb"),
+            (2, "ccc ddd " + shared),
+            (3, "unrelated totally different text here"),
+            (4, "tiny"),  # < k+w-1: must produce no rows, not a crash
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, w=4)
+    by_doc = {
+        r["id"]: set(x["fp"] for x in rows)
+        for r in fps.select("id").distinct().collect()
+        for rows in [fps.filter(fps.id == r["id"]).collect()]
+    }
+    # winnowing guarantee: a shared substring of length >= k+w-1 shares a fp
+    assert by_doc[1] & by_doc[2]
+    assert 4 not in by_doc
+    # fingerprints are not all shared with the unrelated doc
+    assert not (by_doc[1] & by_doc[3])
