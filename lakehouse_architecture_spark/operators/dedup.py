@@ -79,15 +79,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with word-n-gram Jaccard ≥ threshold.
 
     Inverted-index join: pairs are generated only for documents sharing at
     least one shingle, then |A∩B| is a count per pair and |A∪B| = |A|+|B|−∩.
-    Shuffles: one on shingle (the index join), one on the pair key. Hot
-    shingles (stopword runs) can skew the index join — at production scale
-    drop shingles with document frequency above a cap first (cheap extra
-    aggregate); the semantics here keep all shingles so the oracle matches.
+    Shuffles: one on shingle (the index join), one on the pair key.
+
+    ``max_df`` is the production-scale skew guard: a shingle appearing in d
+    documents contributes d·(d−1)/2 candidate pairs, so one stopword-run
+    shingle shared by 1M docs would emit 5·10¹¹ rows into the pair shuffle.
+    With ``max_df`` set, shingles whose document frequency exceeds it are
+    dropped from the *index* before the self-join (one cheap extra
+    aggregate, broadcast anti-join). Per-document sizes still count all
+    shingles but dropped shingles no longer count toward intersections, so
+    the reported Jaccard is a LOWER BOUND — conservative for dedup: pairs
+    similar only through ubiquitous shingles (boilerplate) stop qualifying,
+    which is usually the desired behavior. Default ``None`` keeps every
+    shingle (exact semantics, oracle-matched).
     """
     # join on the 60-bit shingle hash, not the string: same result (the
     # oracle hashes identically, so even a collision is mirrored) and a far
@@ -98,8 +108,17 @@ def ngram_jaccard_pairs(
         .cache()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    indexed = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        indexed = sh.join(F.broadcast(hot), "h", "left_anti")
+    a = indexed.alias("a")
+    b = indexed.alias("b")
     inter = (
         a.join(b, on="h")
         .filter(F.col("a.id") < F.col("b.id"))

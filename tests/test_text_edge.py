@@ -88,3 +88,27 @@ def test_winnow_guarantee_and_short_doc(spark):
     assert 4 not in by_doc
     # fingerprints are not all shared with the unrelated doc
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate_pairs(spark):
+    from lakehouse_architecture_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "standard legal footer applies to every document here"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa " + boiler),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa " + boiler),  # near-dup of 1
+            (3, "one two three four five " + boiler),  # shares only boilerplate
+            (4, "six seven eight nine ten " + boiler),
+        ],
+        "doc_id int, text string",
+    )
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3)
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_df=3)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # boilerplate-only pairs qualify without the cap, vanish with it
+    assert (3, 4) in exact_pairs
+    assert (3, 4) not in capped_pairs
+    # the genuine near-dup survives the cap
+    assert (1, 2) in capped_pairs
