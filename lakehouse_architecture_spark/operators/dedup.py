@@ -246,3 +246,59 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         F.lit(0).cast("bigint"),
     )
     return bit_sums.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, banded for scale.
+
+    Pigeonhole guarantee: two fingerprints within hamming distance
+    ``max_hamming < bands`` must agree exactly on at least one of the
+    ``bands`` disjoint bit bands, so candidates are generated by an
+    equi-join on (band, band_bits) — the same sub-quadratic shuffle shape
+    as MinHash LSH — and only candidates pay the exact ``bit_count(xor)``
+    check. Returns (id_a < id_b, hamming).
+    """
+    r = bits // bands
+    mask = (1 << r) - 1
+    sig = simhash(df, id_col, text_col, bits)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * r)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select(
+        "id", "simhash", F.explode(band_arr).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()  # a pair sharing several bands must count once
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

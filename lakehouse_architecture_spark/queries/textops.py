@@ -19,6 +19,7 @@ from lakehouse_architecture_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
 from lakehouse_architecture_spark.operators.pandas_ops import grouped_rank
@@ -428,6 +429,48 @@ ORDER BY doc_id
 """
 
 
+# --- dedup: SimHash banded hamming near-dup pairs -------------------------
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return simhash_neardup_pairs(
+        t["documents"], "doc_id", "text", bits=60, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+_Q_SIMHASH_NEARDUP_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {_HASH64.format(expr='tok')} AS h FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id AS id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY doc_id
+),
+band AS (
+  SELECT id, sh, b.b AS band, (sh >> CAST(b.b * 15 AS INT)) & 32767 AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS ha, b.sh AS hb
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 # --- fingerprinting: winnowing (rolling k-gram hash + window min) ---------
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -640,4 +683,5 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_multimodal_meta", "binary payload metadata via mapInPandas", _q_multimodal, _Q_MULTIMODAL_SQL),
     QuerySpec("q_frame_sample", "row-expanding frame sampling over binary payloads", _q_frame_sample, _Q_FRAME_SAMPLE_SQL),
     QuerySpec("q_winnow_fingerprint", "winnowing rolling-hash fingerprints (MOSS)", _q_winnow, _Q_WINNOW_SQL),
+    QuerySpec("q_simhash_neardup", "banded SimHash hamming near-dup pairs", _q_simhash_neardup, _Q_SIMHASH_NEARDUP_SQL),
 ]
