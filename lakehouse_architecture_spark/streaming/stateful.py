@@ -79,3 +79,69 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         )
         .withColumn("flushed", F.lit("batch"))
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful API) ---------------------
+
+try:  # Spark 4.x only, and its state-server protocol needs protobuf;
+    # import-gated so Spark 3.5 / protobuf-less deployments still load
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopKProcessor(StatefulProcessor):
+        """Keeps the k largest values per key across micro-batches.
+
+        ListState-free formulation: the running top-k (bounded, tiny) lives
+        in a single ValueState array — O(k) state per key, no unbounded
+        growth, no timer needed. The new-API upgrade of the
+        applyInPandasWithState pattern above.
+        """
+
+        def __init__(self, k: int) -> None:
+            self.k = k
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("topk", "vals array<double>")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = list(self.state.get()[0]) if self.state.exists() else []
+            for pdf in rows:
+                cur.extend(float(v) for v in pdf["value"])
+            cur = sorted(cur, reverse=True)[: self.k]
+            self.state.update((cur,))
+            yield pd.DataFrame({"user_id": [key[0]], "topk": [cur]})
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False
+
+
+def streaming_top_k(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user k largest ``value``s.
+
+    Streaming: transformWithStateInPandas (Spark 4 stateful API, RocksDB
+    state store) with O(k) ValueState per key. Batch: the equivalent
+    sort_array/slice aggregate for parity tests.
+    """
+    if events.isStreaming:
+        if not HAS_TWS:
+            raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_TopKProcessor(k),
+            outputStructType="user_id bigint, topk array<double>",
+            outputMode="Update",
+            timeMode="None",
+        )
+    return events.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.col("value").cast("double")), asc=False),
+            1,
+            k,
+        ).alias("topk")
+    )

@@ -95,3 +95,59 @@ def test_stateful_running_totals_streaming(spark, tmp_path):
         for r in running_user_totals(batch).collect()
     }
     assert brows == rows
+
+
+def test_streaming_top_k_transform_with_state(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from lakehouse_architecture_spark.streaming.stateful import HAS_TWS, streaming_top_k
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "tksrc")
+    spark.createDataFrame(
+        [(1, 1, 2.0), (2, 1, 9.0), (3, 1, 5.0), (4, 1, 7.0), (5, 2, 1.0)], schema
+    ).write.parquet(src)
+
+    # batch-mode semantics always work; assert them first
+    batch = spark.read.parquet(src)
+    brows = {r["user_id"]: list(r["topk"]) for r in streaming_top_k(batch, k=3).collect()}
+    assert brows == {1: [9.0, 7.0, 5.0], 2: [1.0]}
+
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas needs protobuf (not in this env)")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_top_k(stream, k=3)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("topk_out")
+            .option("checkpointLocation", str(tmp_path / "tkckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r["user_id"]: list(r["topk"])
+            for r in spark.sql("SELECT * FROM topk_out").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert rows == brows == {1: [9.0, 7.0, 5.0], 2: [1.0]}
