@@ -1,0 +1,88 @@
+"""Training-data curation operators: deterministic sampling and budgeting.
+
+Two ops every large-scale corpus pipeline needs between "dedup" and
+"train":
+
+* :func:`stratified_hash_sample` — per-stratum downsampling (class
+  rebalancing) that is a pure narrow map: the keep/drop decision is a
+  deterministic function of the row's id hash, so it needs no shuffle, no
+  count pre-pass, no RNG state, and re-runs reproduce the same sample on
+  any engine or cluster layout (unlike ``df.sample``/``sampleBy``, whose
+  output depends on partitioning).
+* :func:`pack_token_budget` — select the best documents per group until a
+  token budget fills: one window cumsum per group (single shuffle on the
+  group key), the distributed form of "sort by quality, take until N
+  tokens". Groups are independent, so skew is bounded by the largest
+  group; at corpus scale the group key is usually language or domain
+  (dozens of values) — if one group dominates, pre-split it with a salt
+  on a secondary key and merge budgets.
+
+Both are md5-deterministic (functions/hashing.py) and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+#: Resolution of the sampling decision: hash mod 1e6 compared to
+#: fraction * 1e6 — ~1e-6 granularity, identical in any engine.
+_MOD = 1_000_000
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff
+    ``md5_hash64(id) % 1e6 < fraction(stratum) * 1e6``.
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed use
+    ``default_fraction``. The decision depends only on the row id, so the
+    sample is stable under re-partitioning, retries, and engine changes —
+    the property that matters when a 100 TB sampling job restarts.
+    """
+    frac = None
+    for value, f in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
+    frac = (
+        frac.otherwise(F.lit(default_fraction))
+        if frac is not None
+        else F.lit(default_fraction)
+    )
+    ticket = md5_hash64(F.col(id_col).cast("string")) % _MOD
+    return df.filter(ticket < (frac * _MOD).cast("bigint"))
+
+
+def pack_token_budget(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    quality_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group greedy budget packing: order by quality (best first, id as
+    the total-order tiebreak), keep rows while the running token total —
+    including the current row — stays within ``budget``.
+
+    One shuffle (window partition on the group). A document larger than
+    the remaining budget is skipped only if it is the FIRST overflow; the
+    simple prefix rule keeps the op a single window pass, which is the
+    standard corpus-curation formulation.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("running_tokens", F.sum(token_col).over(w))
+        .filter(F.col("running_tokens") <= budget)
+    )

@@ -21,6 +21,10 @@ from lakehouse_architecture_spark.operators.dedup import (
     simhash,
     simhash_neardup_pairs,
 )
+from lakehouse_architecture_spark.operators.curation import (
+    pack_token_budget,
+    stratified_hash_sample,
+)
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
 from lakehouse_architecture_spark.operators.pandas_ops import grouped_rank
 from lakehouse_architecture_spark.operators.multimodal import (
@@ -429,6 +433,53 @@ ORDER BY doc_id
 """
 
 
+# --- curation: deterministic stratified sampling --------------------------
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # binary-exact fractions so fraction*1e6 is an exact integer in double
+    # arithmetic on both engines (truncation == rounding)
+    return stratified_hash_sample(
+        t["documents"], "lang", "doc_id", {"en": 0.5, "de": 0.25}, default_fraction=0.125
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+_Q_STRATIFIED_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+      < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.125 END)
+             * 1000000 AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+# --- curation: per-group token-budget packing ------------------------------
+def _q_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return pack_token_budget(
+        t["documents"].select("doc_id", "lang", "n_chars"),
+        group_col="lang",
+        token_col="n_chars",
+        quality_col="n_chars",
+        id_col="doc_id",
+        budget=20000,
+    ).select("doc_id", "lang", "running_tokens").orderBy("lang", "doc_id")
+
+
+_Q_PACK_BUDGET_SQL = """
+SELECT doc_id, lang, CAST(running_tokens AS BIGINT) AS running_tokens
+FROM (
+  SELECT doc_id, lang,
+         SUM(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+  FROM documents)
+WHERE running_tokens <= 20000
+ORDER BY lang, doc_id
+"""
+
+
 # --- dedup: SimHash banded hamming near-dup pairs -------------------------
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -684,4 +735,6 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_frame_sample", "row-expanding frame sampling over binary payloads", _q_frame_sample, _Q_FRAME_SAMPLE_SQL),
     QuerySpec("q_winnow_fingerprint", "winnowing rolling-hash fingerprints (MOSS)", _q_winnow, _Q_WINNOW_SQL),
     QuerySpec("q_simhash_neardup", "banded SimHash hamming near-dup pairs", _q_simhash_neardup, _Q_SIMHASH_NEARDUP_SQL),
+    QuerySpec("q_stratified_sample", "deterministic per-stratum hash sampling", _q_stratified_sample, _Q_STRATIFIED_SQL),
+    QuerySpec("q_pack_budget", "per-group greedy token-budget packing", _q_pack_budget, _Q_PACK_BUDGET_SQL),
 ]

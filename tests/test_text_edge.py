@@ -112,3 +112,30 @@ def test_ngram_jaccard_max_df_drops_boilerplate_pairs(spark):
     assert (3, 4) not in capped_pairs
     # the genuine near-dup survives the cap
     assert (1, 2) in capped_pairs
+
+
+def test_stratified_sample_deterministic_under_repartition(spark):
+    from lakehouse_architecture_spark.operators.curation import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], "doc_id long, lang string"
+    )
+    pick = lambda d: {r["doc_id"] for r in stratified_hash_sample(
+        d, "lang", "doc_id", {"en": 0.5}, default_fraction=0.25).collect()}
+    s1 = pick(df)
+    s2 = pick(df.repartition(7))  # layout must not change the sample
+    assert s1 == s2 and 0 < len(s1) < 300
+
+
+def test_pack_token_budget_boundary(spark):
+    from lakehouse_architecture_spark.operators.curation import pack_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "en", 60, 9.0), (2, "en", 30, 8.0), (3, "en", 30, 7.0), (4, "de", 200, 1.0)],
+        "doc_id long, lang string, n_tok long, q double",
+    )
+    kept = pack_token_budget(df, "lang", "n_tok", "q", "doc_id", budget=100)
+    rows = {r["doc_id"]: r["running_tokens"] for r in kept.collect()}
+    # en: 60 (q9) + 30 (q8) = 90 fits; doc 3 would reach 120 > 100 -> dropped
+    # de: single 200-token doc exceeds the budget outright
+    assert rows == {1: 60, 2: 90}
