@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
+from lakehouse_architecture_spark.operators.timeseries import time_rollup
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
 
@@ -140,7 +141,29 @@ ORDER BY l_returnflag
 """
 
 
+# --- hypertable-style multi-granularity rollup (GROUPING SETS, one pass) --
+def _q_time_rollup(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return time_rollup(t["events"], "ts", "value").orderBy("granularity", "bucket")
+
+
+_Q_TIME_ROLLUP_SQL = f"""
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            ELSE 'week' END AS granularity,
+       strftime(COALESCE(h, d, w), '%Y-%m-%d %H:%M:%S') AS bucket,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('week', ts) AS w, value
+      FROM events)
+GROUP BY GROUPING SETS ((h), (d), (w))
+ORDER BY granularity, bucket
+"""
+
+
 TIMESERIES_QUERIES: list[QuerySpec] = [
     QuerySpec("q_gapfill", "time-grid gap-fill with forward fill (locf)", _q_gapfill, _Q_GAPFILL_SQL),
     QuerySpec("q_exact_corr", "Pearson corr/covar from decimal-exact sums", _q_exact_corr, _Q_EXACT_CORR_SQL),
+    QuerySpec("q_time_rollup", "multi-granularity rollup in one grouping-sets pass", _q_time_rollup, _Q_TIME_ROLLUP_SQL),
 ]

@@ -83,3 +83,12 @@ def test_q11_threshold_is_broadcast_scalar(spark):
     plan = formatted_plan(_q(spark, "q11_important_parts"))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_time_rollup_single_scan(spark):
+    # grouping-sets rollup: ONE scan + Expand + aggregate, not one job per
+    # granularity — at 100 TB this is 1 pass instead of 3
+    plan = formatted_plan(_q(spark, "q_time_rollup"))
+    assert "Expand" in plan
+    # one file index = one scan ("Scan parquet" shows twice: tree + detail)
+    assert plan.count("InMemoryFileIndex") == 1
