@@ -495,3 +495,56 @@ RELATIONAL4_QUERIES: list[QuerySpec] = [
     QuerySpec("q20_heavy_suppliers", "nested IN + grouped HAVING semi-join chain (Q20 shape)", _q20, _Q20_SQL),
     QuerySpec("q21_sole_late", "exists + not-exists self-join roles (Q21 shape)", _q21, _Q21_SQL),
 ]
+
+
+# --- count-min sketch frequency estimates (portable-hash sketch) ----------
+def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    t = tables(spark, sf_dir)
+    sketch = count_min_sketch(t["lineitem"], "l_partkey", depth=3, width=256)
+    keys = spark.range(1, 11).select(F.col("id").alias("l_partkey"))
+    return (
+        cms_estimate(sketch, keys, "l_partkey", depth=3, width=256)
+        .orderBy("key")
+    )
+
+
+def _cms_sql() -> str:
+    from lakehouse_architecture_spark.functions.hashing import (
+        md5_hash64_sql,
+        minhash_perm_sql,
+    )
+
+    kh = md5_hash64_sql("CAST(l_partkey AS VARCHAR)")
+    qh = md5_hash64_sql("CAST(key AS VARCHAR)")
+    return f"""
+WITH cells AS (
+  SELECT dd.d AS d, ({minhash_perm_sql(kh, 'dd.d')}) % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem, (SELECT unnest(range(0, 3)) AS d) dd
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT k.key AS key, dd.d AS d, ({minhash_perm_sql(qh, 'dd.d')}) % 256 AS bucket
+  FROM (SELECT unnest(range(1, 11)) AS key) k,
+       (SELECT unnest(range(0, 3)) AS d) dd
+)
+SELECT key, MIN(COALESCE(cnt, 0)) AS est_count
+FROM probes LEFT JOIN cells USING (d, bucket)
+GROUP BY key
+ORDER BY key
+"""
+
+
+RELATIONAL4_QUERIES.append(
+    QuerySpec(
+        "q_cms_freq",
+        "count-min sketch point frequency estimates (portable hashes)",
+        _q_cms,
+        _cms_sql(),
+    )
+)
