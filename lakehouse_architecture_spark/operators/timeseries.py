@@ -49,3 +49,83 @@ def time_rollup(
         "n",
         "total_value",
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Strict-order funnel: how many users reached each step, where step
+    i+1 counts only events strictly after the user's step-i time.
+
+    Single-shuffle formulation: one groupBy(user) collects the user's
+    (ts, type) events into a sorted array, and the per-step first-reach
+    times are pure array expressions (filter/transform/array_min) over it.
+    State per user = that user's events — right whenever per-user event
+    counts are bounded (the usual case); for power-law users switch to the
+    N-pass join form (one filtered min-aggregate + co-partitioned join per
+    step, same results, N shuffles on the same key).
+
+    Output: one row per step — (step, step_index, n_users).
+    """
+    ev = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+    )
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("__ev"))
+    step_cols = []
+    for i, step in enumerate(steps):
+        prev = F.col(f"__t{i - 1}") if i else None
+        # HOF lambdas must be exactly 1-ary (PySpark inspects the signature)
+        # and are invoked synchronously here, so closing over the loop
+        # variables is safe
+        if prev is None:
+            flt = F.filter(F.col("__ev"), lambda e: e["et"] == step)
+        else:
+            flt = F.filter(
+                F.col("__ev"), lambda e: (e["et"] == step) & (e["ts"] > prev)
+            )
+        t_i = F.array_min(F.transform(flt, lambda e: e["ts"]))
+        per_user = per_user.withColumn(f"__t{i}", t_i)
+        step_cols.append((i, step))
+    counts = per_user.agg(
+        *[F.count(F.col(f"__t{i}")).alias(f"n{i}") for i, _ in step_cols]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(step).alias("step"),
+                F.lit(i).alias("step_index"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, step in step_cols
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.step", "r.step_index", "r.n_users"
+    )
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    per (cohort, days-since-first) cell.
+
+    Two aggregates and one join, all shuffling on the user key (the join
+    co-partitions with the first aggregate; with few cohorts the first-day
+    side also broadcasts). Output: (cohort string, day_n, n_users).
+    """
+    first = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(F.to_date(ts_col)).alias("d0")
+    )
+    return (
+        df.join(first, df[user_col] == first["user"])
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.to_date(ts_col), F.col("d0")).alias("day_n"),
+            F.col(user_col).alias("uid"),
+        )
+        .groupBy("cohort", "day_n")
+        .agg(F.countDistinct("uid").alias("n_users"))
+    )

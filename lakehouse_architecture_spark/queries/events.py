@@ -245,3 +245,67 @@ EVENTS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_asof_join", "as-of join (union+window formulation)", _q_asof, _Q_ASOF_SQL),
     QuerySpec("q_range_join", "point-in-interval join, bucketed", _q_range_join, _Q_RANGE_JOIN_SQL),
 ]
+
+
+# --- funnel: strict-order step reach counts (single-shuffle array form) ---
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.timeseries import funnel_counts
+
+    t = tables(spark, sf_dir)
+    return funnel_counts(
+        t["events"], "user_id", "ts", "event_type", ("view", "click", "purchase")
+    ).orderBy("step_index")
+
+
+_Q_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t
+  FROM events GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND t1.t IS NOT NULL AND e.ts > t1.t
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+  GROUP BY e.user_id
+)
+SELECT * FROM (VALUES
+  ('view', 0, (SELECT COUNT(t) FROM t1)),
+  ('click', 1, (SELECT COUNT(*) FROM t2)),
+  ('purchase', 2, (SELECT COUNT(*) FROM t3))) AS v(step, step_index, n_users)
+ORDER BY step_index
+"""
+
+
+# --- cohort retention matrix ----------------------------------------------
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.timeseries import cohort_retention
+
+    t = tables(spark, sf_dir)
+    return cohort_retention(t["events"], "user_id", "ts").orderBy("cohort", "day_n")
+
+
+_Q_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+)
+SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+       date_diff('day', f.d0, CAST(e.ts AS DATE)) AS day_n,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+EVENTS_QUERIES.extend(
+    [
+        QuerySpec("q_funnel", "strict-order funnel step counts", _q_funnel, _Q_FUNNEL_SQL),
+        QuerySpec("q_retention", "cohort retention matrix", _q_retention, _Q_RETENTION_SQL),
+    ]
+)

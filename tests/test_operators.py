@@ -132,3 +132,24 @@ def test_brute_force_knn_self_similarity(spark):
     )
     out = brute_force_knn(df, df.filter(F.col("vec_id") == 1), k=2).collect()
     assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    from lakehouse_architecture_spark.operators.timeseries import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, s(0), "view"), (1, s(1), "click"), (1, s(2), "purchase"),
+        # user 2: clicked BEFORE viewing -> click must not count
+        (2, s(0), "click"), (2, s(1), "view"),
+        # user 3: view then purchase without click -> purchase must not count
+        (3, s(0), "view"), (3, s(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r["n_users"] for r in funnel_counts(
+        df, "user_id", "ts", "event_type", ("view", "click", "purchase")).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
