@@ -47,6 +47,8 @@ HEADLINE = [
     "q_grouped_pandas",
     "q09_product_profit",
     "q21_sole_late",
+    "q_time_rollup",
+    "q_funnel",
 ]
 
 
