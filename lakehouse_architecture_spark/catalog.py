@@ -94,6 +94,29 @@ class Catalog:
         df.createOrReplaceTempView(name)
         return df
 
+    def save_as_table(
+        self,
+        df: DataFrame,
+        name: str,
+        format: str = "parquet",
+        partition_by: tuple[str, ...] = (),
+        mode: str = "overwrite",
+    ) -> None:
+        """Register ``df`` in the session catalog as a named table.
+
+        With a Hive-enabled session (``SessionFactory(hive_warehouse=...)``)
+        the table definition lands in the metastore and survives the
+        session — the persistent-catalog contract the reference gets from
+        its Hive metastore + Thrift server (SURVEY.md S14/S15): a fresh
+        session pointed at the same warehouse sees and queries the table by
+        name, which is exactly what a BI/JDBC user needs. On a plain
+        session this still works, scoped to the in-memory catalog.
+        """
+        writer = df.write.format(format).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(name)
+
 
 #: Testdata columns written as parquet TIMESTAMP(NANOS) — Spark has no nanos
 #: timestamp type, so they are read as long (nanosAsLong) and truncated to

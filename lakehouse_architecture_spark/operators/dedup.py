@@ -63,7 +63,12 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     # restore parallelism before the explode (partitioning.py rationale)
     df = spread_by_id(df, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # a doc with fewer than n tokens has NO n-shingles (an unclamped
+    # sequence would emit one truncated sub-n shingle and give short docs
+    # spurious similarity signatures)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("cast(array() as array<int>)"))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )

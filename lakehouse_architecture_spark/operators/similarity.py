@@ -124,10 +124,21 @@ def lsh_bucket_pairs(
     dim: int = 64,
     planes: int = 8,
     min_cos: float = 0.0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-neighbor candidate pairs = vectors sharing an LSH bucket, scored
     with exact cosine and filtered by ``min_cos``. Shuffles once on the
     signature (bucket) key — sub-quadratic vs the full cross join.
+
+    ``max_bucket`` is the production-scale skew guard (same pattern as
+    ``ngram_jaccard_pairs``' ``max_df``): a bucket of b vectors self-joins
+    into b·(b−1)/2 candidate pairs, so a degenerate corpus (many
+    near-identical embeddings collapsing into one signature) goes quadratic
+    inside that bucket. With ``max_bucket`` set, buckets whose membership
+    exceeds it are dropped from candidate generation (one cheap aggregate,
+    broadcast anti-join) — recall on vectors in dropped buckets is
+    sacrificed, which callers handle by re-probing with more planes.
+    Default ``None`` keeps every bucket (exact semantics, oracle-matched).
     """
     hp = hyperplane(dim, planes)
     # planes×dim multiply-adds per row: spread before the signature scan
@@ -137,6 +148,14 @@ def lsh_bucket_pairs(
         F.col(vec_col).alias("v"),
         lsh_signature(F.col(vec_col), hp).alias("sig"),
     )
+    if max_bucket is not None:
+        hot = (
+            sigd.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("members"))
+            .filter(F.col("members") > max_bucket)
+            .select("sig")
+        )
+        sigd = sigd.join(F.broadcast(hot), "sig", "left_anti")
     a = sigd.alias("a")
     b = sigd.alias("b")
     return (

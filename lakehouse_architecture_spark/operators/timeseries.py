@@ -57,20 +57,31 @@ def funnel_counts(
     ts_col: str,
     type_col: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
+    mode: str = "array",
 ) -> DataFrame:
     """Strict-order funnel: how many users reached each step, where step
     i+1 counts only events strictly after the user's step-i time.
 
-    Single-shuffle formulation: one groupBy(user) collects the user's
-    (ts, type) events into a sorted array, and the per-step first-reach
-    times are pure array expressions (filter/transform/array_min) over it.
-    State per user = that user's events — right whenever per-user event
-    counts are bounded (the usual case); for power-law users switch to the
-    N-pass join form (one filtered min-aggregate + co-partitioned join per
-    step, same results, N shuffles on the same key).
+    ``mode="array"`` (default) — single-shuffle formulation: one
+    groupBy(user) collects the user's (ts, type) events into a sorted
+    array, and the per-step first-reach times are pure array expressions
+    (filter/transform/array_min) over it. State per user = that user's
+    events — right whenever per-user event counts are bounded (the usual
+    case).
+
+    ``mode="joins"`` — the power-law-safe N-pass form: per step, a
+    filtered min-aggregate joined against the previous step's reach times,
+    all shuffling on the same user key (co-partitioned). No per-user array
+    is ever materialized, so a user with millions of events costs memory
+    O(1) per task instead of O(events). N shuffles, identical results
+    (parity-tested).
 
     Output: one row per step — (step, step_index, n_users).
     """
+    if mode == "joins":
+        return _funnel_counts_joins(df, user_col, ts_col, type_col, steps)
+    if mode != "array":
+        raise ValueError(f"funnel_counts mode must be 'array' or 'joins', got {mode!r}")
     ev = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
     )
@@ -106,6 +117,53 @@ def funnel_counts(
     return counts.select(F.explode(rows).alias("r")).select(
         "r.step", "r.step_index", "r.n_users"
     )
+
+
+def _funnel_counts_joins(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: tuple[str, ...],
+) -> DataFrame:
+    """N-pass join funnel (see :func:`funnel_counts` ``mode="joins"``).
+
+    reach_0 = min(ts) per user over step-0 events; reach_{i} = min(ts) per
+    user over step-i events strictly after that user's reach_{i-1}. Every
+    aggregate and join keys on ``user``, so after the first shuffle the
+    exchanges reuse the same hash partitioning; the per-step event filter
+    is pushed to the scan.
+    """
+    from functools import reduce
+
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__et"),
+    )
+    reach: DataFrame | None = None
+    per_step: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        step_ev = ev.filter(F.col("__et") == step)
+        if reach is None:
+            cur = step_ev.groupBy("user").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                step_ev.join(reach, "user")
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy("user")
+                .agg(F.min("__ts").alias("__min"))
+                .withColumnRenamed("__min", "__t")
+            )
+        per_step.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(step).alias("step"),
+                F.lit(i).alias("step_index"),
+                "n_users",
+            )
+        )
+        reach = cur
+    return reduce(DataFrame.unionAll, per_step)
 
 
 def cohort_retention(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:

@@ -36,10 +36,44 @@ def compact_table(
     """
     import glob
     import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    if partition_col and partitions is not None:
+        # Partition-subset mode only makes sense on a Hive-layout table
+        # (path/<col>=<value>/...). Rewrite JUST the selected partition
+        # subdirectories and swap them one by one — partitions outside the
+        # subset are never read, rewritten, or deleted.
+        part_dirs = {
+            str(v): os.path.join(path, f"{partition_col}={v}") for v in partitions
+        }
+        present = {v: d for v, d in part_dirs.items() if os.path.isdir(d)}
+        if not present:
+            return 0
+        size_bytes = sum(
+            os.path.getsize(f)
+            for d in present.values()
+            for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        )
+        n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+        (
+            spark.read.option("basePath", path)
+            .parquet(*present.values())
+            .coalesce(n_files)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+        for v, dest in present.items():
+            src = os.path.join(tmp, f"{partition_col}={v}")
+            if not os.path.isdir(src):  # partition existed but held 0 rows
+                continue
+            shutil.rmtree(dest)
+            os.rename(src, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n_files
 
     df = spark.read.parquet(path)
-    if partition_col and partitions is not None:
-        df = df.filter(F.col(partition_col).isin(partitions))
     size_bytes = sum(
         os.path.getsize(f)
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -48,10 +82,7 @@ def compact_table(
     out = df.coalesce(n_files)
     # write to a temp sibling then swap — keeps readers from seeing a
     # half-compacted table (a transactional format makes this atomic)
-    tmp = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(tmp)
-    import shutil
-
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files

@@ -81,8 +81,15 @@ class ManagedTable:
                 .execute()
             )
             return
+        # Write the merged snapshot to a temp sibling, then swap directories.
+        # cache()+count() is NOT durable here: evicted/lost cached partitions
+        # would recompute from a source dir we are mid-overwrite on. The temp
+        # write fully materializes on disk before the old dir is touched.
+        import os
+        import shutil
+
         merged = merge_upsert(self.read(), updates, self.keys)
-        merged.cache()
-        merged.count()  # materialize before overwriting the source dir
-        self.overwrite(merged)
-        merged.unpersist()
+        tmp = self.path.rstrip("/") + "__merging"
+        merged.write.format(self.format).mode("overwrite").save(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)

@@ -187,17 +187,20 @@ ORDER BY total_qty DESC, o_orderkey ASC
 def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     cust = t["customer"]
-    # decimal-exact global average — a double avg could flip boundary rows
-    avg_bal = (
-        cust.agg(
-            (F.sum(F.col("c_acctbal").cast(DECIMAL)).cast("double") / F.count("c_acctbal")).alias("a")
-        ).collect()[0]["a"]
+    # decimal-exact global average — a double avg could flip boundary rows.
+    # Scalar stays in the plan as a broadcast cross join (the q11/q15 style):
+    # no driver round-trip, so the whole query is one lazily-planned job.
+    avg_bal = cust.agg(
+        (F.sum(F.col("c_acctbal").cast(DECIMAL)).cast("double") / F.count("c_acctbal")).alias(
+            "__avg_bal"
+        )
     )
     # anti-join against high-value orders (every customer has *some* order,
     # so a bare anti-join would be empty at every sf)
     big = t["orders"].filter(F.col("o_totalprice") > 300000.0)
     rich_idle = (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     )
     return (
@@ -491,9 +494,8 @@ def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
             F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
-            F.expr("approx_percentile(l_extendedprice, array(0.25, 0.75))").alias(
-                "approx_iqr"
-            ),
+            F.expr("approx_percentile(l_extendedprice, 0.25)").alias("approx_p25"),
+            F.expr("approx_percentile(l_extendedprice, 0.75)").alias("approx_p75"),
         )
         .orderBy("l_returnflag")
     )

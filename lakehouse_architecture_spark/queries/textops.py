@@ -55,7 +55,7 @@ sh AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(tk, i.i + 1, i.i + 3), ' ') AS shingle
   FROM toks,
-       LATERAL (SELECT unnest(generate_series(0, greatest(len(tk) - 3, 0))) AS i) i
+       LATERAL (SELECT unnest(generate_series(0, len(tk) - 3)) AS i) i
   WHERE length(array_to_string(list_slice(tk, i.i + 1, i.i + 3), ' ')) > 0
 )
 """
@@ -573,14 +573,25 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Byte-accurate framing: Spark slices the UTF-8 payload by BYTES, so the
+# oracle must too — char-based length()/substr()/ord() silently diverge on
+# any non-ASCII text (byte length ≠ char count). DuckDB lacks blob slicing,
+# but hex(encode(text)) exposes every byte: byte at 0-based offset o is the
+# hex pair at 2·o+1.
 _Q_FRAME_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS blen,
+         hex(encode(text)) AS hx
+  FROM documents
+)
 SELECT doc_id,
        CAST(fi AS INT) AS frame_index,
        CAST(fi * 64 AS BIGINT) AS frame_offset,
-       CAST(LEAST(64, length(text) - fi * 64) AS INT) AS frame_len,
-       CAST(ord(substr(text, fi * 64 + 1, 1)) AS INT) AS frame_head
-FROM documents,
-     UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS t(fi)
+       CAST(LEAST(64, blen - fi * 64) AS INT) AS frame_len,
+       CAST(('0x' || substr(hx, fi * 64 * 2 + 1, 2)) AS INT) AS frame_head
+FROM b,
+     UNNEST(range(0, CAST(ceil(blen / 64.0) AS BIGINT), 2)) AS t(fi)
 ORDER BY doc_id, frame_index
 """
 

@@ -49,6 +49,7 @@ class SessionFactory:
         s3a_endpoint: str | None = None,
         s3a_access_key: str | None = None,
         s3a_secret_key: str | None = None,
+        hive_warehouse: str | None = None,
     ) -> None:
         self.app_name = app_name
         self.master = master or f"local[{_default_parallelism()}]"
@@ -57,6 +58,7 @@ class SessionFactory:
         self.s3a_endpoint = s3a_endpoint
         self.s3a_access_key = s3a_access_key
         self.s3a_secret_key = s3a_secret_key
+        self.hive_warehouse = hive_warehouse
 
     def conf(self) -> dict[str, str]:
         conf = {
@@ -95,6 +97,23 @@ class SessionFactory:
                     "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
                 }
             )
+        if self.hive_warehouse:
+            # Persistent catalog (SURVEY.md S15): the reference registers
+            # tables in a Hive metastore so they outlive the session and are
+            # queryable from BI tools (hive-metastore/metastore-site.xml:29-40,
+            # spark/hive-site.xml:2-5). Locally the embedded Derby metastore
+            # pinned inside the warehouse dir gives the same durability
+            # contract; on a cluster, point ConnectionURL (or
+            # hive.metastore.uris) at the shared metastore service instead.
+            conf.update(
+                {
+                    "spark.sql.warehouse.dir": self.hive_warehouse,
+                    "spark.hadoop.javax.jdo.option.ConnectionURL": (
+                        f"jdbc:derby:;databaseName={self.hive_warehouse.rstrip('/')}"
+                        "/_metastore_db;create=true"
+                    ),
+                }
+            )
         conf.update(self.extra_conf)
         return conf
 
@@ -102,6 +121,8 @@ class SessionFactory:
         builder = SparkSession.builder.appName(self.app_name).master(self.master)
         for k, v in self.conf().items():
             builder = builder.config(k, v)
+        if self.hive_warehouse:
+            builder = builder.enableHiveSupport()
         spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         return spark

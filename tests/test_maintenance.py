@@ -31,6 +31,49 @@ def test_compact_table(spark, tmp_path):
     assert {r["id"] for r in back.collect()} == set(range(12))
 
 
+def test_compact_partition_subset_preserves_other_partitions(spark, tmp_path):
+    """Partition-subset compaction must only touch the selected partitions —
+    a subset rewrite that drops the rest of the table is data loss."""
+    path = str(tmp_path / "hive_table")
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        for batch in range(4):
+            spark.createDataFrame(
+                [(batch, day, f"{day}#{batch}")], "id int, dt string, v string"
+            ).coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+
+    def files_in(day):
+        return _parquet_files(os.path.join(path, f"dt={day}"))
+
+    untouched_before = sorted(files_in("2024-01-03"))
+    assert len(files_in("2024-01-01")) >= 4
+
+    n = compact_table(
+        spark, path, target_file_mb=128,
+        partition_col="dt", partitions=["2024-01-01", "2024-01-02"],
+    )
+    assert n == 1
+    # selected partitions compacted to one file each
+    assert len(files_in("2024-01-01")) == 1
+    assert len(files_in("2024-01-02")) == 1
+    # non-selected partition byte-identical (same files, untouched)
+    assert sorted(files_in("2024-01-03")) == untouched_before
+
+    back = spark.read.parquet(path)
+    assert back.count() == 12
+    assert back.filter(F.col("dt") == "2024-01-03").count() == 4
+    # partition-type inference reads dt back as date — normalize to string
+    got = {
+        (r["dt"], r["id"], r["v"])
+        for r in back.withColumn("dt", F.col("dt").cast("string")).collect()
+    }
+    assert ("2024-01-03", 2, "2024-01-03#2") in got
+
+    # absent partition values are a no-op, not an error
+    assert compact_table(
+        spark, path, target_file_mb=128, partition_col="dt", partitions=["2099-01-01"]
+    ) == 0
+
+
 def test_clustered_write_skips_files(spark, tmp_path):
     path = str(tmp_path / "clustered")
     df = spark.range(0, 100_000).withColumn("k", F.col("id") % 1000)

@@ -88,6 +88,15 @@ def test_word_shingles(spark):
     assert got == {"a b c", "b c d"}
 
 
+def test_word_shingles_short_doc_emits_nothing(spark):
+    # a doc with < n tokens must produce NO shingles, not one truncated one
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "solo"), (3, "a b c")], "id int, text string"
+    )
+    got = {(r["id"], r["shingle"]) for r in word_shingles(df, "id", "text", 3).collect()}
+    assert got == {(3, "a b c")}
+
+
 def test_ngram_jaccard_identical_docs(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
@@ -153,3 +162,50 @@ def test_funnel_strict_ordering(spark):
     out = {r["step"]: r["n_users"] for r in funnel_counts(
         df, "user_id", "ts", "event_type", ("view", "click", "purchase")).collect()}
     assert out == {"view": 3, "click": 1, "purchase": 1}
+
+    # the N-pass join fallback must agree exactly on the same edge cases
+    joined = {r["step"]: r["n_users"] for r in funnel_counts(
+        df, "user_id", "ts", "event_type", ("view", "click", "purchase"),
+        mode="joins").collect()}
+    assert joined == out
+
+
+def test_funnel_modes_parity_on_events_fixture(spark):
+    """Array and N-pass-join funnels are the same operator at different
+    scale points — assert exact parity on the real events table."""
+    from lakehouse_architecture_spark.catalog import load_tables
+    from lakehouse_architecture_spark.operators.timeseries import funnel_counts
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    steps = ("view", "click", "purchase")
+    array_form = {
+        (r["step"], r["step_index"], r["n_users"])
+        for r in funnel_counts(ev, "user_id", "ts", "event_type", steps).collect()
+    }
+    join_form = {
+        (r["step"], r["step_index"], r["n_users"])
+        for r in funnel_counts(
+            ev, "user_id", "ts", "event_type", steps, mode="joins"
+        ).collect()
+    }
+    assert array_form == join_form
+    assert len(array_form) == 3
+
+
+def test_lsh_bucket_cap_degenerate_corpus(spark):
+    """max_bucket drops quadratic-blowup buckets: a corpus of identical
+    vectors collapses into ONE signature bucket; with the cap set below the
+    corpus size that bucket emits no candidate pairs."""
+    from lakehouse_architecture_spark.operators.similarity import lsh_bucket_pairs
+
+    vec = [1.0] + [0.0] * 7
+    distinct = [0.0] * 7 + [1.0]
+    rows = [(i, vec) for i in range(20)] + [(100, distinct), (101, distinct)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    uncapped = lsh_bucket_pairs(df, dim=8, planes=4).collect()
+    assert len(uncapped) == 20 * 19 // 2 + 1  # hot bucket all-pairs + tiny pair
+
+    capped = lsh_bucket_pairs(df, dim=8, planes=4, max_bucket=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(100, 101)}  # hot bucket dropped, small bucket intact

@@ -55,3 +55,61 @@ def test_catalog_registry(spark, tmp_path):
     view = cat.create_view("events_t")
     assert spark.sql("SELECT count(*) AS n FROM events_t").collect()[0]["n"] == 2
     assert set(view.columns) == {"id", "v", "dt"}
+
+
+def test_persistent_catalog_survives_session(tmp_path):
+    """S15 parity: a table saved via Catalog.save_as_table into a
+    Hive-warehouse session is visible BY NAME to a brand-new session on the
+    same warehouse — the metastore durability a BI/JDBC user relies on.
+    Runs in subprocesses: each gets its own JVM, so 'fresh session' is real.
+    """
+    import subprocess
+    import sys
+    import textwrap
+
+    wh = str(tmp_path / "warehouse")
+
+    def run(body):
+        code = textwrap.dedent(
+            f"""
+            import sys; sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).resolve().parents[1]))})
+            from lakehouse_architecture_spark.session import SessionFactory
+            from lakehouse_architecture_spark.catalog import Catalog
+            spark = SessionFactory(
+                app_name="cat_persist", master="local[2]",
+                shuffle_partitions=2, hive_warehouse={repr(wh)},
+            ).get_or_create()
+            spark.sparkContext.setLogLevel("ERROR")
+            {body}
+            spark.stop()
+            """
+        )
+        return subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+        )
+
+    w = run(
+        """
+            cat = Catalog(spark)
+            df = spark.createDataFrame(
+                [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+                "id int, v string, dt string",
+            )
+            cat.save_as_table(df, "silver_listings", partition_by=("dt",))
+            """
+    )
+    assert w.returncode == 0, w.stderr[-2000:]
+
+    r = run(
+        """
+            rows = spark.sql(
+                "SELECT id, v FROM silver_listings WHERE dt = '2024-01-01'"
+            ).collect()
+            assert [(r['id'], r['v']) for r in rows] == [(1, 'a')], rows
+            names = {t.name for t in spark.catalog.listTables()}
+            assert "silver_listings" in names, names
+            print("SECOND_SESSION_OK")
+            """
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SECOND_SESSION_OK" in r.stdout

@@ -59,7 +59,9 @@ def test_fingerprint_normalization_equivalence(spark):
 def test_shingles_and_simhash_short_docs(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id int, text string")
     sh = word_shingles(df, "doc_id", "text", 3).collect()
-    assert {(r["id"], r["shingle"]) for r in sh} == {(1, "a b")}  # shorter-than-n doc
+    # a shorter-than-n doc has NO n-shingles (a truncated partial shingle
+    # would give it a spurious similarity signature)
+    assert sh == []
     sims = simhash(df, "doc_id", "text")
     assert {r["id"] for r in sims.collect()} == {1}  # empty doc has no tokens
 
@@ -139,3 +141,30 @@ def test_pack_token_budget_boundary(spark):
     # en: 60 (q9) + 30 (q8) = 90 fits; doc 3 would reach 120 > 100 -> dropped
     # de: single 200-token doc exceeds the budget outright
     assert rows == {1: 60, 2: 90}
+
+
+def test_frame_sample_byte_framing_non_ascii(spark):
+    """Spark frames the payload by BYTES; the DuckDB oracle must agree on
+    non-ASCII text where byte length != char count (é is 2 UTF-8 bytes)."""
+    import duckdb
+
+    from lakehouse_architecture_spark.operators.multimodal import sample_frames
+    from lakehouse_architecture_spark.queries.textops import _Q_FRAME_SAMPLE_SQL
+
+    text = "héllo wörld ünïcode" * 12  # 228 chars, 288 bytes
+    assert len(text.encode()) != len(text)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r["frame_index"], r["frame_offset"], r["frame_len"], r["frame_head"])
+        for r in sample_frames(
+            df.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            "payload", frame_bytes=64, every_k=2,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame({"doc_id": [1], "text": [text]}))
+    want = sorted(
+        (fi, off, fl, fh)
+        for _, fi, off, fl, fh in con.sql(_Q_FRAME_SAMPLE_SQL).fetchall()
+    )
+    assert got == want and len(got) == 3  # ceil(288/64)=5 frames, every 2nd
