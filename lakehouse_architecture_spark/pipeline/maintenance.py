@@ -56,14 +56,23 @@ def compact_table(
             for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
         )
         n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
-        (
-            spark.read.option("basePath", path)
-            .parquet(*present.values())
-            .coalesce(n_files)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(tmp)
-        )
+        # pin partition values as strings for the round-trip: inference
+        # would turn dt=007 into int 7 and the rewrite would land in a
+        # DIFFERENT directory name than the one being swapped
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_prev = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            (
+                spark.read.option("basePath", path)
+                .parquet(*present.values())
+                .coalesce(n_files)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(tmp)
+            )
+        finally:
+            spark.conf.set(infer_key, infer_prev)
         for v, dest in present.items():
             src = os.path.join(tmp, f"{partition_col}={v}")
             if not os.path.isdir(src):  # partition existed but held 0 rows

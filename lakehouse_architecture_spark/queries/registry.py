@@ -25,36 +25,60 @@ _SPECS: tuple[QuerySpec, ...] = (
     *TIMESERIES_QUERIES,
 )
 
-# The per-round correctness harness checks the FIRST 50 registry entries.
-# Round 1 verified these 49 (green rows in CORRECTNESS_r01.json), so they
-# rotate to the back and the 41 not-yet-oracle-checked queries (dedup /
-# similarity / text / events / timeseries / TPC-H tail + the q_approx_aggs
-# fix) surface into the checked window. Rotate again next round so no
-# regression hides behind the 50-slot cap.
-_VERIFIED_R01: frozenset[str] = frozenset(
-    {
-        "q01_pricing_summary", "q02_filter_project", "q03_top_revenue_orders",
-        "q05_nation_revenue", "q06_filtered_revenue", "q_join_left_anti",
-        "q_join_left_semi", "q_join_left_outer", "q_agg_distinct", "q_rollup",
-        "q_cube", "q_window_topk", "q_window_running", "q_sort_limit",
-        "q_set_ops", "q_distinct", "q_pivot", "q_string_funcs", "q_date_funcs",
-        "q04_priority_exists", "q07_trade_matrix", "q10_returned_revenue",
-        "q13_order_distribution", "q18_large_orders", "q22_rich_idle",
-        "q_correlated_subquery", "q_in_subquery", "q_grouping_sets",
-        "q_math_funcs", "q_array_funcs", "q_explode", "q_analytic_windows",
-        "q_percentile", "q_conditional_agg", "q_map_funcs", "q_range_frame",
-        "q_hash_sample", "q_string_funcs2", "q_unpivot", "q_minmax_by",
-        "q_date_arith", "q_null_funcs", "q_bit_ops", "q_collect",
-        "q_cross_join", "q_regexp_all", "q08_market_share",
-        "q09_product_profit", "q11_important_parts",
-    }
-)
+# The per-round correctness harness checks only the FIRST 50 registry
+# entries, so ordering IS verification coverage. Each round, queries are
+# sorted least-verified-first from the accumulated CORRECTNESS_r*.json
+# records: never-green queries lead, then fewest green rounds, then oldest
+# last-green round. The result is an automatic rotation — every query cycles
+# through the checked window, and no regression can hide behind the cap for
+# more than a round or two.
+
+
+def _verification_history(repo: str | None = None) -> dict[str, tuple[int, int]]:
+    """Per query: (green rounds count, last green round) from the driver's
+    CORRECTNESS_r*.json files at the repo root. A row is green when it has
+    no error and no failed check (rows-only records pass with null checks).
+    Missing/unparseable files contribute nothing — ordering degrades to the
+    declared family order."""
+    import glob
+    import json
+    import os
+    import re
+
+    if repo is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    hist: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            checks = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
+            if False in checks:
+                continue
+            n, _ = hist.get(name, (0, 0))
+            hist[name] = (n + 1, rnd)
+    return hist
+
+
+def _rotation_order(specs: tuple[QuerySpec, ...]) -> list[QuerySpec]:
+    hist = _verification_history()
+    return sorted(
+        specs,
+        key=lambda s: (*hist.get(s.name, (0, 0)), specs.index(s)),
+    )
+
 
 ALL_QUERIES: dict[str, QuerySpec] = {
-    spec.name: spec
-    for spec in sorted(
-        _SPECS, key=lambda s: (s.name in _VERIFIED_R01, _SPECS.index(s))
-    )
+    spec.name: spec for spec in _rotation_order(_SPECS)
 }
 
 

@@ -1,0 +1,46 @@
+"""Registry ordering: least-verified queries must surface into the driver's
+50-entry correctness window, automatically, from CORRECTNESS_r*.json."""
+
+import json
+
+from lakehouse_architecture_spark.queries import registry
+
+
+def test_rotation_prefers_never_green_then_oldest(tmp_path):
+    # synthetic history: r1 greened a+b (and c errored), r2 re-greened b
+    # only as a rows-only record; d was never checked, e failed its hash
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "c": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"},
+        "e": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "b": {"rows_match": True, "schema_match": None, "hash_match": None, "err": None},
+    }))
+
+    hist = registry._verification_history(str(tmp_path))
+    # errored, hash-mismatched, and never-checked queries have no history
+    assert hist == {"a": (1, 1), "b": (2, 2)}
+    order = sorted(["a", "b", "c", "d", "e"], key=lambda n: hist.get(n, (0, 0)))
+    assert set(order[:3]) == {"c", "d", "e"} and order[3:] == ["a", "b"]
+
+
+def test_registry_real_files_put_unverified_first():
+    """Against the repo's actual CORRECTNESS history: every query without a
+    green row must land inside the first 50 entries."""
+    hist = registry._verification_history()
+    names = list(registry.ALL_QUERIES)
+    assert len(names) >= 50
+    never_green = [n for n in names if n not in hist]
+    window = set(names[:50])
+    missing = [n for n in never_green if n not in window]
+    assert not missing, f"never-verified queries outside the window: {missing}"
+
+
+def test_registry_queries_and_oracles_consistent():
+    q = registry.queries()
+    o = registry.oracle_sql()
+    assert set(o) <= set(q)
+    # every oracle is non-empty SQL
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
