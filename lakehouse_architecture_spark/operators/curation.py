@@ -86,3 +86,66 @@ def pack_token_budget(
         df.withColumn("running_tokens", F.sum(token_col).over(w))
         .filter(F.col("running_tokens") <= budget)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with ANY benchmark document —
+    the standard eval-contamination screen (GPT-3/The Pile style n-gram
+    overlap) run before training.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    sets are thousands of docs; the corpus is billions), so its distinct
+    shingle-hash set is **broadcast** and the corpus side never shuffles
+    for the probe — one narrow shingle scan + broadcast hash join, then one
+    aggregation keyed by doc. Returns (id, n_overlap) for flagged docs;
+    anti-join the result against the corpus to drop them.
+    """
+    from lakehouse_architecture_spark.operators.dedup import word_shingles
+
+    doc_sh = word_shingles(docs, id_col, text_col, n).select(
+        "id", md5_hash64(F.col("shingle")).alias("h")
+    )
+    bench_sh = (
+        word_shingles(benchmark, id_col, text_col, n)
+        .select(md5_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "h")
+        # word_shingles is distinct per doc, so count == distinct overlap
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: assign every row a
+    shard and a position within it, both pure functions of the row id.
+
+    shard = md5_hash64(id) mod n_shards gives hash-even shard sizes;
+    position = rank within the shard ordered by (hash, id) — i.e. a
+    reproducible pseudo-random order, the property a training run needs
+    from "shuffled shards" (same manifest on every engine, retry, or
+    cluster layout). One shuffle (window partition on shard); shards are
+    hash-balanced so the window never skews. Writers then
+    ``partitionBy(shard)`` + sort by position.
+    """
+    h = md5_hash64(F.col(id_col).cast("string"))
+    out = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w)).drop("__h")

@@ -128,6 +128,40 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document internal n-gram repetition (the Gopher/MassiveText
+    quality rule: heavily self-repeating documents are low-quality
+    boilerplate or spam). Output per doc: total word n-grams, distinct
+    n-grams, and ``dup_frac`` = 1 − distinct/total (0.0 when the doc has
+    fewer than ``n`` tokens).
+
+    Pure higher-order-function expressions over the token array — a narrow
+    map with no shuffle and no Python; scales linearly with corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(grams).alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        F.when(F.size(grams) > 0,
+               F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Document fingerprint: md5-derived 60-bit hash of the normalized text
     (lowercase, punctuation stripped, whitespace collapsed). Two documents

@@ -728,6 +728,106 @@ ORDER BY query_id, rank
 """
 
 
+# --- curation: benchmark decontamination ----------------------------------
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing ≥3 distinct word 3-grams with the 'benchmark' subset
+    (doc_id % 50 == 0 stands in for an eval set)."""
+    from lakehouse_architecture_spark.operators.curation import decontaminate
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    return (
+        decontaminate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            "doc_id",
+            "text",
+            n=3,
+            min_overlap=3,
+        )
+        .select(F.col("id").alias("doc_id"), "n_overlap")
+        .orderBy("doc_id")
+    )
+
+
+_Q_DECONTAMINATE_SQL = f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT doc_id, COUNT(*) AS n_overlap
+FROM sh JOIN bench USING (shingle)
+WHERE doc_id % 50 != 0
+GROUP BY doc_id
+HAVING COUNT(*) >= 3
+ORDER BY doc_id
+"""
+
+
+# --- text analysis: intra-document repetition (Gopher rule) ---------------
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.text import repetition_stats
+
+    t = tables(spark, sf_dir)
+    return (
+        repetition_stats(t["documents"], "doc_id", "text", n=3)
+        .select(F.col("id").alias("doc_id"), "n_ngrams", "n_distinct", "dup_frac")
+        .orderBy("doc_id")
+    )
+
+
+# non-distinct shingles (repetition needs duplicates), left join back so
+# docs shorter than n tokens report zeros
+_Q_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tk, i.i + 1, i.i + 3), ' ') AS s
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, len(tk) - 3)) AS i) i
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(DISTINCT s) AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_ngrams, 0) AS INT) AS n_ngrams,
+       CAST(COALESCE(a.n_distinct, 0) AS INT) AS n_distinct,
+       CASE WHEN a.n_ngrams > 0
+            THEN ROUND(1.0 - a.n_distinct / a.n_ngrams, 6)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# --- curation: deterministic training-shard manifest ----------------------
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.curation import shard_manifest
+
+    t = tables(spark, sf_dir)
+    return (
+        shard_manifest(t["documents"], "doc_id", n_shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_Q_SHARD_MANIFEST_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_HASH64.format(expr="CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hh % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+                               ORDER BY hh ASC, doc_id ASC) AS INT) AS pos
+FROM h
+ORDER BY shard, pos
+"""
+
+
 TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_dedup_keep_first", "deterministic keep-first dedup", _q_dedup_keep_first, _Q_DEDUP_KEEP_FIRST_SQL),
     QuerySpec("q_fingerprint_groups", "normalization-fingerprint dedup groups", _q_fingerprint, _Q_FINGERPRINT_SQL),
@@ -748,4 +848,7 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_simhash_neardup", "banded SimHash hamming near-dup pairs", _q_simhash_neardup, _Q_SIMHASH_NEARDUP_SQL),
     QuerySpec("q_stratified_sample", "deterministic per-stratum hash sampling", _q_stratified_sample, _Q_STRATIFIED_SQL),
     QuerySpec("q_pack_budget", "per-group greedy token-budget packing", _q_pack_budget, _Q_PACK_BUDGET_SQL),
+    QuerySpec("q_decontaminate", "benchmark n-gram decontamination screen", _q_decontaminate, _Q_DECONTAMINATE_SQL),
+    QuerySpec("q_repetition", "intra-doc n-gram repetition (Gopher rule)", _q_repetition, _Q_REPETITION_SQL),
+    QuerySpec("q_shard_manifest", "deterministic training-shard manifest", _q_shard_manifest, _Q_SHARD_MANIFEST_SQL),
 ]

@@ -168,3 +168,63 @@ def test_frame_sample_byte_framing_non_ascii(spark):
         for _, fi, off, fl, fh in con.sql(_Q_FRAME_SAMPLE_SQL).fetchall()
     )
     assert got == want and len(got) == 3  # ceil(288/64)=5 frames, every 2nd
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from lakehouse_architecture_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # verbatim benchmark copy
+            (2, "prefix words alpha beta gamma suffix"),  # one shared 3-gram
+            (3, "totally unrelated clean document text"),
+        ],
+        "doc_id int, text string",
+    )
+    hits = {r["id"]: r["n_overlap"] for r in decontaminate(
+        docs, bench, "doc_id", "text", n=3, min_overlap=1).collect()}
+    assert hits[1] == 4          # 6 tokens -> 4 shingles, all shared
+    assert hits[2] == 1
+    assert 3 not in hits
+    strict = {r["id"] for r in decontaminate(
+        docs, bench, "doc_id", "text", n=3, min_overlap=2).collect()}
+    assert strict == {1}         # the single-shingle graze survives the screen
+
+
+def test_repetition_stats_gopher_rule(spark):
+    from lakehouse_architecture_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),        # one distinct 3-gram
+            (2, "all words here are fully distinct ok"),
+            (3, "a b"),                                   # < n tokens
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in repetition_stats(df, "doc_id", "text", n=3).collect()}
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["dup_frac"] == 0.75
+    assert out[2]["dup_frac"] == 0.0 and out[2]["n_distinct"] == out[2]["n_ngrams"]
+    assert out[3]["n_ngrams"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_shard_manifest_deterministic_and_dense(spark):
+    from lakehouse_architecture_spark.operators.curation import shard_manifest
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    m1 = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shard_manifest(df, "doc_id", 8).collect()}
+    m2 = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shard_manifest(
+        df.repartition(13), "doc_id", 8).collect()}
+    assert m1 == m2                       # layout-independent manifest
+    shards = {}
+    for shard, pos in m1.values():
+        assert 0 <= shard < 8
+        shards.setdefault(shard, []).append(pos)
+    for positions in shards.values():     # positions dense from 1 per shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = sorted(len(v) for v in shards.values())
+    assert sizes[0] > 0                   # hash-balanced: every shard used
