@@ -106,15 +106,24 @@ def hyperplane(dim: int, planes: int) -> list[list[float]]:
     return out
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-string signature: bit p = 1 iff vec·plane_p > 0."""
-    bits = [
-        F.when(
-            dot(vec, F.array(*[F.lit(w) for w in plane])) > 0, F.lit("1")
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+def lsh_signature(vec_col: str, planes: list[list[float]]) -> Column:
+    """Bit-string signature: bit p = 1 iff vec·plane_p > 0.
+
+    Built as ONE SQL-string expression: a planes×dim literal matrix as
+    nested Column calls costs planes·dim py4j round-trips (~4s of driver
+    time for 8×64 — measured); the parsed string form is identical in the
+    plan and near-free to construct.
+    """
+    bits = []
+    for plane in planes:
+        arr = ",".join(f"CAST({w} AS DOUBLE)" for w in plane)
+        bits.append(
+            f"(CASE WHEN aggregate(zip_with({vec_col}, array({arr}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0"
+            " THEN '1' ELSE '0' END)"
+        )
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def lsh_bucket_pairs(
@@ -146,7 +155,7 @@ def lsh_bucket_pairs(
     sigd = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_signature(F.col(vec_col), hp).alias("sig"),
+        lsh_signature(vec_col, hp).alias("sig"),
     )
     if max_bucket is not None:
         hot = (

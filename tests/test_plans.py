@@ -92,3 +92,35 @@ def test_time_rollup_single_scan(spark):
     assert "Expand" in plan
     # one file index = one scan ("Scan parquet" shows twice: tree + detail)
     assert plan.count("InMemoryFileIndex") == 1
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The eval-set shingle hashes must broadcast: the corpus side (the
+    100 TB side) must never shuffle for the contamination probe."""
+    df = _q(spark, "q_decontaminate")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert_no_cartesian(df)
+
+
+def test_shard_manifest_single_shuffle(spark):
+    """Shard assignment is a narrow map; the only wide op is the per-shard
+    position window — one exchange beyond the parallelism-restoring
+    repartition would mean an accidental extra shuffle."""
+    import re
+
+    df = _q(spark, "q_shard_manifest")
+    plan = formatted_plan(df)
+    # exchanges: the window partition (hash by shard) + the final orderBy
+    # (range). Anything more is a regression. (The formatted plan prints
+    # each operator twice — tree + detail — so count the detail headers.)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "Window" in plan
+
+
+def test_repetition_is_narrow_map(spark):
+    """Gopher repetition stats must not shuffle at all (orderBy aside)."""
+    df = _q(spark, "q_repetition")
+    plan = formatted_plan(df)
+    assert "HashAggregate" not in plan and "Join" not in plan
