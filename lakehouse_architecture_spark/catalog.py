@@ -101,6 +101,8 @@ class Catalog:
         format: str = "parquet",
         partition_by: tuple[str, ...] = (),
         mode: str = "overwrite",
+        bucket_by: tuple[int, tuple[str, ...]] | None = None,
+        sort_by: tuple[str, ...] = (),
     ) -> None:
         """Register ``df`` in the session catalog as a named table.
 
@@ -111,10 +113,23 @@ class Catalog:
         session pointed at the same warehouse sees and queries the table by
         name, which is exactly what a BI/JDBC user needs. On a plain
         session this still works, scoped to the in-memory catalog.
+
+        ``bucket_by=(n, cols)`` hash-buckets the table on ``cols`` into
+        ``n`` buckets (optionally ``sort_by`` within each bucket) — the
+        100 TB lever for repeated fact-fact joins: two tables bucketed the
+        same way join with NO shuffle at read time, because the bucketing
+        metadata lets Catalyst prove co-partitioning. Bucketed tables
+        require the catalog (``saveAsTable``), which is why this lives
+        here and not in sources/writers.
         """
         writer = df.write.format(format).mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if bucket_by is not None:
+            n, cols = bucket_by
+            writer = writer.bucketBy(n, *cols)
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
         writer.saveAsTable(name)
 
 

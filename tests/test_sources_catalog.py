@@ -113,3 +113,47 @@ def test_persistent_catalog_survives_session(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "SECOND_SESSION_OK" in r.stdout
+
+
+def test_bucketed_tables_join_without_shuffle(tmp_path):
+    """The 100 TB co-located-join lever: two tables bucketed on the join
+    key with the same bucket count must sort-merge-join with ZERO
+    exchanges — the bucketing metadata proves co-partitioning. Runs in a
+    subprocess so the bucketed catalog tables live in a scratch warehouse.
+    """
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        f"""
+        import sys; sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).resolve().parents[1]))})
+        from lakehouse_architecture_spark.session import SessionFactory
+        from lakehouse_architecture_spark.catalog import Catalog
+
+        spark = SessionFactory(
+            app_name="bucketed", master="local[4]", shuffle_partitions=4,
+            hive_warehouse={repr(str(tmp_path / "wh"))},
+            extra_conf={{"spark.sql.autoBroadcastJoinThreshold": "-1"}},
+        ).get_or_create()
+        spark.sparkContext.setLogLevel("ERROR")
+        cat = Catalog(spark)
+        facts = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS v1")
+        dims = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS v2")
+        cat.save_as_table(facts, "f_bucketed", bucket_by=(8, ("k",)), sort_by=("k",))
+        cat.save_as_table(dims, "d_bucketed", bucket_by=(8, ("k",)), sort_by=("k",))
+
+        joined = spark.table("f_bucketed").join(spark.table("d_bucketed"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-bucketed -> shuffle-free
+        assert joined.count() == 10_000
+        print("BUCKETED_JOIN_SHUFFLE_FREE")
+        spark.stop()
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "BUCKETED_JOIN_SHUFFLE_FREE" in r.stdout
