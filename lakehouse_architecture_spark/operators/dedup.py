@@ -22,7 +22,7 @@ as ordinary shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.hashing import (
@@ -61,20 +61,25 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> Data
     return packed.select(*key_cols, *[F.col(f"__r.{c}").alias(c) for c in others])
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Word n-gram array (with duplicates) from a token array. A doc with
+    fewer than ``n`` tokens has NO n-grams — an unclamped sequence would
+    emit one truncated sub-n gram and give short docs spurious similarity
+    signatures. Shared by shingling and repetition stats so the clamp and
+    join semantics can never diverge between them (or from the oracle CTEs
+    that mirror both)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
     # restore parallelism before the explode (partitioning.py rationale)
     df = spread_by_id(df, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # a doc with fewer than n tokens has NO n-shingles (an unclamped
-    # sequence would emit one truncated sub-n shingle and give short docs
-    # spurious similarity signatures)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.expr("cast(array() as array<int>)"))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    sh = ngram_array(toks, n)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.length("shingle") > 0)

@@ -143,14 +143,10 @@ def repetition_stats(
     Pure higher-order-function expressions over the token array — a narrow
     map with no shuffle and no Python; scales linearly with corpus size.
     """
+    from lakehouse_architecture_spark.operators.dedup import ngram_array
+
     toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    grams = ngram_array(toks, n)
     return df.select(
         F.col(id_col).alias("id"),
         F.size(grams).alias("n_ngrams"),

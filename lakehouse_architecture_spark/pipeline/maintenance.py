@@ -17,9 +17,13 @@ provides:
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Partition values whose Hive directory name is the raw value (no escaping).
+_PLAIN_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9._\- ]+$")
 
 
 def compact_table(
@@ -43,57 +47,57 @@ def compact_table(
         # Partition-subset mode only makes sense on a Hive-layout table
         # (path/<col>=<value>/...). Rewrite JUST the selected partition
         # subdirectories and swap them one by one — partitions outside the
-        # subset are never read, rewritten, or deleted.
+        # subset are never read, rewritten, or deleted. Each partition is
+        # sized and rewritten independently: a single global coalesce over
+        # all selected partitions would make every task hold rows of every
+        # partition value, emitting up to n_files files PER partition.
+        for v in partitions:
+            if not _PLAIN_PARTITION_VALUE.match(str(v)):
+                # Spark/Hive escape such values in directory names
+                # (dt=a:b -> dt=a%3Ab); a raw f-string lookup would
+                # silently treat the partition as absent. Refuse loudly.
+                raise ValueError(
+                    f"partition value {v!r} needs Hive path escaping; "
+                    "compact the full table or rename the partition"
+                )
         part_dirs = {
             str(v): os.path.join(path, f"{partition_col}={v}") for v in partitions
         }
         present = {v: d for v, d in part_dirs.items() if os.path.isdir(d)}
         if not present:
             return 0
-        size_bytes = sum(
-            os.path.getsize(f)
-            for d in present.values()
-            for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
-        )
-        n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
-        # pin partition values as strings for the round-trip: inference
-        # would turn dt=007 into int 7 and the rewrite would land in a
-        # DIFFERENT directory name than the one being swapped
-        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        infer_prev = spark.conf.get(infer_key, "true")
-        spark.conf.set(infer_key, "false")
-        try:
-            (
-                spark.read.option("basePath", path)
-                .parquet(*present.values())
-                .coalesce(n_files)
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(tmp)
-            )
-        finally:
-            spark.conf.set(infer_key, infer_prev)
+        total_written = 0
         for v, dest in present.items():
+            size_bytes = sum(
+                os.path.getsize(f)
+                for f in glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True)
+            )
+            n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
             src = os.path.join(tmp, f"{partition_col}={v}")
-            if not os.path.isdir(src):  # partition existed but held 0 rows
-                continue
+            # the partition column lives in the dir name, not the files, so
+            # each partition rewrites as a plain (unpartitioned) dir
+            spark.read.parquet(dest).coalesce(n_files).write.mode(
+                "overwrite"
+            ).parquet(src)
             shutil.rmtree(dest)
             os.rename(src, dest)
+            total_written += n_files
         shutil.rmtree(tmp, ignore_errors=True)
-        return n_files
+        return total_written
 
-    df = spark.read.parquet(path)
+    target = path.rstrip("/")  # rename() rejects a trailing-slash target
+    df = spark.read.parquet(target)
     size_bytes = sum(
         os.path.getsize(f)
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        for f in glob.glob(os.path.join(target, "**", "*.parquet"), recursive=True)
     )
     n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
     out = df.coalesce(n_files)
     # write to a temp sibling then swap — keeps readers from seeing a
     # half-compacted table (a transactional format makes this atomic)
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    shutil.rmtree(target)
+    os.rename(tmp, target)
     return n_files
 
 

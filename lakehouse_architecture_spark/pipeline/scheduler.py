@@ -65,20 +65,10 @@ class Dag:
         return spec
 
     def topo_order(self) -> list[str]:
-        """Deterministic topological order (insertion order among ready
-        tasks — matches the declared reading order of the pipeline)."""
-        done: list[str] = []
-        pending = dict(self.tasks)
-        while pending:
-            ready = [
-                n for n, t in pending.items() if all(u in done for u in t.upstream)
-            ]
-            if not ready:
-                raise ValueError(f"cycle among {sorted(pending)}")
-            for n in ready:
-                done.append(n)
-                del pending[n]
-        return done
+        """Insertion order IS a topological order: ``add`` rejects edges to
+        not-yet-added tasks, so every upstream precedes its dependents and
+        cycles are unconstructible by design."""
+        return list(self.tasks)
 
 
 def run_dag(dag: Dag) -> dict[str, TaskRun]:

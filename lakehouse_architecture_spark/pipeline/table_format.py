@@ -81,15 +81,24 @@ class ManagedTable:
                 .execute()
             )
             return
-        # Write the merged snapshot to a temp sibling, then swap directories.
-        # cache()+count() is NOT durable here: evicted/lost cached partitions
-        # would recompute from a source dir we are mid-overwrite on. The temp
-        # write fully materializes on disk before the old dir is touched.
+        # The merged snapshot must be durable BEFORE the source dir is
+        # touched: cache()+count() is not (evicted/lost partitions would
+        # recompute from a half-overwritten source).
+        merged = merge_upsert(self.read(), updates, self.keys)
+        if "://" in self.path:
+            # Object store / remote FS: no POSIX rename. Truncate lineage
+            # with an eager localCheckpoint so the overwrite cannot re-read
+            # the source; a transactional format (delta branch above) is
+            # the real answer for concurrent-safe merges there.
+            merged = merged.localCheckpoint(eager=True)
+            self.overwrite(merged)
+            return
+        # Local path: write to a temp sibling, then atomically swap.
         import os
         import shutil
 
-        merged = merge_upsert(self.read(), updates, self.keys)
-        tmp = self.path.rstrip("/") + "__merging"
+        target = self.path.rstrip("/")
+        tmp = target + "__merging"
         merged.write.format(self.format).mode("overwrite").save(tmp)
-        shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        shutil.rmtree(target)
+        os.rename(tmp, target)

@@ -64,8 +64,9 @@ def _verification_history(repo: str | None = None) -> dict[str, tuple[int, int]]
             checks = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
             if False in checks:
                 continue
-            n, _ = hist.get(name, (0, 0))
-            hist[name] = (n + 1, rnd)
+            n, last = hist.get(name, (0, 0))
+            # numeric max, not file order: glob sorts r100 before r11
+            hist[name] = (n + 1, max(rnd, last))
     return hist
 
 

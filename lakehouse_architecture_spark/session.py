@@ -103,8 +103,11 @@ class SessionFactory:
             # queryable from BI tools (hive-metastore/metastore-site.xml:29-40,
             # spark/hive-site.xml:2-5). Locally the embedded Derby metastore
             # pinned inside the warehouse dir gives the same durability
-            # contract; on a cluster, point ConnectionURL (or
-            # hive.metastore.uris) at the shared metastore service instead.
+            # contract for SEQUENTIAL sessions — embedded Derby allows one
+            # JVM at a time, so concurrent readers (a BI tool alongside the
+            # pipeline) need a server-mode metastore: point ConnectionURL
+            # (or hive.metastore.uris) at the shared service, exactly as
+            # the reference's docker-compose does.
             conf.update(
                 {
                     "spark.sql.warehouse.dir": self.hive_warehouse,

@@ -51,7 +51,7 @@ def test_compact_partition_subset_preserves_other_partitions(spark, tmp_path):
         spark, path, target_file_mb=128,
         partition_col="dt", partitions=["2024-01-01", "2024-01-02"],
     )
-    assert n == 1
+    assert n == 2  # one compacted file per selected partition
     # selected partitions compacted to one file each
     assert len(files_in("2024-01-01")) == 1
     assert len(files_in("2024-01-02")) == 1
@@ -72,6 +72,14 @@ def test_compact_partition_subset_preserves_other_partitions(spark, tmp_path):
     assert compact_table(
         spark, path, target_file_mb=128, partition_col="dt", partitions=["2099-01-01"]
     ) == 0
+
+    # values Hive would escape in dir names are refused, not silently skipped
+    import pytest
+
+    with pytest.raises(ValueError, match="escaping"):
+        compact_table(
+            spark, path, target_file_mb=128, partition_col="dt", partitions=["a:b"]
+        )
 
 
 def test_clustered_write_skips_files(spark, tmp_path):

@@ -19,11 +19,18 @@ def test_rotation_prefers_never_green_then_oldest(tmp_path):
         "b": {"rows_match": True, "schema_match": None, "hash_match": None, "err": None},
     }))
 
+    # a round number that sorts lexicographically BEFORE earlier rounds
+    # (r100 < r02 as strings) must still count as the latest
+    (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+    }))
+
     hist = registry._verification_history(str(tmp_path))
     # errored, hash-mismatched, and never-checked queries have no history
-    assert hist == {"a": (1, 1), "b": (2, 2)}
+    assert hist == {"a": (2, 100), "b": (2, 2)}
     order = sorted(["a", "b", "c", "d", "e"], key=lambda n: hist.get(n, (0, 0)))
-    assert set(order[:3]) == {"c", "d", "e"} and order[3:] == ["a", "b"]
+    # never-green first; among equal counts the older last-green sorts first
+    assert set(order[:3]) == {"c", "d", "e"} and order[3:] == ["b", "a"]
 
 
 def test_registry_real_files_put_unverified_first():
