@@ -149,3 +149,39 @@ def shard_manifest(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-group document quota: keep at most ``cap`` rows per
+    ``group_col`` value (domain / source / license bucket — the standard
+    guard against one crawl domain dominating a training mix).
+
+    Selection is deterministic: rows are ranked inside each group by
+    ``order_col`` descending when given (a quality score), else by the md5
+    hash of the id — an unbiased pseudo-random draw that is stable under
+    re-partitioning and retries, unlike ``rand()``-based ranking. One
+    shuffle (window partition on the group); at corpus scale the group
+    cardinality is large (domains), so the window parallelizes evenly and
+    no group outgrows a partition unless the raw crawl itself is skewed —
+    exactly the case the cap exists to bound, and the window only needs
+    the first ``cap`` ranks, which AQE's skew split handles.
+    """
+    if order_col is not None:
+        order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    else:
+        order = [
+            md5_hash64(F.col(id_col).cast("string")).asc(),
+            F.col(id_col).asc(),
+        ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

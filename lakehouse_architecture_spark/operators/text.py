@@ -214,3 +214,129 @@ def winnow_fingerprints(
         .select(F.col(id_col).alias("id"), gram_hashes.alias("__gh"))
         .select("id", F.explode(fps).alias("fp"))
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with
+    term frequency and document frequency.
+
+    One explode + one hash aggregation on the token (map-side partial
+    combine collapses each partition to its local vocabulary before the
+    shuffle, so the shuffle volume is ~|vocab| per partition, not corpus
+    token count), then a global top-k. ``count(distinct)`` per token is
+    computed via a two-level agg (token,doc) -> token so it stays a hash
+    aggregate, never a per-token set. Tie-break on the token string makes
+    the cut deterministic.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = tok.groupBy("tok", "id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("tok")
+        .agg(F.sum("tf").alias("term_freq"), F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("term_freq").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int,
+    delim: str = "\n",
+) -> DataFrame:
+    """Cross-corpus duplicated-line removal (RefinedWeb/Gopher-style
+    boilerplate scrub): split every document on ``delim``, drop the lines
+    whose *document frequency* exceeds ``max_df`` (navigation bars, cookie
+    banners, license boilerplate — content repeated across many pages),
+    and reassemble each document preserving original line order.
+
+    Plan shape: posexplode -> hash-agg on the line hash for document
+    frequency -> the hot-line set is SMALL by construction (only lines
+    repeated in > max_df docs), so it broadcasts back as an anti-join —
+    the same guard pattern as ``ngram_jaccard_pairs``' ``max_df``. The
+    reassembly is one hash-agg per doc collecting (pos, line) structs,
+    sorted in-array (deterministic, no window sort needed).
+
+    Returns (id, text, n_lines_kept, n_lines_dropped).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        )
+    )
+    hashed = lines.withColumn("h", md5_hash64(F.col("line")))
+    hot = (
+        hashed.select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    kept_flag = hashed.join(F.broadcast(hot).withColumn("__hot", F.lit(1)), "h", "left")
+    return (
+        kept_flag.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__hot").isNull(),
+                        F.struct(F.col("pos"), F.col("line")),
+                    )
+                )
+            ).alias("kept"),
+            F.sum(F.when(F.col("__hot").isNotNull(), 1).otherwise(0)).alias(
+                "n_lines_dropped"
+            ),
+        )
+        .select(
+            "id",
+            F.array_join(F.transform(F.col("kept"), lambda s: s["line"]), delim).alias(
+                "text"
+            ),
+            F.size("kept").alias("n_lines_kept"),
+            "n_lines_dropped",
+        )
+    )
+
+
+#: (label, java+RE2-compatible regex, replacement) — patterns kept inside
+#: the regex subset that Java regex and RE2/DuckDB interpret identically
+#: (no lookaround, no backrefs), so redaction is oracle-checkable.
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("number", r"[0-9]+", "<NUM>"),
+)
+
+
+def redact(
+    df: DataFrame,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = REDACT_PATTERNS,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII/pattern redaction: replace each pattern with its placeholder and
+    count the replacements per pattern (``n_<label>`` columns).
+
+    Pure ``regexp_replace``/``regexp_extract_all`` Catalyst expressions —
+    a narrow map, no shuffle, codegen intact. Patterns apply in declared
+    order to the progressively-redacted text (so an email is ONE <EMAIL>,
+    not an <EMAIL> wrapping <NUM>s); counts are measured against the text
+    as each pattern sees it.
+    """
+    cols: dict[str, Column] = {}
+    redacted = F.col(text_col)
+    for label, pat, repl in patterns:
+        cols[f"n_{label}"] = F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    cols[out_col] = redacted
+    return df.withColumns(cols)

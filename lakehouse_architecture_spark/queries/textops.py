@@ -23,6 +23,7 @@ from lakehouse_architecture_spark.operators.dedup import (
 )
 from lakehouse_architecture_spark.operators.curation import (
     pack_token_budget,
+    quota_cap,
     stratified_hash_sample,
 )
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
@@ -35,9 +36,12 @@ from lakehouse_architecture_spark.operators.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
     char_stats,
+    drop_duplicate_lines,
     fingerprint,
     language_id,
     quality_score,
+    redact,
+    vocab_topk,
     winnow_fingerprints,
 )
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
@@ -828,7 +832,133 @@ ORDER BY shard, pos
 """
 
 
+# --- curation: per-source quota cap ----------------------------------------
+_CAP = 10
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return quota_cap(t["documents"], "source", "doc_id", _CAP).select(
+        "source", "doc_id", "n_chars"
+    )
+
+
+_Q_SOURCE_CAP_SQL = f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_HASH64.format(expr="CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {_CAP}
+"""
+
+
+# --- text: corpus vocabulary top-k ------------------------------------------
+_VOCAB_K = 50
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return vocab_topk(t["documents"], "doc_id", "text", k=_VOCAB_K)
+
+
+_Q_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY term_freq DESC, tok ASC
+LIMIT {_VOCAB_K}
+"""
+
+
+# --- dedup: cross-corpus duplicated-line scrub ------------------------------
+# The registry query runs the operator at token granularity (delim=' '):
+# the fixture documents are single-line, so '\n' lines would make it a
+# no-op; with token "lines" the hot set is the corpus's stopword layer and
+# the scrub does real work. Production use is delim='\n' verbatim.
+_LINE_MAX_DF = 350
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    out = drop_duplicate_lines(
+        t["documents"], "doc_id", "text", max_df=_LINE_MAX_DF, delim=" "
+    )
+    return out.select(
+        "id",
+        "text",
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("int").alias("n_lines_dropped"),
+    )
+
+
+_Q_LINE_DEDUP_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, i.i AS pos, tk[i.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       LATERAL (SELECT unnest(generate_series(0, len(tk) - 1)) AS i) i
+),
+hashed AS (
+  SELECT doc_id, pos, line, {_HASH64.format(expr="line")} AS h FROM lines
+),
+hot AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h
+  ) WHERE df > {_LINE_MAX_DF}
+)
+SELECT doc_id AS id,
+       COALESCE(string_agg(line, ' ' ORDER BY pos)
+                  FILTER (WHERE h NOT IN (SELECT h FROM hot)), '') AS text,
+       CAST(COUNT(*) FILTER (WHERE h NOT IN (SELECT h FROM hot)) AS INT)
+         AS n_lines_kept,
+       CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM hot)) AS INT)
+         AS n_lines_dropped
+FROM hashed
+GROUP BY doc_id
+"""
+
+
+# --- text: PII/pattern redaction over events.props --------------------------
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    out = redact(t["events"], "props")
+    return out.select(
+        "event_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_number").cast("int").alias("n_number"),
+        "redacted",
+    )
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_Q_REDACT_SQL = f"""
+WITH r1 AS (
+  SELECT event_id,
+         CAST(len(regexp_extract_all(props, '{_EMAIL_PAT}')) AS INT) AS n_email,
+         regexp_replace(props, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+  FROM events
+)
+SELECT event_id, n_email,
+       CAST(len(regexp_extract_all(t1, '[0-9]+')) AS INT) AS n_number,
+       regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS redacted
+FROM r1
+"""
+
+
 TEXTOPS_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_source_cap", "per-source document quota cap", _q_source_cap, _Q_SOURCE_CAP_SQL),
+    QuerySpec("q_vocab_topk", "corpus vocabulary with term/doc frequency", _q_vocab_topk, _Q_VOCAB_SQL),
+    QuerySpec("q_line_dedup", "cross-corpus duplicated-line scrub (RefinedWeb-style)", _q_line_dedup, _Q_LINE_DEDUP_SQL),
+    QuerySpec("q_redact", "pattern/PII redaction with per-pattern counts", _q_redact, _Q_REDACT_SQL),
     QuerySpec("q_dedup_keep_first", "deterministic keep-first dedup", _q_dedup_keep_first, _Q_DEDUP_KEEP_FIRST_SQL),
     QuerySpec("q_fingerprint_groups", "normalization-fingerprint dedup groups", _q_fingerprint, _Q_FINGERPRINT_SQL),
     QuerySpec("q_ngram_jaccard", "word-3-gram Jaccard near-dup pairs", _q_ngram_jaccard, _Q_NGRAM_JACCARD_SQL),

@@ -209,3 +209,74 @@ def test_lsh_bucket_cap_degenerate_corpus(spark):
     capped = lsh_bucket_pairs(df, dim=8, planes=4, max_bucket=5).collect()
     got = {(r["id_a"], r["id_b"]) for r in capped}
     assert got == {(100, 101)}  # hot bucket dropped, small bucket intact
+
+
+def test_quota_cap_deterministic_and_bounded(spark):
+    from lakehouse_architecture_spark.operators.curation import quota_cap
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "id int, g string"
+    )
+    out = quota_cap(df, "g", "id", cap=4)
+    counts = {r["g"]: r["c"] for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4}
+    # selection is a function of the ids, not the physical layout
+    again = quota_cap(df.repartition(7), "g", "id", cap=4)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # order_col mode keeps the top-quality rows
+    q = df.withColumn("quality", F.col("id").cast("double"))
+    best = quota_cap(q, "g", "id", cap=2, order_col="quality")
+    ids = sorted(r["id"] for r in best.filter(F.col("g") == "g0").collect())
+    assert ids == [24, 27]
+
+
+def test_drop_duplicate_lines_preserves_order_and_drops_hot(spark):
+    from lakehouse_architecture_spark.operators.text import drop_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\ncookie banner\nkeep two"),
+            (2, "cookie banner\nunique line"),
+            (3, "cookie banner"),
+            (4, "fresh\ncontent"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in drop_duplicate_lines(
+        docs, "doc_id", "text", max_df=2).collect()}
+    # 'cookie banner' appears in 3 docs > max_df=2 -> scrubbed everywhere
+    assert out[1]["text"] == "keep one\nkeep two"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 1
+    assert out[2]["text"] == "unique line"
+    # a doc that was ALL boilerplate comes back empty, not missing
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[4]["text"] == "fresh\ncontent" and out[4]["n_lines_dropped"] == 0
+
+
+def test_redact_progressive_patterns(spark):
+    from lakehouse_architecture_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [(1, "mail bob99@ex.com or call 555 1234"), (2, "no pii here")],
+        "id int, s string",
+    )
+    out = {r["id"]: r for r in redact(df, "s").collect()}
+    # the email is ONE <EMAIL>; its digits are not double-counted as numbers
+    assert out[1]["redacted"] == "mail <EMAIL> or call <NUM> <NUM>"
+    assert out[1]["n_email"] == 1 and out[1]["n_number"] == 2
+    assert out[2]["redacted"] == "no pii here"
+    assert out[2]["n_email"] == 0 and out[2]["n_number"] == 0
+
+
+def test_vocab_topk_tiebreak(spark):
+    from lakehouse_architecture_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "b c"), (3, "  ")], "doc_id int, text string"
+    )
+    rows = vocab_topk(df, "doc_id", "text", k=2).collect()
+    assert [(r["tok"], r["term_freq"], r["doc_freq"]) for r in rows] == [
+        ("a", 2, 1),
+        ("b", 2, 2),
+    ]
