@@ -185,3 +185,30 @@ def quota_cap(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows without replacement:
+    each row gets priority ``hash64(id) / weight`` and the n smallest
+    priorities win — heavier rows draw systematically smaller priorities,
+    so inclusion probability scales with weight, and the draw is a pure
+    function of the ids (stable under re-partitioning, retries, engines;
+    the same property as :func:`stratified_hash_sample`, which handles the
+    per-stratum-fraction case while this handles per-row weights).
+
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject — each
+    partition keeps its local top-n and a single reduce merges them; no
+    global sort shuffle, so the op scales to any corpus size with bounded
+    memory. Division of the 60-bit hash by the weight is IEEE-exact and
+    identical across engines (no pow/ln, which are libm-dependent and not
+    oracle-safe; and no round(), whose large-magnitude behavior differs
+    between engines — the raw quotient is already bit-identical).
+    """
+    pr = md5_hash64(F.col(id_col).cast("string")) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("priority", pr)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -77,3 +77,82 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, k: int = 4, m_bits: int = 16384
+) -> DataFrame:
+    """Distributed Bloom filter over ``key_col`` as (word, bits) rows.
+
+    Bit positions come from the portable double-hash scheme h_i(x) =
+    (perm_0(x) + i*perm_1(x)) mod m (Kirsch–Mitzenmacher); each key sets
+    ``k`` bits. Built sparse: explode k positions per key, distinct to one
+    row per set bit, then OR the bits of each 32-bit word in one hash
+    aggregation — partial aggregation merges partition-local filters
+    map-side exactly like a word count, so the build is one shuffle whose
+    volume is bounded by the FILTER size (≤ m/32 words per partition), not
+    the key count. Absent words are all-zero.
+
+    The result (≤ m/32 rows) broadcasts for probing. All hash math is
+    md5-derived (functions/hashing.py) → the whole filter is
+    oracle-checkable word by word.
+    """
+    h = md5_hash64(F.col(key_col).cast("string"))
+    h1 = minhash_perm(h, F.lit(0))
+    h2 = minhash_perm(h, F.lit(1))
+    pos = F.array(*[((h1 + F.lit(i) * h2) % m_bits).cast("int") for i in range(k)])
+    return (
+        df.select(F.explode(pos).alias("p"))
+        .select(
+            (F.col("p") / 32).cast("int").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), p % 32)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    k: int = 4,
+    m_bits: int = 16384,
+) -> DataFrame:
+    """Membership probe: a key "may be present" iff ALL its k bits are set.
+
+    The filter broadcasts (≤ m/32 rows); the probe side streams through an
+    explode + broadcast join + one count-style aggregation per key — no
+    shuffle of the probed table beyond the per-key regroup, which AQE
+    coalesces. No false negatives; false-positive rate ~(1-e^{-kn/m})^k,
+    deterministic here because the hashes are.
+
+    Returns ``df`` plus ``maybe_present``.
+    """
+    h = md5_hash64(F.col(key_col).cast("string"))
+    h1 = minhash_perm(h, F.lit(0))
+    h2 = minhash_perm(h, F.lit(1))
+    pos = F.array(*[((h1 + F.lit(i) * h2) % m_bits).cast("int") for i in range(k)])
+    probes = df.select(key_col).distinct().select(
+        F.col(key_col), F.posexplode(pos).alias("i", "p")
+    ).select(
+        key_col,
+        (F.col("p") / 32).cast("int").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), p % 32)").alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                (F.col("bits").isNotNull())
+                & (F.col("bits").bitwiseAND(F.col("bit")) == F.col("bit")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy(key_col)
+        .agg((F.sum("hit") == F.lit(k)).alias("maybe_present"))
+    )
+    # plain key join: hits has one row per distinct probed key, which can be
+    # as large as the probe table — let AQE pick broadcast when it is small
+    return df.join(hits, key_col, "left")

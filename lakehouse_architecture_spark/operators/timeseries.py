@@ -11,7 +11,7 @@ job and N of them; materialize the (tiny) result as the serving table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.aggregates import dsum
@@ -186,4 +186,40 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
         )
         .groupBy("cohort", "day_n")
         .agg(F.countDistinct("uid").alias("n_users"))
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change stream: per
+    key, collapse consecutive rows with an unchanged ``attr_col`` and emit
+    validity intervals (``valid_from``, ``valid_to``, ``is_current``).
+
+    Two windows over the SAME partitioning+ordering (change detection via
+    lag, then interval close via lead) — Catalyst reuses the one exchange
+    and sort, so the whole op is a single shuffle on the key. This is the
+    batch form of the streaming dedup+sessionize pattern; at 100 TB the
+    key (user/entity id) is high-cardinality, so the window parallelizes
+    evenly.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    changed = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
     )

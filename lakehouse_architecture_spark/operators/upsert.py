@@ -42,3 +42,42 @@ def touched_partitions(updates: DataFrame, partition_col: str) -> list:
     return [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Table reconciliation: per-key status between two snapshots —
+    ``added`` / ``removed`` / ``changed`` / ``same``.
+
+    The standard validation step after a migration, backfill, or MERGE:
+    one full-outer shuffle join on the key, with each side reduced to a
+    single md5 row-hash over ``compare_cols`` (default: all non-key
+    columns, in name order) BEFORE the join — so the shuffle carries
+    (key, 60-bit hash), not full rows, no matter how wide the table. For a
+    count-only report, aggregate the result on ``status``.
+    """
+    cmp_cols = compare_cols or sorted(c for c in before.columns if c not in keys)
+
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+        row = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cmp_cols]
+        )
+        return df.select(*keys, md5_hash64(row).alias(out))
+
+    b = hashed(before, "h_before")
+    a = hashed(after, "h_after")
+    joined = b.join(a, on=keys, how="full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("h_before").isNull(), F.lit("added"))
+        .when(F.col("h_after").isNull(), F.lit("removed"))
+        .when(F.col("h_before") == F.col("h_after"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

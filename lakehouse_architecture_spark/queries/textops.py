@@ -25,6 +25,7 @@ from lakehouse_architecture_spark.operators.curation import (
     pack_token_budget,
     quota_cap,
     stratified_hash_sample,
+    weighted_priority_sample,
 )
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
 from lakehouse_architecture_spark.operators.pandas_ops import grouped_rank
@@ -954,7 +955,147 @@ FROM r1
 """
 
 
+# --- sketch: Bloom-filter membership screen ---------------------------------
+# Build over orders' customer keys, probe every customer: the classic
+# "screen a huge probe stream against a set that fits in a sketch" step
+# (seen-ID dedup, join pre-filtering). ~1/3 of TPC-H customers place no
+# orders, so the probe genuinely separates; false positives are
+# deterministic because the hash math is.
+_BLOOM_K = 4
+_BLOOM_M = 16384
+
+
+def _q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.sketch import bloom_build, bloom_probe
+
+    t = tables(spark, sf_dir)
+    bloom = bloom_build(
+        t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        k=_BLOOM_K,
+        m_bits=_BLOOM_M,
+    )
+    out = bloom_probe(
+        bloom,
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+        k=_BLOOM_K,
+        m_bits=_BLOOM_M,
+    )
+    return out.select("c_custkey", "c_mktsegment", "maybe_present")
+
+
+def _bloom_pos_cte(src: str, key_expr: str) -> str:
+    h = _HASH64.format(expr=f"CAST({key_expr} AS VARCHAR)")
+    from lakehouse_architecture_spark.functions.hashing import minhash_perm_sql
+
+    h1 = minhash_perm_sql("hh", "0")
+    h2 = minhash_perm_sql("hh", "1")
+    return f"""
+  SELECT key, ((h1 + i.i * h2) % {_BLOOM_M}) AS p
+  FROM (SELECT key, {h1} AS h1, {h2} AS h2
+        FROM (SELECT {key_expr} AS key, {h} AS hh FROM {src})),
+       LATERAL (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i) i
+"""
+
+
+_Q_BLOOM_SQL = f"""
+WITH bpos AS ({_bloom_pos_cte("orders", "o_custkey")}),
+bloom AS (
+  SELECT p // 32 AS word, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS bits
+  FROM bpos GROUP BY 1
+),
+ppos AS ({_bloom_pos_cte("customer", "c_custkey")}),
+probes AS (
+  SELECT key, p // 32 AS word, CAST(1 AS BIGINT) << (p % 32) AS bit FROM ppos
+),
+hits AS (
+  SELECT probes.key,
+         SUM(CASE WHEN bloom.bits IS NOT NULL
+                   AND (bloom.bits & probes.bit) = probes.bit
+                  THEN 1 ELSE 0 END) = {_BLOOM_K} AS maybe_present
+  FROM probes LEFT JOIN bloom USING (word)
+  GROUP BY 1
+)
+SELECT c_custkey, c_mktsegment, maybe_present
+FROM customer JOIN hits ON hits.key = customer.c_custkey
+"""
+
+
+# --- curation: deterministic weighted sampling ------------------------------
+_WSAMPLE_N = 100
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return weighted_priority_sample(t["documents"], "doc_id", "n_chars", _WSAMPLE_N).select(
+        "doc_id", "source", "n_chars", "priority"
+    )
+
+
+_Q_WSAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       {_HASH64.format(expr="CAST(doc_id AS VARCHAR)")}
+             / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {_WSAMPLE_N}
+"""
+
+
+# --- reconciliation: snapshot diff ------------------------------------------
+# "after" is a deterministic mutation of documents: doc_id % 10 == 0 rows
+# dropped (-> removed), doc_id % 7 == 0 re-sourced (-> changed), and a
+# shifted copy of doc_id % 13 == 0 appended (-> added).
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.upsert import snapshot_diff
+
+    t = tables(spark, sf_dir)
+    before = t["documents"]
+    kept = before.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("resourced")).otherwise(
+            F.col("source")
+        ),
+    )
+    added = before.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    after = kept.unionByName(added)
+    return snapshot_diff(before, after, ["doc_id"], ["lang", "source", "text"])
+
+
+_DIFF_ROWHASH = _HASH64.format(
+    expr="concat_ws(chr(31), COALESCE(CAST(lang AS VARCHAR), chr(0)),"
+    " COALESCE(CAST(source AS VARCHAR), chr(0)),"
+    " COALESCE(CAST(text AS VARCHAR), chr(0)))"
+)
+_Q_SNAPSHOT_DIFF_SQL = f"""
+WITH after_t AS (
+  SELECT doc_id,
+         lang,
+         CASE WHEN doc_id % 7 = 0 THEN 'resourced' ELSE source END AS source,
+         text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source, text
+  FROM documents WHERE doc_id % 13 = 0
+),
+b AS (SELECT doc_id, {_DIFF_ROWHASH} AS h_before FROM documents),
+a AS (SELECT doc_id, {_DIFF_ROWHASH} AS h_after FROM after_t)
+SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'added'
+            WHEN a.doc_id IS NULL THEN 'removed'
+            WHEN h_before = h_after THEN 'same'
+            ELSE 'changed' END AS status
+FROM b FULL OUTER JOIN a USING (doc_id)
+"""
+
+
 TEXTOPS_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_bloom_screen", "Bloom-filter membership screen (build + probe)", _q_bloom_screen, _Q_BLOOM_SQL),
+    QuerySpec("q_weighted_sample", "deterministic weighted priority sampling", _q_weighted_sample, _Q_WSAMPLE_SQL),
+    QuerySpec("q_snapshot_diff", "per-key snapshot reconciliation diff", _q_snapshot_diff, _Q_SNAPSHOT_DIFF_SQL),
     QuerySpec("q_source_cap", "per-source document quota cap", _q_source_cap, _Q_SOURCE_CAP_SQL),
     QuerySpec("q_vocab_topk", "corpus vocabulary with term/doc frequency", _q_vocab_topk, _Q_VOCAB_SQL),
     QuerySpec("q_line_dedup", "cross-corpus duplicated-line scrub (RefinedWeb-style)", _q_line_dedup, _Q_LINE_DEDUP_SQL),

@@ -162,7 +162,45 @@ ORDER BY granularity, bucket
 """
 
 
+# --- SCD2 validity intervals from a change stream ---------------------------
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.timeseries import scd2_intervals
+
+    t = tables(spark, sf_dir)
+    out = scd2_intervals(t["events"], ["user_id"], "ts", "event_type", "event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+_Q_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM changes
+"""
+
+
 TIMESERIES_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_scd2", "SCD2 validity intervals from a change stream", _q_scd2, _Q_SCD2_SQL),
     QuerySpec("q_gapfill", "time-grid gap-fill with forward fill (locf)", _q_gapfill, _Q_GAPFILL_SQL),
     QuerySpec("q_exact_corr", "Pearson corr/covar from decimal-exact sums", _q_exact_corr, _Q_EXACT_CORR_SQL),
     QuerySpec("q_time_rollup", "multi-granularity rollup in one grouping-sets pass", _q_time_rollup, _Q_TIME_ROLLUP_SQL),

@@ -280,3 +280,64 @@ def test_vocab_topk_tiebreak(spark):
         ("a", 2, 1),
         ("b", 2, 2),
     ]
+
+
+def test_bloom_no_false_negatives(spark):
+    from lakehouse_architecture_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(200)], "k int")
+    bloom = bloom_build(members, "k", k=4, m_bits=4096)
+    probe = spark.createDataFrame([(i,) for i in range(400)], "k int")
+    out = {r["k"]: r["maybe_present"] for r in bloom_probe(
+        bloom, probe, "k", k=4, m_bits=4096).collect()}
+    # every member MUST hit (no false negatives)
+    assert all(out[i] for i in range(200))
+    # non-members mostly miss (fp rate at n=200,m=4096,k=4 is ~0.2%)
+    fps = sum(1 for i in range(200, 400) if out[i])
+    assert fps <= 10
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from lakehouse_architecture_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    picked = {r["id"] for r in weighted_priority_sample(df, "id", "w", 60).collect()}
+    # the 50 heavy rows (1000x weight) should essentially all be sampled
+    assert len(picked & set(range(50))) >= 45
+    # deterministic under repartition
+    again = {r["id"] for r in weighted_priority_sample(
+        df.repartition(13), "id", "w", 60).collect()}
+    assert picked == again
+
+
+def test_scd2_collapses_unchanged_runs(spark):
+    from lakehouse_architecture_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 20, "a", 2), (1, 30, "b", 3), (1, 40, "a", 4),
+         (2, 5, "x", 5)],
+        "k int, t int, state string, eid int",
+    )
+    out = [
+        (r["t"], r["state"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(df, ["k"], "t", "state", "eid")
+        .filter(F.col("k") == 1).orderBy("t").collect()
+    ]
+    # t=20 (unchanged 'a') collapses into the first interval
+    assert out == [(10, "a", 30, False), (30, "b", 40, False), (40, "a", None, True)]
+
+
+def test_snapshot_diff_statuses(spark):
+    from lakehouse_architecture_spark.operators.upsert import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id int, s string, v double"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)], "id int, s string, v double"
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(before, after, ["id"]).collect()}
+    assert got == {1: "same", 2: "changed", 3: "removed", 4: "added"}

@@ -124,3 +124,31 @@ def test_repetition_is_narrow_map(spark):
     df = _q(spark, "q_repetition")
     plan = formatted_plan(df)
     assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_line_dedup_broadcasts_hot_set(spark):
+    # the hot-line set is small by construction -> must come back as a
+    # broadcast, never a shuffled join against the full line table
+    df = _q(spark, "q_line_dedup")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_quota_cap_single_window_shuffle(spark):
+    plan = formatted_plan(_q(spark, "q_source_cap"))
+    assert plan.count("Exchange") <= 2  # window partition (+AQE read)
+    assert "Window" in plan
+
+
+def test_redact_is_narrow_map(spark):
+    # pure regexp projection: no shuffle, no join, codegen intact
+    plan = formatted_plan(_q(spark, "q_redact"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_vocab_topk_partial_aggregation(spark):
+    # two-level agg: both levels must show map-side partial HashAggregates
+    plan = formatted_plan(_q(spark, "q_vocab_topk"))
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
