@@ -7,6 +7,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_architecture_spark.queries.base import QuerySpec
+from lakehouse_architecture_spark.queries.corpus import CORPUS_QUERIES
 from lakehouse_architecture_spark.queries.events import EVENTS_QUERIES
 from lakehouse_architecture_spark.queries.relational import RELATIONAL_QUERIES
 from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
@@ -23,6 +24,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *EVENTS_QUERIES,
     *TEXTOPS_QUERIES,
     *TIMESERIES_QUERIES,
+    *CORPUS_QUERIES,
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry

@@ -99,3 +99,46 @@ def test_gold_division_semantics(spark):
     )
     g = silver_to_gold(silver).collect()[0]
     assert g["price_per_m2"] is None
+
+
+def test_corpus_curation_full_chain_with_near_dedup(spark):
+    from lakehouse_architecture_spark.pipeline.corpus import (
+        CurationConfig,
+        curate_corpus,
+        curation_report,
+    )
+
+    rows = []
+    # 6 good English docs in two sources, including an exact dup pair and a
+    # near-dup pair (one token differs out of 12)
+    base = "the cat sat of the mat and it is a fine day"
+    near = "the cat sat of the mat and it is a fine night"
+    for i, (src, txt) in enumerate([
+        ("s1", base), ("s1", base), ("s1", near),
+        ("s2", "the dog ran of the hill and is a good boy"),
+        ("s2", "el perro corre y la casa de que y el"),      # spanish
+        ("s1", "the of and is a " * 3),
+    ]):
+        rows.append((i, txt, "en", src, len(txt)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cfg = CurationConfig(
+        languages=("en",), min_quality=0.0, source_cap=5,
+        token_budget=100, near_dedup=True, minhash_perms=16, minhash_bands=8,
+        min_shared_bands=1,
+    )
+    out = curate_corpus(docs, cfg)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert cfg.stages == [
+        "language", "quality", "exact_dedup", "near_dedup", "source_cap",
+        "token_budget",
+    ]
+    assert 4 not in kept          # spanish filtered
+    assert 1 not in kept          # exact dup loses to doc 0
+    assert 2 not in kept          # near dup of doc 0 (J~0.67 -> bands fire)
+    assert 0 in kept and 3 in kept
+    rep = {r["source"]: (r["docs_in"], r["docs_out"]) for r in curation_report(
+        docs, out).collect()}
+    assert rep["s1"][0] == 4 and rep["s2"][0] == 2
+    assert rep["s1"][1] >= 1 and rep["s2"][1] >= 1

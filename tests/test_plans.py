@@ -152,3 +152,33 @@ def test_vocab_topk_partial_aggregation(spark):
     plan = formatted_plan(_q(spark, "q_vocab_topk"))
     assert plan.count("HashAggregate") >= 4
     assert "Join" not in plan
+
+
+def test_bloom_screen_broadcasts_filter(spark):
+    # the <=m/32-row filter must broadcast; the probe side never shuffles
+    # against it
+    df = _q(spark, "q_bloom_screen")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_weighted_sample_takeordered_no_global_sort(spark):
+    plan = formatted_plan(_q(spark, "q_weighted_sample"))
+    assert "TakeOrderedAndProject" in plan
+    # no full-sort exchange: TakeOrdered merges per-partition top-n
+    assert "Sort " not in plan or "rangepartitioning" not in plan.lower()
+
+
+def test_scd2_reuses_one_exchange(spark):
+    # lag change-collapse + lead interval close share partitioning+ordering
+    plan = formatted_plan(_q(spark, "q_scd2"))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Window") >= 2
+
+
+def test_snapshot_diff_shuffles_hashes_not_rows(spark):
+    plan = formatted_plan(_q(spark, "q_snapshot_diff"))
+    assert_no_cartesian(_q(spark, "q_snapshot_diff"))
+    # the full-outer join operates on (key, 60-bit hash) projections:
+    # the wide text column must not appear in the join output schema
+    assert "h_before" in plan and "h_after" in plan
