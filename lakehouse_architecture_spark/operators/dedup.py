@@ -185,6 +185,38 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, sig) LSH band signatures: band key = band index +
+    '_'-joined minhash values of the band's r = num_perm/bands rows, in
+    permutation order. The unit of near-dup candidate generation — two
+    docs are candidates iff they share a (band, sig) bucket — and the
+    durable state an INCREMENTAL dedup pipeline persists between batches
+    (bands rows per doc, no text)."""
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -200,22 +232,7 @@ def minhash_lsh_candidates(
     (id_a < id_b, n_shared_bands). At scale the bucket join shuffles on the
     band signature — sub-quadratic as long as buckets stay small.
     """
-    r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band = sig.select("id", F.explode(band_structs).alias("bs")).select(
-        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    band = band_signatures(df, id_col, text_col, num_perm, bands, shingle_n)
     a = band.alias("a")
     b = band.alias("b")
     return (

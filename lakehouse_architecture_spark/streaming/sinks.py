@@ -39,12 +39,18 @@ def foreach_batch_upsert(
             batch.write.mode("overwrite").parquet(target_path)
             return
         merged = merge_upsert(target, batch, keys)
-        # write-then-swap via overwrite: parquet has no transactions, so the
-        # checkpoint + idempotent merge carry the exactly-once guarantee
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+        # The merged snapshot must be durable BEFORE the source dir is
+        # touched — cache()+count() is not (an evicted/lost partition would
+        # recompute from the dir mid-overwrite). Same write-to-sibling +
+        # rename as pipeline/table_format.ManagedTable.merge; the
+        # checkpoint + idempotent merge carry the exactly-once guarantee.
+        import os
+        import shutil
+
+        tmp = target_path.rstrip("/") + "__epoch_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path.rstrip("/"))
+        os.rename(tmp, target_path.rstrip("/"))
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

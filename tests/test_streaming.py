@@ -175,3 +175,44 @@ def test_sessionized_counts_batch(spark):
         (1, "2024-01-01 12:00:00", 1),
         (2, "2024-01-01 09:00:00", 1),
     }
+
+
+def test_neardedup_ingest_across_batches(spark, tmp_path):
+    from lakehouse_architecture_spark.streaming.corpus_ingest import (
+        foreach_batch_neardedup_ingest,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "docs_src")
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the cat sat of the mat and it is a fine day today ok"
+    near = "the cat sat of the mat and it is a fine day today no"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(doc_schema).parquet(src)
+        q = foreach_batch_neardedup_ingest(stream, corpus, sigs, ckpt)
+        q.awaitTermination(120)
+
+    # epoch 1: doc 3 is an in-batch near-dup of doc 1 -> dropped
+    write_docs([(1, base), (2, "completely different words entirely here"), (3, near)])
+    run()
+    kept1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert kept1 == {1, 2}
+
+    # epoch 2: doc 4 near-dups doc 1 ACROSS batches (store hit), 5 is new
+    write_docs([(4, near), (5, "novel content appears in this new document")])
+    run()
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 2, 5}
+    # the store holds signatures only for surviving docs
+    assert {r["id"] for r in spark.read.parquet(sigs).select("id").distinct().collect()} == {1, 2, 5}
