@@ -181,6 +181,41 @@ def lsh_bucket_pairs(
     )
 
 
+def cosine_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    min_cos: float = 0.9,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate canonicalization: every vector is
+    mapped to the canonical (minimum) id of its near-dup cluster.
+
+    Pipeline: LSH-bucketed candidate pairs (sub-quadratic — only vectors
+    sharing a hyperplane signature are compared), exact-cosine filter at
+    ``min_cos``, then connected components so A≈B≈C collapses to one
+    canonical even when A and C never share a bucket directly. Downstream
+    dedup keeps rows where ``is_canonical``.
+
+    At scale: candidate generation shuffles once on the signature;
+    the component propagation iterates only over the (small) pair set,
+    never the corpus. ``max_bucket`` guards degenerate corpora (many
+    identical embeddings collapsing into one bucket) exactly as in
+    :func:`lsh_bucket_pairs`. Recall is governed by ``planes`` — fewer
+    planes → more candidate pairs → higher recall and cost.
+    """
+    from lakehouse_architecture_spark.operators.graph import dedup_clusters
+
+    pairs = lsh_bucket_pairs(
+        df, id_col, vec_col, dim, planes, min_cos, max_bucket
+    ).select("id_a", "id_b")
+    return dedup_clusters(df.select(id_col), pairs, id_col).withColumn(
+        "is_canonical", F.col(id_col) == F.col("canonical_id")
+    )
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,

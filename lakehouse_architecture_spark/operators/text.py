@@ -309,6 +309,53 @@ def drop_duplicate_lines(
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: ``score = tf · ln((N+1)/(df+1))``
+    (smoothed idf — always finite, never divides by zero).
+
+    Terms are lowercased whitespace tokens (same tokenizer as the rest of
+    the text belt). Three shuffles, each a standard partial-agg hash
+    shuffle that scales linearly: (doc, term) counts, per-term document
+    frequencies, and the per-doc top-k window. The corpus-size scalar
+    ``N`` joins in via ``crossJoin(broadcast(...))`` — no driver
+    round-trip — and the doc-frequency join is a plain equi-join on the
+    term key (vocabulary-sized; AQE picks broadcast when it fits).
+    Ties break on term ascending, so output is deterministic.
+    """
+    from lakehouse_architecture_spark.operators.relational import top_k_per_group
+
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)), 6
+            ),
+        )
+        .select("id", "term", "tf", "df_t", "score")
+    )
+    return top_k_per_group(
+        scored,
+        ["id"],
+        [F.col("score").desc(), F.col("term").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
 #: (label, java+RE2-compatible regex, replacement) — patterns kept inside
 #: the regex subset that Java regex and RE2/DuckDB interpret identically
 #: (no lookaround, no backrefs), so redaction is oracle-checkable.

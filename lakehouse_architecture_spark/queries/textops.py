@@ -42,6 +42,7 @@ from lakehouse_architecture_spark.operators.text import (
     language_id,
     quality_score,
     redact,
+    tf_idf_top_terms,
     vocab_topk,
     winnow_fingerprints,
 )
@@ -1092,6 +1093,123 @@ FROM b FULL OUTER JOIN a USING (doc_id)
 """
 
 
+# --- dedup: embedding-cosine near-dup canonicalization --------------------
+# Fewer planes than q_lsh_bucket_pairs (more candidate collisions → higher
+# recall) and a threshold tuned to the synthetic corpus's cosine range —
+# real near-dup corpora would use ~0.9 with the same plan shape.
+_ND_PLANES = 4
+_ND_MIN_COS = 0.3
+
+
+def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        sim.cosine_neardup(
+            t["embeddings"], dim=64, planes=_ND_PLANES, min_cos=_ND_MIN_COS
+        )
+        .select("vec_id", "canonical_id", "is_canonical")
+        .orderBy("vec_id")
+    )
+
+
+# LSH candidates → exact-cosine filter → recursive-CTE transitive closure;
+# canonical = min reachable id (mirrors operators/graph.py min-label CC).
+_Q_COSINE_NEARDUP_SQL = f"""
+WITH RECURSIVE {_DIMS_CTE},
+{_NORMS_CTE},
+planes AS (
+  SELECT p.p AS p, d.d AS d,
+         CAST(({_HASH64.format(expr="CAST(p.p AS VARCHAR) || ':' || CAST(d.d - 1 AS VARCHAR)")} % 2001) - 1000 AS DOUBLE) AS w
+  FROM (SELECT unnest(generate_series(0, {_ND_PLANES - 1})) AS p) p, dims d
+),
+pdots AS (
+  SELECT e.vec_id, pl.p, SUM(CAST(e.embedding[pl.d] AS DOUBLE) * pl.w) AS dp
+  FROM embeddings e, planes pl
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM pdots GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+pairdots AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CAST(ea.embedding[d.d] AS DOUBLE) * CAST(eb.embedding[d.d] AS DOUBLE)) AS dp
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b, dims d
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM pairdots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+  WHERE ROUND(dp / (na.nrm * nb.nrm), 6) >= {_ND_MIN_COS}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT e.vec_id,
+       COALESCE(comp.component, e.vec_id) AS canonical_id,
+       COALESCE(comp.component, e.vec_id) = e.vec_id AS is_canonical
+FROM embeddings e
+LEFT JOIN comp ON comp.node = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+# --- text analysis: per-document TF-IDF top terms -------------------------
+_TFIDF_K = 3
+
+
+def _q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        tf_idf_top_terms(t["documents"], "doc_id", "text", k=_TFIDF_K)
+        .select(
+            F.col("id").alias("doc_id"), "term", "tf", "df_t", "score", "rank"
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+_Q_TFIDF_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tk WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df_t,
+         ROUND(tf * ln((n_docs + 1) / (df_t + 1)), 6) AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, df_t, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
 TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_bloom_screen", "Bloom-filter membership screen (build + probe)", _q_bloom_screen, _Q_BLOOM_SQL),
     QuerySpec("q_weighted_sample", "deterministic weighted priority sampling", _q_weighted_sample, _Q_WSAMPLE_SQL),
@@ -1122,4 +1240,6 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_decontaminate", "benchmark n-gram decontamination screen", _q_decontaminate, _Q_DECONTAMINATE_SQL),
     QuerySpec("q_repetition", "intra-doc n-gram repetition (Gopher rule)", _q_repetition, _Q_REPETITION_SQL),
     QuerySpec("q_shard_manifest", "deterministic training-shard manifest", _q_shard_manifest, _Q_SHARD_MANIFEST_SQL),
+    QuerySpec("q_cosine_neardup", "embedding-cosine near-dup canonicalization", _q_cosine_neardup, _Q_COSINE_NEARDUP_SQL),
+    QuerySpec("q_tfidf_terms", "per-document top-k TF-IDF terms", _q_tfidf_terms, _Q_TFIDF_SQL),
 ]

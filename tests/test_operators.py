@@ -341,3 +341,54 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["id"]: r["status"] for r in snapshot_diff(before, after, ["id"]).collect()}
     assert got == {1: "same", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_cosine_neardup_clusters_and_flags(spark):
+    """Near-identical directions collapse to the min-id canonical; a far
+    vector stays its own canonical (either never shares a bucket or is cut
+    by the exact-cosine filter)."""
+    from lakehouse_architecture_spark.operators.similarity import cosine_neardup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.14]),
+        (3, [0.98, 0.2]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in cosine_neardup(df, dim=2, planes=2, min_cos=0.9).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+
+def test_tf_idf_top_terms_hand_computed(spark):
+    """Scores match tf·ln((N+1)/(df+1)) computed by hand; ties break on
+    term ascending."""
+    import math
+
+    from lakehouse_architecture_spark.operators.text import tf_idf_top_terms
+
+    docs = [
+        (1, "apple apple banana"),
+        (2, "Banana cherry"),
+        (3, "cherry durian durian durian"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = tf_idf_top_terms(df, "doc_id", "text", k=2).collect()
+    got = {
+        (r["id"], r["rank"]): (r["term"], r["tf"], r["df_t"], r["score"])
+        for r in out
+    }
+    ln2 = round(2 * math.log(4 / 2), 6)
+    ln3 = round(3 * math.log(4 / 2), 6)
+    lnr = round(1 * math.log(4 / 3), 6)
+    assert got == {
+        (1, 1): ("apple", 2, 1, ln2),
+        (1, 2): ("banana", 1, 2, lnr),   # lowercased: doc2's "Banana" counts
+        (2, 1): ("banana", 1, 2, lnr),
+        (2, 2): ("cherry", 1, 2, lnr),   # tie with banana -> term asc
+        (3, 1): ("durian", 3, 1, ln3),
+        (3, 2): ("cherry", 1, 2, lnr),
+    }
