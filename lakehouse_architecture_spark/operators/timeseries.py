@@ -223,3 +223,123 @@ def scd2_intervals(
         .withColumn("valid_to", F.lead(ts_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap_seconds``. Adds ``session_seq``
+    (1-based per user) to every event row.
+
+    This is the batch twin of ``session_window`` streaming aggregation
+    (queries/events.py) — same semantics, but it LABELS each event rather
+    than collapsing to one row per session, so downstream per-event logic
+    (attribution, path analysis) can group on (user, session_seq).
+
+    One shuffle: both windows (lag for the boundary flag, running sum for
+    the session index) share the same partitioning+ordering, so Catalyst
+    plans a single exchange+sort. User id is high-cardinality at scale, so
+    the window parallelizes evenly; per-task state is one row of lookback.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    # timestamp→double = epoch seconds w/ fraction (micros are exact in
+    # a double); identical to DuckDB's epoch(ts)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    is_new = (gap.isNull() | (gap > F.lit(float(gap_seconds)))).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("session_seq", F.sum(is_new).over(run))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_rows: int = 24,
+    min_periods: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly signal: each value scored against the mean /
+    sample-stddev of the trailing ``n_rows``-row window (inclusive) within
+    its key. Emits ``roll_n``, ``roll_mean``, ``zscore`` (NULL until
+    ``min_periods`` observations or when the window is constant).
+
+    Determinism: window SUM/SUM-of-squares go through DECIMAL(38,6) (exact,
+    order-insensitive — functions/aggregates.py rationale) and the
+    mean/variance algebra runs in doubles identically on any engine, so the
+    oracle hash-matches bit-for-bit. Engine-native stddev() uses Welford-ish
+    incremental updates whose last-ulp results differ between engines —
+    unusable for differential testing.
+
+    One shuffle (all three window aggregates share one exchange+sort).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    x = F.col(value_col)
+    n = F.count(x).over(w).cast("double")
+    sx = F.sum(x.cast("decimal(38,6)")).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,6)")).over(w).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - 1)
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= min_periods) & (std > 0), (x - mean) / std
+    )
+    return (
+        df.withColumn("roll_n", n.cast("bigint"))
+        .withColumn("roll_mean", F.round(mean, 6))
+        .withColumn("zscore", F.round(z, 6))
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    lookback: int = 8,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Finite-window EWMA: smoothed value = Σ_k w_k·x_{t-k} / Σ_k w_k over
+    the last ``lookback`` observations, w_k = (1-alpha)^k. The truncated
+    form (vs the infinite recursive definition) is chosen deliberately:
+    it is a pure window expression — no sequential scan, no recursion —
+    so it parallelizes per key and is exactly portable. With the default
+    alpha=0.5 every weight is a power of two, hence exact in binary
+    floating point on every engine.
+
+    Built as ``lookback`` lag() terms over ONE window spec (one shuffle,
+    one sort; per-task state = lookback rows). Terms are summed in fixed
+    k-order so Spark and the oracle evaluate the identical double
+    expression tree.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    x = F.col(value_col)
+    num = None
+    den = None
+    for k in range(lookback):
+        wk = (1.0 - alpha) ** k
+        xk = x if k == 0 else F.lag(x, k).over(w)
+        term = F.when(xk.isNotNull(), xk * F.lit(wk)).otherwise(F.lit(0.0))
+        dterm = F.when(xk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return df.withColumn("ewma", F.round(num / den, 6))

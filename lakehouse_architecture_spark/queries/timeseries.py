@@ -199,9 +199,169 @@ FROM changes
 """
 
 
+# --- gap-based sessionization → per-session stats --------------------------
+_SESSION_GAP_S = 1800
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.timeseries import sessionize
+
+    t = tables(spark, sf_dir)
+    labeled = sessionize(
+        t["events"], "user_id", "ts", _SESSION_GAP_S, tiebreak_col="event_id"
+    )
+    return (
+        labeled.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_Q_SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS total_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# --- rolling z-score anomaly screen ----------------------------------------
+_Z_ROWS = 24
+_Z_MIN_PERIODS = 3
+_Z_THRESHOLD = 2.0
+
+
+def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.timeseries import rolling_zscore
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") <= 20)
+    scored = rolling_zscore(
+        ev, "user_id", "ts", "value", _Z_ROWS, _Z_MIN_PERIODS, tiebreak_col="event_id"
+    )
+    return (
+        scored.filter(F.abs(F.col("zscore")) >= _Z_THRESHOLD)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+            "roll_n",
+            "roll_mean",
+            "zscore",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_Q_ZSCORE_SQL = f"""
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx
+  FROM events
+  WHERE user_id <= 20
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_Z_ROWS - 1} PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(n AS BIGINT) AS roll_n,
+         ROUND(sx / n, 6) AS roll_mean,
+         ROUND(CASE WHEN n >= {_Z_MIN_PERIODS}
+                     AND sqrt((sxx - sx * sx / n) / (n - 1)) > 0
+                    THEN (value - sx / n)
+                         / sqrt((sxx - sx * sx / n) / (n - 1))
+               END, 6) AS zscore
+  FROM b
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value, roll_n, roll_mean, zscore
+FROM z
+WHERE abs(zscore) >= {_Z_THRESHOLD}
+ORDER BY user_id, event_id
+"""
+
+
+# --- finite-window EWMA smoothing ------------------------------------------
+_EWMA_ALPHA = 0.5
+_EWMA_LOOKBACK = 8
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for k in range(_EWMA_LOOKBACK):
+        wk = repr((1.0 - _EWMA_ALPHA) ** k)
+        xk = "value" if k == 0 else f"lag(value, {k}) OVER w"
+        nums.append(f"CASE WHEN {xk} IS NOT NULL THEN {xk} * {wk} ELSE 0.0 END")
+        dens.append(f"CASE WHEN {xk} IS NOT NULL THEN {wk} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.timeseries import ewma
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") <= 20)
+    return (
+        ewma(
+            ev, "user_id", "ts", "value",
+            _EWMA_ALPHA, _EWMA_LOOKBACK, tiebreak_col="event_id",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+            "ewma",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_Q_EWMA_SQL = f"""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value,
+       ROUND(({_ewma_sql_terms()[0]}) / ({_ewma_sql_terms()[1]}), 6) AS ewma
+FROM events
+WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
 TIMESERIES_QUERIES: list[QuerySpec] = [
     QuerySpec("q_scd2", "SCD2 validity intervals from a change stream", _q_scd2, _Q_SCD2_SQL),
     QuerySpec("q_gapfill", "time-grid gap-fill with forward fill (locf)", _q_gapfill, _Q_GAPFILL_SQL),
     QuerySpec("q_exact_corr", "Pearson corr/covar from decimal-exact sums", _q_exact_corr, _Q_EXACT_CORR_SQL),
     QuerySpec("q_time_rollup", "multi-granularity rollup in one grouping-sets pass", _q_time_rollup, _Q_TIME_ROLLUP_SQL),
+    QuerySpec("q_sessionize", "gap-based sessionization, per-session stats", _q_sessionize, _Q_SESSIONIZE_SQL),
+    QuerySpec("q_zscore_outliers", "rolling z-score anomaly screen (exact sums)", _q_zscore_outliers, _Q_ZSCORE_SQL),
+    QuerySpec("q_ewma", "finite-window EWMA smoothing per key", _q_ewma, _Q_EWMA_SQL),
 ]

@@ -392,3 +392,78 @@ def test_tf_idf_top_terms_hand_computed(spark):
         (3, 1): ("durian", 3, 1, ln3),
         (3, 2): ("cherry", 1, 2, lnr),
     }
+
+
+def test_sessionize_gap_boundaries(spark):
+    """New session exactly when the gap EXCEEDS gap_seconds; equality stays
+    in-session; first event always opens session 1."""
+    from datetime import datetime
+
+    from lakehouse_architecture_spark.operators.timeseries import sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0)),
+        (1, 2, datetime(2024, 1, 1, 0, 30, 0)),   # gap == 1800 -> same session
+        (1, 3, datetime(2024, 1, 1, 1, 0, 1)),    # gap 1801 -> new session
+        (2, 4, t0),                                # other user independent
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", 1800, tiebreak_col="event_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """Constant prefix gives NULL z (std=0); the jump scores against the
+    trailing-window mean/std; warm-up rows below min_periods are NULL."""
+    from datetime import datetime
+
+    from lakehouse_architecture_spark.operators.timeseries import rolling_zscore
+
+    rows = [
+        (1, i, datetime(2024, 1, 1, 0, i, 0), v)
+        for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 20.0], start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: (r["roll_n"], r["zscore"])
+        for r in rolling_zscore(
+            df, "user_id", "ts", "value", n_rows=4, min_periods=3,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1] == (1, None)          # below min_periods
+    assert out[2] == (2, None)
+    assert out[3] == (3, None)          # std == 0 -> gated
+    assert out[4] == (4, None)
+    # window rows 2-5: [10,10,10,20]: mean 12.5, var (75)/3=25, std 5 -> z=1.5
+    assert out[5] == (4, 1.5)
+
+
+def test_ewma_hand_computed(spark):
+    """alpha=0.5: third value = (x3 + 0.5·x2 + 0.25·x1)/1.75; first value
+    is itself (weights renormalized over available history)."""
+    from datetime import datetime
+
+    from lakehouse_architecture_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 1, 0), 4.0),
+        (1, 2, datetime(2024, 1, 1, 0, 2, 0), 8.0),
+        (1, 3, datetime(2024, 1, 1, 0, 3, 0), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(df, "user_id", "ts", "value", 0.5, 8, tiebreak_col="event_id").collect()
+    }
+    assert got[1] == 4.0
+    assert got[2] == round((8.0 + 0.5 * 4.0) / 1.5, 6)
+    assert got[3] == round((2.0 + 0.5 * 8.0 + 0.25 * 4.0) / 1.75, 6)
