@@ -340,3 +340,95 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional shingle containment: for every candidate pair
+    (id_a < id_b), ``cont_a = |A∩B| / |A|`` and ``cont_b = |A∩B| / |B|``;
+    a pair qualifies when EITHER direction ≥ threshold.
+
+    Jaccard misses sub-document duplication — a paragraph fully pasted
+    into a 100× larger page scores |A|/|B| ≈ 0.01 Jaccard but 1.0
+    containment of A. Same inverted-index plan as
+    :func:`ngram_jaccard_pairs` (one shuffle on the shingle hash, one on
+    the pair key; ``max_df`` hot-shingle guard identical), only the final
+    normalization differs.
+    """
+    sh = (
+        word_shingles(df, id_col, text_col, n)
+        .select("id", md5_hash64(F.col("shingle")).alias("h"))
+        .cache()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    indexed = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        indexed = sh.join(F.broadcast(hot), "h", "left_anti")
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    inter = (
+        a.join(b, on="h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("cont_a", F.round(F.col("n_inter") / F.col("sz_a"), 6))
+        .withColumn("cont_b", F.round(F.col("n_inter") / F.col("sz_b"), 6))
+        .filter(
+            (F.col("cont_a") >= threshold) | (F.col("cont_b") >= threshold)
+        )
+        .select("id_a", "id_b", "n_inter", "cont_a", "cont_b")
+    )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: exact edit distance computed only
+    WITHIN blocking-key groups (classic blocked record linkage).
+
+    Levenshtein is O(len²) per comparison and all-pairs is O(rows²) — at
+    corpus scale both are fatal. Blocking reduces the self-join to an
+    equi-join on the block key (one shuffle, no cartesian: Catalyst plans
+    SortMergeJoin on the key), and distance runs only inside blocks. Block
+    keys must be chosen so blocks stay small — a skewed block goes
+    quadratic within itself; salt or cap such blocks upstream
+    (operators/skew.py) exactly as with any hot join key.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(name_col).alias("nm"), *[
+        F.col(c) for c in block_cols
+    ]]
+    s = df.select(*cols)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("dist", F.levenshtein(F.col("a.nm"), F.col("b.nm")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nm").alias("name_a"),
+            F.col("b.nm").alias("name_b"),
+            "dist",
+        )
+    )

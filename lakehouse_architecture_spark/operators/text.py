@@ -387,3 +387,59 @@ def redact(
         redacted = F.regexp_replace(redacted, pat, repl)
     cols[out_col] = redacted
     return df.withColumns(cols)
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query ``terms``
+    (Robertson/Sparck-Jones, the Lucene `k1`/`b` parameterization with the
+    +1-smoothed idf so scores stay positive).
+
+    Fully distributed: per-term tf comes from one explode+filter (the
+    filter on the tiny term set prunes the exploded stream immediately),
+    document length and the corpus-wide (N, avgdl) scalars ride in via
+    ``crossJoin(broadcast(...))`` — no driver round-trip. Per-doc summation
+    across terms goes through DECIMAL(38,6) (dsum) so the float sum is
+    order-insensitive and oracle-stable. Two shuffles: (doc,term) tf and
+    the final per-doc sum; the df_t join is vocabulary-sized (broadcast).
+
+    Output: (id, score, n_hit) for documents matching ≥1 term.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import dsum
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("t_score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
+    )
+    return per_term.groupBy("id").agg(
+        F.round(dsum("t_score"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )

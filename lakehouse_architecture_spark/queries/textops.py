@@ -1210,6 +1210,123 @@ ORDER BY doc_id, rank
 """
 
 
+# --- retrieval: BM25 scoring over the corpus ------------------------------
+_BM25_TERMS = ("vector", "hash", "spark")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.text import bm25_scores
+
+    t = tables(spark, sf_dir)
+    return (
+        bm25_scores(t["documents"], "doc_id", "text", _BM25_TERMS, _BM25_K1, _BM25_B)
+        .select(F.col("id").alias("doc_id"), "score", "n_hit")
+        .orderBy("doc_id")
+    )
+
+
+_Q_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tok2 AS (SELECT id, term FROM tok WHERE term <> ''),
+dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT id, term, COUNT(*) AS tf FROM tok2
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+per AS (
+  SELECT id,
+         ROUND(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * tf * {_BM25_K1 + 1.0!r}
+               / (tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                  + {_BM25_B!r} * dl / avgdl)), 6) AS t_score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (id), stats
+)
+SELECT id AS doc_id,
+       ROUND(CAST(SUM(CAST(t_score AS DECIMAL(38,6))) AS DOUBLE), 6) AS score,
+       COUNT(*) AS n_hit
+FROM per
+GROUP BY id
+ORDER BY doc_id
+"""
+
+
+# --- dedup: directional shingle containment --------------------------------
+_CONT_THRESHOLD = 0.5
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.dedup import containment_pairs
+
+    t = tables(spark, sf_dir)
+    return containment_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=_CONT_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+_Q_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+shh AS (SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       ROUND(n_inter / sa.sz, 6) AS cont_a,
+       ROUND(n_inter / sb.sz, 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_inter / sa.sz, 6) >= {_CONT_THRESHOLD}
+   OR ROUND(n_inter / sb.sz, 6) >= {_CONT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- entity resolution: blocked edit-distance candidate pairs ---------------
+_FUZZY_MAX_DIST = 3
+
+
+def _q_fuzzy_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.dedup import blocked_fuzzy_pairs
+
+    t = tables(spark, sf_dir)
+    p = t["part"].select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+    )
+    return blocked_fuzzy_pairs(
+        p, "p_partkey", "p_name", ["p_brand", "noun"], _FUZZY_MAX_DIST
+    ).orderBy("id_a", "id_b")
+
+
+_Q_FUZZY_BLOCK_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 2) AS noun
+  FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a
+JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
+        AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
 TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_bloom_screen", "Bloom-filter membership screen (build + probe)", _q_bloom_screen, _Q_BLOOM_SQL),
     QuerySpec("q_weighted_sample", "deterministic weighted priority sampling", _q_weighted_sample, _Q_WSAMPLE_SQL),
@@ -1242,4 +1359,7 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_shard_manifest", "deterministic training-shard manifest", _q_shard_manifest, _Q_SHARD_MANIFEST_SQL),
     QuerySpec("q_cosine_neardup", "embedding-cosine near-dup canonicalization", _q_cosine_neardup, _Q_COSINE_NEARDUP_SQL),
     QuerySpec("q_tfidf_terms", "per-document top-k TF-IDF terms", _q_tfidf_terms, _Q_TFIDF_SQL),
+    QuerySpec("q_bm25", "BM25 relevance over the corpus", _q_bm25, _Q_BM25_SQL),
+    QuerySpec("q_containment", "directional shingle-containment pairs", _q_containment, _Q_CONTAINMENT_SQL),
+    QuerySpec("q_fuzzy_block", "blocked edit-distance entity-resolution pairs", _q_fuzzy_block, _Q_FUZZY_BLOCK_SQL),
 ]

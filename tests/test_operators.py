@@ -467,3 +467,63 @@ def test_ewma_hand_computed(spark):
     assert got[1] == 4.0
     assert got[2] == round((8.0 + 0.5 * 4.0) / 1.5, 6)
     assert got[3] == round((2.0 + 0.5 * 8.0 + 0.25 * 4.0) / 1.75, 6)
+
+
+def test_bm25_hand_computed(spark):
+    """Single query term, two docs: exact BM25 with k1=1.2, b=0.75 against
+    the textbook formula; non-matching docs are absent."""
+    import math
+
+    from lakehouse_architecture_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "x x y"),          # tf=2, dl=3
+        (2, "x z z z"),        # tf=1, dl=4
+        (3, "z z z"),          # no hit
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["id"]: (r["score"], r["n_hit"]) for r in
+           bm25_scores(df, "doc_id", "text", ("x",)).collect()}
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = (3 + 4 + 3) / 3   # corpus-wide, including the non-matching doc
+
+    def s(tf, dl):
+        return round(round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6), 6)
+
+    assert set(out) == {1, 2}
+    assert out[1] == (s(2, 3), 1)
+    assert out[2] == (s(1, 4), 1)
+
+
+def test_containment_directional(spark):
+    """A 3-shingle doc pasted inside a bigger doc: containment of the small
+    side is 1.0 while Jaccard would be far below threshold."""
+    from lakehouse_architecture_spark.operators.dedup import containment_pairs
+
+    small = "a b c d e"                      # shingles: abc bcd cde (3)
+    big = small + " f g h i j k l m n o p"   # contains all of small's
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id int, text string"
+    )
+    rows = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["cont_a"]) == (1, 2, 1.0)
+    assert r["cont_b"] < 0.9
+
+
+def test_blocked_fuzzy_pairs_blocks_and_cutoff(spark):
+    """Distance computed only within blocks; cross-block near-identical
+    names never pair; cutoff excludes distant names in-block."""
+    from lakehouse_architecture_spark.operators.dedup import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "red widget", "A"),
+        (2, "ted widget", "A"),     # dist 1, same block
+        (3, "red widget", "B"),     # identical name, other block
+        (4, "purple widget", "A"),  # dist 5 from red widget
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, blk string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in blocked_fuzzy_pairs(df, "id", "name", ["blk"], 3).collect()}
+    assert got == {(1, 2): 1}
