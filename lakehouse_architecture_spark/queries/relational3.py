@@ -387,7 +387,55 @@ ORDER BY o_custkey
 """
 
 
+# --- equi-width histogram (two-pass: min/max broadcast, then one agg) ------
+_HIST_BINS = 20
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed equi-width histogram: pass 1 reduces to a (min, max)
+    scalar pair (broadcast back in — no driver round-trip), pass 2 buckets
+    every row with pure arithmetic and hash-aggregates the counts. The
+    classic two-scan profile shape; both scans are full-speed columnar
+    reads of ONE column and the groupBy keys are `_HIST_BINS` values, so
+    the final shuffle is trivially small at any corpus size."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].select(F.col("l_extendedprice").alias("x"))
+    stats = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
+    bucket = F.least(
+        F.floor((F.col("x") - F.col("mn")) / width), F.lit(_HIST_BINS - 1)
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .withColumn("bucket", bucket)
+        .withColumn("bin_lo", F.round(F.col("mn") + F.col("bucket") * width, 6))
+        .groupBy("bucket", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("x", "total"))
+        .orderBy("bucket")
+    )
+
+
+_Q_HISTOGRAM_SQL = f"""
+WITH s AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+           FROM lineitem),
+b AS (
+  SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / {float(_HIST_BINS)!r})),
+                    {_HIST_BINS - 1}) AS INT) AS bucket,
+         l_extendedprice AS x, mn, mx
+  FROM lineitem, s
+)
+SELECT bucket,
+       ROUND(mn + bucket * ((mx - mn) / {float(_HIST_BINS)!r}), 6) AS bin_lo,
+       COUNT(*) AS n,
+       {dsum_sql('x')} AS total
+FROM b
+GROUP BY bucket, mn, mx
+ORDER BY bucket
+"""
+
+
 RELATIONAL3_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_histogram", "two-pass equi-width histogram", _q_histogram, _Q_HISTOGRAM_SQL),
     QuerySpec("q_map_funcs", "map functions over JSON-derived maps", _q_map_funcs, _Q_MAP_FUNCS_SQL),
     QuerySpec("q_range_frame", "RANGE window frame (trailing 7 days)", _q_range_frame, _Q_RANGE_FRAME_SQL),
     QuerySpec("q_hash_sample", "deterministic systematic hash sampling", _q_hash_sample, _Q_HASH_SAMPLE_SQL),

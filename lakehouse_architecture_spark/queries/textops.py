@@ -10,7 +10,7 @@ shingle n=3) must stay in sync between builder and oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.operators import similarity as sim
@@ -1210,6 +1210,97 @@ ORDER BY doc_id, rank
 """
 
 
+# --- similarity: int8 scalar-quantized cosine top-k ------------------------
+_SQ8_K = 5
+
+
+def _q_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return (
+        sim.quantized_knn(emb, emb.filter(F.col("vec_id") % 50 == 0), k=_SQ8_K)
+        .select("query_id", "neighbor_id", "qcos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_Q_INT8_KNN_SQL = f"""
+WITH {_DIMS_CTE},
+s AS (SELECT MAX(abs(CAST(embedding[d.d] AS DOUBLE))) AS s FROM embeddings, dims d),
+qv AS (
+  SELECT vec_id, d.d AS d,
+         CAST(ROUND(CAST(embedding[d.d] AS DOUBLE) / s.s * 127) AS BIGINT) AS q
+  FROM embeddings, dims d, s
+),
+qn AS (SELECT vec_id, sqrt(CAST(SUM(q * q) AS DOUBLE)) AS qn FROM qv GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q * b.q) AS dp
+  FROM qv a JOIN qv b ON a.d = b.d AND b.vec_id <> a.vec_id
+  WHERE a.vec_id % 50 = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(dp AS DOUBLE) / (na.qn * nb.qn), 6) AS qcos
+  FROM dots
+  JOIN qn na ON na.vec_id = query_id
+  JOIN qn nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, qcos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_SQ8_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- corpus report: per-source language mix + Shannon entropy ---------------
+def _q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    c = t["documents"].groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source")
+    p = F.col("c") / F.sum("c").over(w)
+    # `+ 0.0` normalizes the p=1 term's -0.0 to +0.0 (engines disagree on
+    # the sign of a rounded negative zero)
+    term = F.round(-p * F.log(p) + F.lit(0.0), 6)
+    return (
+        c.withColumn("term", term)
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_LANG_MIX_SQL = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+p AS (
+  SELECT source, c,
+         ROUND(-(c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE))
+               * ln(c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE))
+               + 0.0, 6) AS term
+  FROM c
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_langs,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) AS lang_entropy
+FROM p
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- retrieval: BM25 scoring over the corpus ------------------------------
 _BM25_TERMS = ("vector", "hash", "spark")
 _BM25_K1, _BM25_B = 1.2, 0.75
@@ -1362,4 +1453,6 @@ TEXTOPS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_bm25", "BM25 relevance over the corpus", _q_bm25, _Q_BM25_SQL),
     QuerySpec("q_containment", "directional shingle-containment pairs", _q_containment, _Q_CONTAINMENT_SQL),
     QuerySpec("q_fuzzy_block", "blocked edit-distance entity-resolution pairs", _q_fuzzy_block, _Q_FUZZY_BLOCK_SQL),
+    QuerySpec("q_int8_knn", "int8 scalar-quantized cosine top-k", _q_int8_knn, _Q_INT8_KNN_SQL),
+    QuerySpec("q_lang_mix", "per-source language mix + Shannon entropy", _q_lang_mix, _Q_LANG_MIX_SQL),
 ]

@@ -527,3 +527,40 @@ def test_blocked_fuzzy_pairs_blocks_and_cutoff(spark):
     got = {(r["id_a"], r["id_b"]): r["dist"]
            for r in blocked_fuzzy_pairs(df, "id", "name", ["blk"], 3).collect()}
     assert got == {(1, 2): 1}
+
+
+def test_quantize_embeddings_scale_and_norm(spark):
+    """Global scale = max|component|; extreme component maps to ±127;
+    qnorm is the integer L2 norm."""
+    import math
+
+    from lakehouse_architecture_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -4.0]), (2, [1.0, 1.0])], "vec_id int, embedding array<float>"
+    )
+    out = {r["id"]: (r["qvec"], r["qnorm"]) for r in quantize_embeddings(df).collect()}
+    assert out[1][0] == [64, -127]          # 2/4*127 = 63.5 -> round half-up 64
+    assert out[2][0] == [32, 32]            # 1/4*127 = 31.75 -> 32
+    assert out[1][1] == math.sqrt(64 * 64 + 127 * 127)
+
+
+def test_quantized_knn_matches_exact_on_clean_gaps(spark):
+    """With well-separated directions the int8 ranking equals the exact
+    cosine ranking."""
+    from lakehouse_architecture_spark.operators.similarity import (
+        brute_force_knn,
+        quantized_knn,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 1)
+    exact = [(r["neighbor_id"], r["rank"]) for r in brute_force_knn(df, q, k=3).collect()]
+    quant = [(r["neighbor_id"], r["rank"]) for r in quantized_knn(df, q, k=3).collect()]
+    assert quant == exact == [(2, 1), (4, 2), (3, 3)]
