@@ -251,8 +251,11 @@ def sessionize(
     )
     w = Window.partitionBy(user_col).orderBy(*order)
     # timestamp→double = epoch seconds w/ fraction (micros are exact in
-    # a double); identical to DuckDB's epoch(ts)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # a double); identical to DuckDB's epoch(ts). TIMESTAMP_NTZ won't cast
+    # to double directly — route through TIMESTAMP, identity under the
+    # pinned UTC session.
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
     is_new = (gap.isNull() | (gap > F.lit(float(gap_seconds)))).cast("int")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("session_seq", F.sum(is_new).over(run))

@@ -205,6 +205,14 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def _ts_us(col: str) -> F.Column:
+    """Epoch microseconds from a timestamp column of either flavor.
+    unix_micros rejects TIMESTAMP_NTZ (the type parquet event data often
+    carries); under the engine's pinned UTC session the NTZ→TIMESTAMP cast
+    is the identity on the wall-clock value, so this is exact either way."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 # --- bucketed range join: clicks within 5 minutes after an error ---
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
@@ -213,12 +221,12 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("error_id"),
-            F.unix_micros("ts").alias("w_start"),
-            (F.unix_micros("ts") + F.lit(300_000_000)).alias("w_end"),
+            _ts_us("ts").alias("w_start"),
+            (_ts_us("ts") + F.lit(300_000_000)).alias("w_end"),
         )
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), F.unix_micros("ts").alias("c_us")
+        F.col("event_id").alias("click_id"), _ts_us("ts").alias("c_us")
     )
     joined = range_join_bucketed(
         clicks, errors, "c_us", "w_start", "w_end", bucket_width=300_000_000
