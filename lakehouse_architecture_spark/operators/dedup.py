@@ -22,7 +22,7 @@ as ordinary shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.hashing import (
@@ -432,3 +432,107 @@ def blocked_fuzzy_pairs(
             "dist",
         )
     )
+
+
+def duplicated_kgram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated substring spans per document — the span-level
+    exact-dedup of Lee et al., *Deduplicating Training Data Makes Language
+    Models Better* (arXiv:2107.06499), re-expressed for Spark.
+
+    The paper builds a corpus-wide suffix array; that is a single-machine
+    construction. The distributed equivalent: a position-indexed k-gram
+    hash inverted index. Any duplicated substring of >= k tokens is a run
+    of consecutive duplicated k-grams, so (1) hash every k-gram with its
+    token position, (2) keep hashes whose *document frequency* >= min_docs
+    (cross-document duplication; within-doc repeats are repetition_stats'
+    job), (3) per document, merge positions whose k-gram windows overlap
+    (gap <= k) into maximal spans — classic gaps-and-islands.
+
+    Scale: two hash aggregates on the k-gram hash (map-side partials), one
+    shuffle join position->hot-hash, one window per doc ordered by
+    position. No all-pairs stage exists anywhere; cost is linear in total
+    token count. The per-doc window state is one lag row.
+
+    Output: (id, span_start, span_end, span_tokens) in token offsets,
+    inclusive, plus n_docs = max doc-frequency among the span's k-grams.
+    """
+    df = spread_by_id(df, id_col)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    pos = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "g"))
+        .select("id", "pos", md5_hash64(F.col("g")).alias("h"))
+    )
+    # document frequency per k-gram hash: distinct (h, id) first so the
+    # second aggregate is a plain count — both stages combine map-side
+    hot = (
+        pos.select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    dup = pos.join(hot, "h").select("id", "pos", "n_docs")
+    w = Window.partitionBy("id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    island = F.sum(
+        (gap.isNull() | (gap > k)).cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        dup.withColumn("island", island)
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.max("n_docs").alias("n_docs"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_docs",
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Rewrite ``text_col`` with every duplicated span's tokens removed
+    (the scrub step of span-level dedup). Non-span tokens keep their
+    relative order. One extra shuffle: spans aggregate per doc, then join
+    back on id (co-keyed with the span window's partitioning)."""
+    spans = (
+        duplicated_kgram_spans(df, id_col, text_col, k, min_docs)
+        .groupBy("id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+        )
+    )
+    out = df.join(spans, on=[df[id_col] == spans["id"]], how="left").drop("id")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    keep = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("__spans"), F.expr(
+                "cast(array() as array<struct<span_start:int,span_end:int>>)"
+            )),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    cleaned = F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))
+    return out.withColumn(text_col, cleaned).drop("__spans")

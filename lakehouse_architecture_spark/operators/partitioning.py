@@ -38,3 +38,64 @@ def spread(df: DataFrame) -> DataFrame:
     downstream grouping to co-locate for (vector scoring, broadcast cross
     joins)."""
     return df.repartition(_target_partitions(df))
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Morton/Z-order interleave of 2+ non-negative integer columns into one
+    bigint sort key. Bit j of column i lands at result bit ``j*len(cols)+i``,
+    so sorting by the result clusters rows that are close in EVERY key —
+    parquet row-group min/max stats become selective for predicates on ANY
+    of the keys, where a lexicographic sort helps only the leading one.
+    This is Delta/Iceberg ``OPTIMIZE ZORDER BY`` re-expressed as a plain
+    Catalyst expression (shift/and/or — whole-stage codegen, no UDF).
+
+    Callers scale values into [0, 2**bits) first (e.g. rank or min-max
+    scale); values outside the range are masked, not errors.
+    ``len(cols) * bits`` must stay <= 62 to fit the bigint.
+    """
+    if len(cols) * bits > 62:
+        raise ValueError(f"{len(cols)} cols x {bits} bits overflows a bigint")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for i, c in enumerate(cs):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("bigint"), j).bitwiseAND(F.lit(1)),
+                    j * len(cs) + i,
+                )
+            )
+    return out
+
+
+def zorder_value_sql(exprs: list[str], bits: int = 16) -> str:
+    """DuckDB text equivalent of :func:`zorder_value` (oracle mirror)."""
+    terms = [
+        f"(((CAST({e} AS BIGINT) >> {j}) & 1) << {j * len(exprs) + i})"
+        for j in range(bits)
+        for i, e in enumerate(exprs)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zordered_write(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``zorder_cols``: range-
+    partition + sort on the interleaved key, so row-group stats are tight
+    on every clustered column at once. The z column itself is dropped from
+    the files (it is derivable)."""
+    z = zorder_value(zorder_cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_architecture_spark.queries.base import QuerySpec
 from lakehouse_architecture_spark.queries.corpus import CORPUS_QUERIES
+from lakehouse_architecture_spark.queries.corpus2 import CORPUS2_QUERIES
 from lakehouse_architecture_spark.queries.events import EVENTS_QUERIES
 from lakehouse_architecture_spark.queries.relational import RELATIONAL_QUERIES
 from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
@@ -25,6 +26,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *TEXTOPS_QUERIES,
     *TIMESERIES_QUERIES,
     *CORPUS_QUERIES,
+    *CORPUS2_QUERIES,
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry

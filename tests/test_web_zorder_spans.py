@@ -1,0 +1,144 @@
+"""Unit tests for round-2 operators: URL canonicalization, Z-order
+clustering, and span-level substring dedup."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.dedup import (
+    duplicated_kgram_spans,
+    remove_duplicated_spans,
+)
+from lakehouse_architecture_spark.operators.partitioning import (
+    zorder_value,
+    zordered_write,
+)
+from lakehouse_architecture_spark.operators.web import (
+    canonicalize_url,
+    is_valid_url,
+    url_dedup,
+)
+
+
+CANON_CASES = [
+    # scheme+host case, www, default port, fragment, tracking, param order
+    ("HTTPS://WWW.Example.COM:443/A/B?utm_source=x&b=2&a=1#frag",
+     "https://example.com/A/B?a=1&b=2"),
+    ("http://Example.com:80/", "http://example.com"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+    ("https://example.com/path/", "https://example.com/path"),
+    ("https://example.com/CaseKept?Z=1&gclid=abc", "https://example.com/CaseKept?Z=1"),
+    ("https://example.com", "https://example.com"),
+    ("ftp://Host.com/File", "ftp://host.com/File"),
+    ("not a url at all", "not a url at all"),  # malformed passes through
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame(CANON_CASES, ["url", "expected"])
+    out = df.withColumn("got", canonicalize_url("url")).collect()
+    for r in out:
+        assert r.got == r.expected, f"{r.url}: {r.got!r} != {r.expected!r}"
+
+
+def test_url_dedup_keeps_first(spark):
+    rows = [
+        (1, "https://example.com/a?b=2&a=1"),
+        (2, "HTTPS://WWW.example.com/a/?a=1&b=2&utm_source=z"),
+        (3, "https://example.com/other"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = url_dedup(df, "url", "id")
+    got = {r.canonical_url: r.id for r in out.collect()}
+    assert got == {
+        "https://example.com/a?a=1&b=2": 1,
+        "https://example.com/other": 3,
+    }
+    assert df.filter(is_valid_url("url")).count() == 3
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    rows = [(x, y) for x in (0, 1, 5, 200, 255) for y in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_value(["x", "y"], bits=8).alias("z")).collect()
+    }
+
+    def interleave(x, y):
+        z = 0
+        for j in range(8):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == interleave(x, y)
+
+
+def test_zorder_overflow_guard():
+    with pytest.raises(ValueError):
+        zorder_value(["a", "b", "c", "d"], bits=16)
+
+
+def test_zordered_write_tightens_both_columns(spark, tmp_path):
+    # 64x64 grid; z-order clustering must give every file a tight bounding
+    # box on BOTH x and y (lexicographic sort would leave y unconstrained)
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "z")
+    zordered_write(df, path, ["x", "y"], n_files=16, bits=6)
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        box = {}
+        for col in ("x", "y"):
+            i = names.index(col)
+            lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+            box[col] = hi - lo
+        spans.append(box)
+    # every file covers at most half the domain in each dimension
+    assert all(b["x"] <= 32 and b["y"] <= 32 for b in spans), spans
+
+
+def test_duplicated_spans_and_scrub(spark):
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon zeta"),
+        (2, "intro words here first then " + shared),
+        (3, "no overlap with anything else in this corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicated_kgram_spans(df, "doc_id", "text", k=5).orderBy("id").collect()
+    assert [(r.id, r.span_start, r.span_end) for r in spans] == [
+        (1, 0, 9),
+        (2, 5, 14),
+    ]
+    assert all(r.n_docs == 2 for r in spans)
+    cleaned = {
+        r.doc_id: r.text
+        for r in remove_duplicated_spans(df, "doc_id", "text", k=5).collect()
+    }
+    assert cleaned[1] == "alpha beta gamma delta epsilon zeta"
+    assert cleaned[2] == "intro words here first then"
+    assert cleaned[3] == rows[2][1]
+
+
+def test_duplicated_spans_short_docs_no_grams(spark):
+    # docs shorter than k emit nothing, even if identical
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    assert duplicated_kgram_spans(df, "doc_id", "text", k=5).count() == 0
+
+
+def test_duplicated_spans_within_doc_repeat_not_flagged(spark):
+    # repetition INSIDE one doc is repetition_stats' job, not cross-doc dedup
+    t = "x1 x2 x3 x4 x5 " * 2
+    df = spark.createDataFrame(
+        [(1, t.strip()), (2, "totally unrelated words only here")], ["doc_id", "text"]
+    )
+    assert duplicated_kgram_spans(df, "doc_id", "text", k=5, min_docs=2).count() == 0
