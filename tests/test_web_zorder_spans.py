@@ -142,3 +142,29 @@ def test_duplicated_spans_within_doc_repeat_not_flagged(spark):
         [(1, t.strip()), (2, "totally unrelated words only here")], ["doc_id", "text"]
     )
     assert duplicated_kgram_spans(df, "doc_id", "text", k=5, min_docs=2).count() == 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed the same way on the join key must SortMergeJoin
+    with NO Exchange on either side — the co-located fact-fact join that
+    bucketing exists for. At 100 TB this turns every repeated join on the
+    bucket key from a full shuffle into a local merge."""
+    from lakehouse_architecture_spark.catalog import Catalog
+    from lakehouse_architecture_spark.plans.inspect import formatted_plan
+
+    cat = Catalog(spark)
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    cat.save_as_table(a, "bkt_a", bucket_by=(8, ("k",)), sort_by=("k",))
+    cat.save_as_table(b, "bkt_b", bucket_by=(8, ("k",)), sort_by=("k",))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:3000]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
