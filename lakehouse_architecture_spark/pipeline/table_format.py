@@ -102,3 +102,125 @@ class ManagedTable:
         merged.write.format(self.format).mode("overwrite").save(tmp)
         shutil.rmtree(target)
         os.rename(tmp, target)
+
+
+class VersionedTable:
+    """Copy-on-write versioned parquet table: every write is a NEW
+    immutable snapshot directory, so history is queryable (time travel)
+    and no operation ever rewrites data in place — the transaction-log
+    semantics the north star gets from Delta/Iceberg, at snapshot
+    granularity (reference: time travel / VACUUM in the Delta protocol;
+    Delta tracks add/remove per data file, this tracks whole snapshots —
+    right for dimension/gold tables, honest about not being file-level).
+
+    Layout: ``<path>/v=<n>/`` per version. A version EXISTS iff its
+    directory rename committed — the tmp-dir is invisible to readers, so
+    a crashed writer leaves either no new version or a complete one,
+    never a torn read (POSIX rename atomicity; on an object store use the
+    delta branch of ManagedTable instead).
+
+    ``v=`` is a Hive-style partition name on purpose: reading ``<path>``
+    with Spark yields ALL versions with a ``v`` column — the full-history
+    audit/SCD view comes free from the layout.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.keys = keys
+
+    # -- version bookkeeping ------------------------------------------------
+    def versions(self) -> list[int]:
+        import os
+        import re
+
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for d in os.listdir(self.path):
+            m = re.fullmatch(r"v=(\d+)", d)
+            if m and os.path.isdir(os.path.join(self.path, d)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _vdir(self, v: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"v={v}")
+
+    # -- reads --------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Latest snapshot, or time-travel to ``version``."""
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise FileNotFoundError(f"{self.path}: no version {version!r}")
+        return self.spark.read.parquet(self._vdir(v))
+
+    def history(self) -> list[dict]:
+        """One record per version: number, commit mtime, file count/bytes.
+        Filesystem metadata only — no data scan."""
+        import glob
+        import os
+
+        out = []
+        for v in self.versions():
+            d = self._vdir(v)
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            out.append(
+                {
+                    "version": v,
+                    "committed_at": os.path.getmtime(d),
+                    "n_files": len(files),
+                    "bytes": sum(os.path.getsize(f) for f in files),
+                }
+            )
+        return out
+
+    # -- writes -------------------------------------------------------------
+    def _commit(self, df: DataFrame, v: int) -> int:
+        import os
+        import shutil
+
+        tmp = self._vdir(v) + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if v in self.versions():  # lost a concurrent commit race
+            shutil.rmtree(tmp)
+            raise FileExistsError(f"{self.path}: version {v} already committed")
+        os.rename(tmp, self._vdir(v))
+        return v
+
+    def write(self, df: DataFrame) -> int:
+        """Append a new full-snapshot version; returns its number."""
+        latest = self.latest_version()
+        return self._commit(df, 0 if latest is None else latest + 1)
+
+    def merge(self, updates: DataFrame) -> int:
+        """MERGE against the latest snapshot into a NEW version. The source
+        version is never touched, so unlike an in-place swap there is no
+        window where a failure corrupts the table — rollback = read the
+        previous version."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.write(updates)
+        merged = merge_upsert(self.read(latest), updates, self.keys)
+        return self._commit(merged, latest + 1)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (and any crashed
+        ``__tmp`` leftovers); returns the versions removed."""
+        import glob
+        import os
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        drop = self.versions()[:-keep_last]
+        for v in drop:
+            shutil.rmtree(self._vdir(v))
+        for tmp in glob.glob(os.path.join(self.path, "v=*__tmp")):
+            shutil.rmtree(tmp)
+        return drop

@@ -66,3 +66,42 @@ def test_foreach_batch_upsert_exactly_once(spark, tmp_path):
     run()
     got2 = {(r["id"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got2 == got
+
+
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), keys=["k"])
+    assert t.versions() == [] and t.latest_version() is None
+
+    v0 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "val"]))
+    v1 = t.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "val"]))
+    assert (v0, v1) == (0, 1)
+
+    # time travel: v0 unchanged, v1 merged
+    assert sorted((r.k, r.val) for r in t.read(0).collect()) == [(1, "a"), (2, "b")]
+    assert sorted((r.k, r.val) for r in t.read(1).collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+    assert sorted((r.k, r.val) for r in t.read().collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+
+    # full-history view comes free from the v= partition layout
+    hist_df = spark.read.parquet(str(tmp_path / "vt"))
+    assert hist_df.count() == 5 and "v" in hist_df.columns
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert all(h["n_files"] >= 1 and h["bytes"] > 0 for h in hist)
+
+    # crashed-writer leftovers are invisible and vacuumed
+    import os
+    os.makedirs(str(tmp_path / "vt" / "v=2__tmp"))
+    assert t.latest_version() == 1
+    removed = t.vacuum(keep_last=1)
+    assert removed == [0] and t.versions() == [1]
+    assert not os.path.exists(str(tmp_path / "vt" / "v=2__tmp"))
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t.read(0)
