@@ -223,13 +223,17 @@ def ivf_knn(
     vec_col: str = "embedding",
     n_cells: int = 16,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids = the ``n_cells`` lowest-id corpus
     vectors (deterministic quantizer); every vector is assigned to its
-    nearest centroid by cosine; a query searches only its own cell.
+    nearest centroid by cosine; a query searches its ``nprobe`` nearest
+    cells (the standard IVF recall/cost knob — tools/ann_recall.py measures
+    the trade on the embeddings fixture).
 
-    This is the standard inverted-file trade: recall < 1, cost ≈ n/√cells.
-    Centroids are broadcast; the cell join is an equi-join on cell id.
+    This is the standard inverted-file trade: recall < 1, cost ≈
+    nprobe·n/cells per query. Centroids are broadcast; the cell join is an
+    equi-join on cell id.
     """
     cents = (
         corpus.orderBy(F.col(id_col).asc())
@@ -237,12 +241,12 @@ def ivf_knn(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
     )
 
-    def assign(df: DataFrame, idc: str, vc: str) -> DataFrame:
+    def assign(df: DataFrame, idc: str, vc: str, n_best: int = 1) -> DataFrame:
         scored = spread(df).crossJoin(F.broadcast(cents)).withColumn(
             "ccos", F.round(cosine(F.col(vc), F.col("cvec")), 6)
         )
         best = top_k_per_group(
-            scored, [idc], [F.col("ccos").desc(), F.col("cent_id").asc()], 1
+            scored, [idc], [F.col("ccos").desc(), F.col("cent_id").asc()], n_best
         )
         return best.select(df["*"], F.col("cent_id").alias("cell"))
 
@@ -255,6 +259,7 @@ def ivf_knn(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "query_id",
         "qv",
+        n_best=nprobe,
     )
     scored = (
         q_assigned.join(c_assigned, on="cell")

@@ -564,3 +564,45 @@ def test_quantized_knn_matches_exact_on_clean_gaps(spark):
     exact = [(r["neighbor_id"], r["rank"]) for r in brute_force_knn(df, q, k=3).collect()]
     quant = [(r["neighbor_id"], r["rank"]) for r in quantized_knn(df, q, k=3).collect()]
     assert quant == exact == [(2, 1), (4, 2), (3, 3)]
+
+
+def test_ivf_nprobe_monotone_recall(spark):
+    """The nprobe knob must trade cost for recall monotonically, and int8
+    quantization must track exact ranking closely (SQ8's documented ~1e-3
+    cosine error). Measured on the deterministic embeddings fixture."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        quantized_knn,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "embeddings.parquet")
+    ).cache()
+    queries = emb.orderBy(F.col("vec_id").desc()).limit(10).cache()
+    k = 5
+
+    def pairs(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = pairs(brute_force_knn(emb, queries, k=k).collect())
+    denom = sum(len(v) for v in truth.values())
+
+    def recall(rows):
+        got = pairs(rows)
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / denom
+
+    r1 = recall(ivf_knn(emb, queries, n_cells=8, k=k, nprobe=1).collect())
+    r2 = recall(ivf_knn(emb, queries, n_cells=8, k=k, nprobe=2).collect())
+    r8 = recall(ivf_knn(emb, queries, n_cells=8, k=k, nprobe=8).collect())
+    assert r1 <= r2 <= r8, (r1, r2, r8)
+    assert r8 == 1.0  # probing every cell IS brute force
+    rq = recall(quantized_knn(emb, queries, k=k).collect())
+    assert rq >= 0.8, rq

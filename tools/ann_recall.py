@@ -1,0 +1,94 @@
+"""ANN recall measurement — "measure, don't guess" for the similarity ops.
+
+Computes recall@k of each approximate-nearest-neighbor path against
+brute-force cosine ground truth on the embeddings fixture:
+
+* ``ivf_knn`` at nprobe = 1, 2, 4 (the IVF cost/recall knob)
+* ``quantized_knn`` (int8 scalar quantization)
+
+Prints one JSON line per configuration. Usage:
+
+    python tools/ann_recall.py [sf_dir] [k]
+
+Interpretation note: the fixture embeddings are ISOTROPIC (measured
+same-label vs cross-label mean cosine 0.0016 vs 0.0003 at sf0.01 — no
+cluster structure), which is the worst case for any inverted-file index;
+IVF recall here is a floor, not a typical value. What the numbers DO
+verify: recall rises monotonically with nprobe (the knob works) and int8
+quantization holds recall near 1 (sf0.01: nprobe 1/2/4 → 0.20/0.33/0.46;
+int8 → 0.95).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_knn,
+    quantized_knn,
+)
+from lakehouse_architecture_spark.session import SessionFactory
+
+
+def recall_at_k(truth: dict[int, set], approx_rows, k: int) -> float:
+    got: dict[int, set] = {}
+    for r in approx_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return hits / (len(truth) * k)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    spark = SessionFactory(app_name="ann_recall").get_or_create()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    n = emb.count()
+    queries = emb.orderBy(F.col("vec_id").desc()).limit(32).cache()
+
+    t0 = time.time()
+    truth_rows = brute_force_knn(emb, queries, k=k).collect()
+    t_brute = time.time() - t0
+    truth: dict[int, set] = {}
+    for r in truth_rows:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    results = []
+    for nprobe in (1, 2, 4):
+        t0 = time.time()
+        rows = ivf_knn(emb, queries, n_cells=16, k=k, nprobe=nprobe).collect()
+        results.append(
+            {
+                "method": f"ivf(cells=16,nprobe={nprobe})",
+                "recall_at_k": round(recall_at_k(truth, rows, k), 4),
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+
+    t0 = time.time()
+    rows = quantized_knn(emb, queries, k=k).collect()
+    results.append(
+        {
+            "method": "int8-quantized",
+            "recall_at_k": round(recall_at_k(truth, rows, k), 4),
+            "sec": round(time.time() - t0, 2),
+        }
+    )
+
+    for r in results:
+        print(json.dumps({"corpus": n, "k": k, "brute_sec": round(t_brute, 2), **r}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
