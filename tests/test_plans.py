@@ -182,3 +182,44 @@ def test_snapshot_diff_shuffles_hashes_not_rows(spark):
     # the full-outer join operates on (key, 60-bit hash) projections:
     # the wide text column must not appear in the join output schema
     assert "h_before" in plan and "h_after" in plan
+
+
+def test_dup_spans_no_cartesian_two_aggs(spark):
+    """Span dedup must stay index-join shaped: no all-pairs stage; the
+    doc-frequency filter is two hash aggregates plus one equi-join."""
+    df = _q(spark, "q_dup_spans")
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_url_canon_is_narrow_map(spark):
+    """Canonicalization is pure string exprs — no shuffle anywhere (the
+    final orderBy is presentation; everything before it is one codegen
+    stage over the scan)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.web import canonicalize_url
+    from lakehouse_architecture_spark.queries.base import tables
+
+    t = tables(spark, SF)
+    df = t["documents"].select(
+        "doc_id", canonicalize_url(F.concat(F.lit("https://Example.com/x?b=2&a=1&utm_source="), F.col("source"))).alias("u")
+    )
+    from lakehouse_architecture_spark.plans.inspect import plan_summary
+
+    ops = plan_summary(df)
+    assert ops.get("Exchange", 0) == 0, ops
+    # a narrow Project over the scan — complex string/array lambdas fall
+    # out of codegen but stay one stage with zero shuffles
+    assert "Project (" in formatted_plan(df)
+
+
+def test_zorder_value_is_narrow_map(spark):
+    from lakehouse_architecture_spark.plans.inspect import plan_summary
+
+    df = _q(spark, "q_zorder")
+    ops = plan_summary(df)
+    # one range-partition exchange for the presentation orderBy; the z
+    # computation itself is a narrow Project
+    assert ops.get("Exchange", 0) <= 1, ops
