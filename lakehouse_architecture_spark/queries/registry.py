@@ -14,6 +14,7 @@ from lakehouse_architecture_spark.queries.relational import RELATIONAL_QUERIES
 from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
 from lakehouse_architecture_spark.queries.relational3 import RELATIONAL3_QUERIES
 from lakehouse_architecture_spark.queries.relational4 import RELATIONAL4_QUERIES
+from lakehouse_architecture_spark.queries.relational5 import RELATIONAL5_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
 from lakehouse_architecture_spark.queries.timeseries import TIMESERIES_QUERIES
 
@@ -27,6 +28,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *TIMESERIES_QUERIES,
     *CORPUS_QUERIES,
     *CORPUS2_QUERIES,
+    *RELATIONAL5_QUERIES,  # appended last: registry-ordering note in corpus2.py
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry

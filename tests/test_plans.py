@@ -223,3 +223,9 @@ def test_zorder_value_is_narrow_map(spark):
     # one range-partition exchange for the presentation orderBy; the z
     # computation itself is a narrow Project
     assert ops.get("Exchange", 0) <= 1, ops
+
+
+def test_q02_broadcast_dims_no_cartesian(spark):
+    df = _q(spark, "q02_min_cost_supplier")
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, min_count=1)
