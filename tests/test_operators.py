@@ -606,3 +606,40 @@ def test_ivf_nprobe_monotone_recall(spark):
     assert r8 == 1.0  # probing every cell IS brute force
     rq = recall(quantized_knn(emb, queries, k=k).collect())
     assert rq >= 0.8, rq
+
+
+def test_kmeans_centroids_recover_clusters(spark):
+    """On well-separated clusters, Lloyd's refinement must move the coarse
+    quantizer onto the cluster axes — and IVF with those centroids reaches
+    recall 1.0 at nprobe=1 (vs chance with the lowest-id quantizer)."""
+    import random
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        kmeans_centroids,
+    )
+
+    random.seed(7)
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = [0.0] * 9
+        v[c * 3] = 1.0
+        v[c * 3 + 1] = random.uniform(0, 0.2)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_cells=3, iters=3)
+    got = cents.orderBy("cent_id").collect()
+    assert len(got) == 3
+    # each centroid points along exactly one cluster's primary axis
+    axes = sorted(max(range(9), key=lambda i: r.cvec[i]) for r in got)
+    assert axes == [0, 3, 6], axes
+
+    q = df.limit(9)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_knn(df, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_knn(df, q, k=5, n_cells=3, centroids=cents).collect()
+    }
+    assert truth == approx
