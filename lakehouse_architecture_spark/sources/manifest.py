@@ -1,0 +1,124 @@
+"""File-statistics manifest + manifest-pruned reads — Iceberg's manifest
+idea as a library over plain parquet.
+
+A 100 TB table is tens of thousands of files; the fastest scan is the one
+that never opens most of them. Transactional formats keep per-file column
+min/max in their metadata layer and prune before planning; plain parquet
+has the same stats in every footer but Spark only consults them row-group
+by row-group AFTER listing+scheduling every file. This module materializes
+the stats once into a manifest table, then turns predicates into a file
+list Spark is given explicitly — pruning at plan time, not task time.
+
+Scale design: footer reads are distributed (``mapInPandas`` over the file
+list — each task opens only footers, never data pages; ~KB per file), the
+manifest itself is tiny (one row per file) and is usually cached or
+written next to the table. Combined with :func:`...partitioning.
+zordered_write`, min/max boxes are tight on every clustered column, so a
+point/range predicate typically keeps O(1) of the files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stats_schema(cols: list[str]) -> T.StructType:
+    fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+    ]
+    for c in cols:
+        fields.append(T.StructField(f"min_{c}", T.DoubleType()))
+        fields.append(T.StructField(f"max_{c}", T.DoubleType()))
+    return T.StructType(fields)
+
+
+def file_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """One row per parquet file under ``path``: (file, n_rows, bytes,
+    min_<c>, max_<c> for each stats column). Numeric columns only (min/max
+    are coerced to double; strings would need collation-aware handling).
+
+    The footer reads run on executors — the driver only lists the
+    directory. Null-only columns yield NULL bounds (never prunable).
+    """
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    schema = _stats_schema(cols)
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            out = []
+            for f in batch["file"]:
+                md = pq.ParquetFile(f).metadata
+                names = [md.schema.column(i).name for i in range(len(md.schema))]
+                row: dict = {
+                    "file": f,
+                    "n_rows": md.num_rows,
+                    "bytes": os.path.getsize(f),
+                }
+                for c in cols:
+                    i = names.index(c)
+                    lo = hi = None
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    row[f"min_{c}"] = None if lo is None else float(lo)
+                    row[f"max_{c}"] = None if hi is None else float(hi)
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    flist = spark.createDataFrame([(f,) for f in files], ["file"])
+    return flist.mapInPandas(read_footers, schema=schema)
+
+
+def pruned_files(
+    manifest: DataFrame, col: str, lo: float | None = None, hi: float | None = None
+) -> list[str]:
+    """Files whose [min, max] box can intersect [lo, hi]. Files with NULL
+    bounds are kept (no stats = cannot prune — never lose rows)."""
+    keep = manifest
+    if lo is not None:
+        keep = keep.filter(
+            F.col(f"max_{col}").isNull() | (F.col(f"max_{col}") >= F.lit(lo))
+        )
+    if hi is not None:
+        keep = keep.filter(
+            F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= F.lit(hi))
+        )
+    return [r.file for r in keep.select("file").collect()]
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Read only the files that can contain ``col`` in [lo, hi], with the
+    residual predicate still applied (file pruning is a superset filter,
+    not the filter itself). An empty candidate list returns an empty
+    DataFrame with the table's schema."""
+    files = pruned_files(manifest, col, lo, hi)
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df

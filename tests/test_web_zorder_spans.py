@@ -168,3 +168,38 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_manifest_pruned_read_with_zorder(spark, tmp_path):
+    """zordered_write + file_manifest + pruned_read: a 2-D point predicate
+    must touch a small fraction of files and return exactly the full-scan
+    answer — the plan-time data-skipping loop closed end to end."""
+    from lakehouse_architecture_spark.sources.manifest import (
+        file_manifest,
+        pruned_files,
+        pruned_read,
+    )
+
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zt")
+    zordered_write(df, path, ["x", "y"], n_files=16, bits=6)
+
+    man = file_manifest(spark, path, ["x", "y"]).cache()
+    assert man.count() == 16
+    assert man.agg(F.sum("n_rows")).collect()[0][0] == 64 * 64
+
+    # point-ish predicate on x: most files must prune away
+    files = pruned_files(man, "x", lo=10, hi=12)
+    assert 0 < len(files) <= 8, files
+
+    got = pruned_read(spark, path, man, "x", lo=10, hi=12)
+    full = df.filter((F.col("x") >= 10) & (F.col("x") <= 12))
+    assert got.count() == full.count() == 3 * 64
+    assert got.agg(F.sum("y")).collect()[0][0] == full.agg(F.sum("y")).collect()[0][0]
+
+    # out-of-domain predicate: zero files, empty result, schema intact
+    assert pruned_files(man, "y", lo=1000) == []
+    empty = pruned_read(spark, path, man, "y", lo=1000)
+    assert empty.count() == 0 and set(empty.columns) == {"x", "y"}
