@@ -212,3 +212,47 @@ def weighted_priority_sample(
         .orderBy(F.col("priority").asc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def mix_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_weights: dict[str, float],
+) -> DataFrame:
+    """Rebalance a corpus to a target domain mix (the LLaMA/Pile-style
+    "data mixture" step): keep the LARGEST subset whose per-stratum
+    proportions equal ``target_weights``.
+
+    The limiting stratum pins the total: T = min_i(n_i / w_i); every
+    stratum then keeps ``w_i · T`` rows via the deterministic hash ticket
+    of :func:`stratified_hash_sample` (stable under retries and
+    repartitioning). Strata absent from ``target_weights`` are dropped.
+
+    Fully DataFrame-side: counts are one aggregate whose result (one row
+    per stratum) broadcasts back — no driver collect, so this composes
+    inside a larger lazy pipeline. The final keep-test is a narrow map.
+    """
+    spark = df.sparkSession
+    tw = spark.createDataFrame(
+        sorted(target_weights.items()), [strata_col, "__w"]
+    )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(F.broadcast(tw), strata_col)
+    )
+    t = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    frac = (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            strata_col,
+            (F.col("__w") * F.col("__t") / F.col("__n")).alias("__keep"),
+        )
+    )
+    ticket = md5_hash64(F.col(id_col).cast("string")) % _MOD
+    return (
+        df.join(F.broadcast(frac), strata_col)
+        .filter(ticket < (F.col("__keep") * _MOD).cast("bigint"))
+        .drop("__keep")
+    )

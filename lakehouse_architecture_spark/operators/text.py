@@ -443,3 +443,69 @@ def bm25_scores(
         F.round(dsum("t_score"), 6).alias("score"),
         F.count(F.lit(1)).alias("n_hit"),
     )
+
+
+def heuristic_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based quality screens from the C4 and Gopher pipelines
+    (Raffel et al. 2019 §2.2; Rae et al. 2021 A1.1), as pure Catalyst
+    expressions — one narrow map, no Python, no shuffle.
+
+    Adds per-document stats plus two composite booleans:
+
+    * ``fails_gopher`` — word count outside [50, 100k], mean word length
+      outside [3, 10], alpha-word fraction < 0.8, symbol-to-word ratio
+      ('#'/'…'/'...') > 0.1, > 90% bullet lines, or > 30% ellipsis-ended
+      lines.
+    * ``fails_c4`` — contains "lorem ipsum" or a curly brace (code leak).
+
+    Ratios are exact rationals of counts (portable); thresholds are the
+    published ones and are compared on the raw ratio, not a rounding.
+    """
+    t = F.col(text_col)
+    words = tokens(t)
+    n_words = F.size(words)
+    nw = F.when(n_words > 0, n_words.cast("double"))  # NULL-safe denominator
+    mean_wl = (
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / nw
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nw
+    )
+    sym_ratio = F.regexp_count(t, F.lit(r"#|\.\.\.|…")).cast("double") / nw
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    nl = F.when(n_lines > 0, n_lines.cast("double"))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double") / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).cast("double")
+        / nl
+    )
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_curly = t.contains("{")
+    fails_gopher = (
+        (n_words < 50)
+        | (n_words > 100_000)
+        | (mean_wl < 3.0)
+        | (mean_wl > 10.0)
+        | (alpha_frac < 0.8)
+        | (sym_ratio > 0.1)
+        | (bullet_frac > 0.9)
+        | (ellipsis_frac > 0.3)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("symbol_word_ratio", sym_ratio)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn("fails_gopher", F.coalesce(fails_gopher, F.lit(True)))
+        .withColumn("fails_c4", has_lorem | has_curly)
+    )

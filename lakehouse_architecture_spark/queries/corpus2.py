@@ -155,6 +155,100 @@ ORDER BY p_partkey
 """
 
 
+# --- domain-mix rebalancing -----------------------------------------------
+_MIX = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.curation import mix_rebalance
+
+    t = tables(spark, sf_dir)
+    return (
+        mix_rebalance(t["documents"], "source", "doc_id", _MIX)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in sorted(_MIX.items()))
+_Q_MIX_SQL = f"""
+WITH tw(source, w) AS (VALUES {_MIX_VALUES}),
+counts AS (
+  SELECT d.source, COUNT(*) AS n, MIN(w) AS w
+  FROM documents d JOIN tw USING (source)
+  GROUP BY d.source
+),
+t AS (SELECT MIN(n / w) AS t FROM counts),
+frac AS (SELECT source, w * t.t / n AS keep FROM counts, t)
+SELECT doc_id, d.source
+FROM documents d JOIN frac USING (source)
+WHERE {_HASH64.format(expr='CAST(doc_id AS VARCHAR)')} % 1000000
+      < CAST(keep * 1000000 AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+# --- C4 / Gopher heuristic quality rules ----------------------------------
+def _q_heuristic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.text import heuristic_flags
+
+    t = tables(spark, sf_dir)
+    out = heuristic_flags(t["documents"], "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        "fails_gopher",
+        "fails_c4",
+    ).orderBy("doc_id")
+
+
+_Q_HEURISTIC_SQL = """
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, len(words) AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+         END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words)
+         END AS alpha_word_frac,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE) / len(words)
+         END AS symbol_word_ratio,
+         CASE WHEN len(string_split(text, chr(10))) > 0 THEN
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+           / len(string_split(text, chr(10)))
+         END AS bullet_frac,
+         CASE WHEN len(string_split(text, chr(10))) > 0 THEN
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+           / len(string_split(text, chr(10)))
+         END AS ellipsis_frac
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+       ROUND(symbol_word_ratio, 6) AS symbol_word_ratio,
+       COALESCE(n_words < 50 OR n_words > 100000
+                OR mean_word_len < 3.0 OR mean_word_len > 10.0
+                OR alpha_word_frac < 0.8 OR symbol_word_ratio > 0.1
+                OR bullet_frac > 0.9 OR ellipsis_frac > 0.3, TRUE) AS fails_gopher,
+       (lower(text) LIKE '%lorem ipsum%' OR contains(text, '{')) AS fails_c4
+FROM s
+ORDER BY doc_id
+"""
+
+
 CORPUS2_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_dup_spans",
@@ -173,5 +267,17 @@ CORPUS2_QUERIES: list[QuerySpec] = [
         "Morton Z-order interleaved clustering key",
         _q_zorder,
         _Q_ZORDER_SQL,
+    ),
+    QuerySpec(
+        "q_mix_rebalance",
+        "target domain-mix rebalancing via limiting-stratum hash sampling",
+        _q_mix_rebalance,
+        _Q_MIX_SQL,
+    ),
+    QuerySpec(
+        "q_heuristic_flags",
+        "C4/Gopher rule-based quality screens as narrow Catalyst exprs",
+        _q_heuristic_flags,
+        _Q_HEURISTIC_SQL,
     ),
 ]

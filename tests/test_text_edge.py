@@ -228,3 +228,47 @@ def test_shard_manifest_deterministic_and_dense(spark):
         assert sorted(positions) == list(range(1, len(positions) + 1))
     sizes = sorted(len(v) for v in shards.values())
     assert sizes[0] > 0                   # hash-balanced: every shard used
+
+
+def test_mix_rebalance_hits_target_proportions(spark):
+    """The limiting stratum keeps everything; others downsample toward the
+    target weights; unlisted strata drop entirely."""
+    from lakehouse_architecture_spark.operators.curation import mix_rebalance
+
+    rows = [(i, "a" if i < 1000 else ("b" if i < 1500 else "c")) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    # b is limiting: T = min(1000/0.4, 500/0.4) = 1250 -> a keeps 500, b 500
+    out = mix_rebalance(df, "src", "id", {"a": 0.4, "b": 0.4}).cache()
+    by = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "c" not in by
+    assert by["b"] == 500  # limiting stratum keeps all
+    assert abs(by["a"] - 500) < 40  # hash-ticket sampling, ~1e-6 resolution
+    # deterministic: same call, same rows
+    again = mix_rebalance(df, "src", "id", {"a": 0.4, "b": 0.4})
+    assert {r.id for r in out.collect()} == {r.id for r in again.collect()}
+
+
+def test_heuristic_flags_rules(spark):
+    from lakehouse_architecture_spark.operators.text import heuristic_flags
+
+    good = " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (1, good),                                   # passes gopher, passes c4
+        (2, "short doc"),                            # < 50 words
+        (3, good + " {code}"),                       # curly -> c4
+        (4, "Lorem Ipsum " + good),                  # lorem -> c4
+        (5, " ".join(["###"] * 60)),                 # symbols, no alpha
+        (6, "\n".join(["- item " + str(i) for i in range(60)])),  # bullets
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.fails_gopher, r.fails_c4) for r in heuristic_flags(df).collect()}
+    assert got[1] == (False, False)
+    assert got[2][0] is True
+    assert got[3] == (False, True)
+    assert got[4] == (False, True)
+    assert got[5][0] is True
+    assert got[6][0] is True  # >90% bullet lines
+    # empty text: flagged, not a divide-by-zero crash
+    empty = heuristic_flags(spark.createDataFrame([(9, "")], ["doc_id", "text"]))
+    r = empty.collect()[0]
+    assert r.fails_gopher is True and r.mean_word_len is None
