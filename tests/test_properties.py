@@ -111,3 +111,48 @@ def test_merge_upsert_last_writer_wins(spark, base, updates):
     ) if upd_d else spark.createDataFrame([], "k int, v string")
     merged = {r["k"]: r["v"] for r in merge_upsert(target, upd, ["k"]).collect()}
     assert merged == {**base_d, **upd_d}  # dict-update algebra
+
+
+# --- URL canonicalization properties --------------------------------------
+
+_SCHEMES = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+_HOSTS = st.from_regex(r"(www\.)?[A-Za-z][A-Za-z0-9\-]{0,10}(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+_PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+_PATHS = st.from_regex(r"(/[A-Za-z0-9._\-]{0,8}){0,3}/?", fullmatch=True)
+_PARAMS = st.lists(
+    st.from_regex(r"(utm_[a-z]{1,6}|gclid|ref|[a-z]{1,5})=[A-Za-z0-9]{0,6}", fullmatch=True),
+    max_size=4,
+)
+_FRAGS = st.sampled_from(["", "#x", "#frag-1"])
+
+
+@st.composite
+def _urls(draw):
+    qs = "&".join(draw(_PARAMS))
+    return (
+        draw(_SCHEMES)
+        + "://"
+        + draw(_HOSTS)
+        + draw(_PORTS)
+        + draw(_PATHS)
+        + (("?" + qs) if qs else "")
+        + draw(_FRAGS)
+    )
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_urls(), min_size=1, max_size=20))
+def test_canonicalize_url_idempotent(spark, urls):
+    """canon(canon(u)) == canon(u), and no canonical form retains a
+    fragment, a tracking parameter, or a default port."""
+    from lakehouse_architecture_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(F.col("c1"), canonicalize_url("c1").alias("c2"))
+    for r in twice.collect():
+        assert r.c2 == r.c1, (r.c1, r.c2)
+        assert "#" not in r.c1
+        assert "utm_" not in r.c1 and "gclid" not in r.c1
+        assert not re.search(r"^http://[^/?]*:80(/|\?|$)", r.c1)
+        assert not re.search(r"^https://[^/?]*:443(/|\?|$)", r.c1)

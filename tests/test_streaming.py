@@ -216,3 +216,38 @@ def test_neardedup_ingest_across_batches(spark, tmp_path):
     assert kept == {1, 2, 5}
     # the store holds signatures only for surviving docs
     assert {r["id"] for r in spark.read.parquet(sigs).select("id").distinct().collect()} == {1, 2, 5}
+
+
+def test_streaming_url_dedup_on_canonical_key(spark, tmp_path):
+    """Crawl-stream dedup keyed on the CANONICAL url: spelling variants of
+    one page collapse to a single emitted row — the reference's seen-ID
+    ledger (app/bronze.py) with canonicalization folded into the key,
+    watermark-bounded state, restart-safe via the checkpoint."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from lakehouse_architecture_spark.operators.web import canonicalize_url
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("https://example.com/a?b=2&a=1", t0),
+        ("HTTPS://WWW.example.com/a/?a=1&b=2&utm_source=z", t0),  # same page
+        ("https://example.com/other", t0),
+    ]
+    src = str(tmp_path / "usrc")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    keyed = stream.withColumn("canonical_url", canonicalize_url("url"))
+    deduped = streaming_dedup(keyed, ["canonical_url"], watermark="1 hour")
+    q = run_available_now(deduped, str(tmp_path / "uckpt"), query_name="uout")
+    q.awaitTermination(60)
+    got = {r.canonical_url for r in spark.sql("SELECT canonical_url FROM uout").collect()}
+    assert got == {"https://example.com/a?a=1&b=2", "https://example.com/other"}
