@@ -12,9 +12,10 @@ list Spark is given explicitly — pruning at plan time, not task time.
 Scale design: footer reads are distributed (``mapInPandas`` over the file
 list — each task opens only footers, never data pages; ~KB per file), the
 manifest itself is tiny (one row per file) and is usually cached or
-written next to the table. Combined with :func:`...partitioning.
-zordered_write`, min/max boxes are tight on every clustered column, so a
-point/range predicate typically keeps O(1) of the files.
+written next to the table; after appends it refreshes incrementally
+(:func:`refresh_manifest` — O(new files), never O(table)). Combined with
+:func:`...partitioning.zordered_write`, min/max boxes are tight on every
+clustered column, so a point/range predicate typically keeps O(1) files.
 """
 
 from __future__ import annotations
@@ -39,18 +40,20 @@ def _stats_schema(cols: list[str]) -> T.StructType:
     return T.StructType(fields)
 
 
-def file_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
-    """One row per parquet file under ``path``: (file, n_rows, bytes,
-    min_<c>, max_<c> for each stats column). Numeric columns only (min/max
-    are coerced to double; strings would need collation-aware handling).
-
-    The footer reads run on executors — the driver only lists the
-    directory. Null-only columns yield NULL bounds (never prunable).
-    """
+def _list_files(path: str) -> list[str]:
     import glob
     import os
 
-    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
+def _manifest_for_files(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> DataFrame:
+    """Distributed footer stats for an explicit file list. Each executor
+    task opens only footers, never data pages."""
+    import os
+
     schema = _stats_schema(cols)
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,6 +85,33 @@ def file_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
 
     flist = spark.createDataFrame([(f,) for f in files], ["file"])
     return flist.mapInPandas(read_footers, schema=schema)
+
+
+def file_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """One row per parquet file under ``path``: (file, n_rows, bytes,
+    min_<c>, max_<c> for each stats column). Numeric columns only (min/max
+    are coerced to double; strings would need collation-aware handling).
+
+    The footer reads run on executors — the driver only lists the
+    directory. Null-only columns yield NULL bounds (never prunable).
+    """
+    return _manifest_for_files(spark, _list_files(path), cols)
+
+
+def refresh_manifest(
+    spark: SparkSession, manifest: DataFrame, path: str, cols: list[str]
+) -> DataFrame:
+    """Incrementally update a manifest after appends/compactions: footers
+    are read ONLY for files not already covered; rows for vanished files
+    are dropped — the Iceberg snapshot-append behavior. After a daily
+    append this costs O(new files), never O(table)."""
+    current = set(_list_files(path))
+    kept = manifest.filter(F.col("file").isin(list(current)))
+    known = {r.file for r in manifest.select("file").collect()}
+    new = sorted(current - known)
+    if not new:
+        return kept
+    return kept.unionByName(_manifest_for_files(spark, new, cols))
 
 
 def pruned_files(

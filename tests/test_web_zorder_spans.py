@@ -203,3 +203,36 @@ def test_manifest_pruned_read_with_zorder(spark, tmp_path):
     assert pruned_files(man, "y", lo=1000) == []
     empty = pruned_read(spark, path, man, "y", lo=1000)
     assert empty.count() == 0 and set(empty.columns) == {"x", "y"}
+
+
+def test_refresh_manifest_incremental(spark, tmp_path):
+    """Append files -> refresh covers them without re-reading old footers;
+    compact away files -> their rows drop."""
+    import os
+
+    from lakehouse_architecture_spark.sources.manifest import (
+        file_manifest,
+        refresh_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).select(F.col("id").alias("x")).coalesce(2).write.parquet(path)
+    man = file_manifest(spark, path, ["x"]).cache()
+    n0 = man.count()
+
+    # append a new file
+    spark.range(100, 200).select(F.col("id").alias("x")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    man2 = refresh_manifest(spark, man, path, ["x"]).cache()
+    assert man2.count() == n0 + 1
+    assert man2.agg(F.sum("n_rows")).collect()[0][0] == 200
+    new_row = man2.filter(F.col("min_x") >= 100).collect()
+    assert len(new_row) == 1 and new_row[0].max_x == 199.0
+
+    # remove one original file -> its row drops, no error
+    victims = [r.file for r in man.select("file").collect()][:1]
+    os.remove(victims[0])
+    man3 = refresh_manifest(spark, man2, path, ["x"])
+    assert man3.count() == n0
+    assert victims[0] not in {r.file for r in man3.select("file").collect()}
