@@ -67,6 +67,62 @@ ORDER BY id, span_start
 """
 
 
+def _q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.dedup import remove_duplicated_spans
+
+    t = tables(spark, sf_dir)
+    out = remove_duplicated_spans(
+        t["documents"], "doc_id", "text", k=_SPAN_K, min_docs=2
+    )
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+_Q_REMOVE_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i.i AS INT) AS pos,
+         {_HASH64.format(expr=f"array_to_string(list_slice(tk, i.i + 1, i.i + {_SPAN_K}), ' ')")} AS h
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, len(tk) - {_SPAN_K})) AS i) i
+  WHERE len(tk) >= {_SPAN_K}
+),
+hot AS (
+  SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, tk[t.i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) t
+),
+keep AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.s AND s.e
+  )
+)
+SELECT d.doc_id,
+       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                 FROM keep k WHERE k.doc_id = d.doc_id), '') AS text
+FROM documents d
+ORDER BY d.doc_id
+"""
+
+
 # --- URL canonicalization + dedup -----------------------------------------
 # The corpus has no URL column, so both engines derive the SAME synthetic
 # URLs from doc_id (case/port/fragment/tracking/trailing-slash variants) and
@@ -267,6 +323,12 @@ CORPUS2_QUERIES: list[QuerySpec] = [
         "Morton Z-order interleaved clustering key",
         _q_zorder,
         _Q_ZORDER_SQL,
+    ),
+    QuerySpec(
+        "q_remove_spans",
+        "scrubbed corpus: duplicated k-gram spans removed (span dedup end-to-end)",
+        _q_remove_spans,
+        _Q_REMOVE_SPANS_SQL,
     ),
     QuerySpec(
         "q_mix_rebalance",
