@@ -4,7 +4,11 @@ Runs every query in the registry on Spark and its oracle SQL on DuckDB over
 the same parquet tables, canonicalizes both results (columns sorted by name,
 rows sorted, values stringified), and compares row counts + value hashes.
 
-Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--plain] [sf_dir] [query_name ...]
+
+``--plain`` runs on a bare SparkSession (no engine confs — Spark 4 ANSI
+defaults, like the external driver's) instead of SessionFactory, verifying
+that the query layer pins every conf it depends on (queries/base.py).
 """
 
 from __future__ import annotations
@@ -45,10 +49,22 @@ def canonical(df: pd.DataFrame) -> tuple[int, str, list[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
-    spark = SessionFactory(app_name="oracle_check").get_or_create()
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = SessionFactory(app_name="oracle_check").get_or_create()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
