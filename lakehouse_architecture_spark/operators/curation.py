@@ -57,7 +57,10 @@ def stratified_hash_sample(
         else F.lit(default_fraction)
     )
     ticket = md5_hash64(F.col(id_col).cast("string")) % _MOD
-    return df.filter(ticket < (frac * _MOD).cast("bigint"))
+    # floor, not a bare bigint cast: Spark's non-ANSI double->bigint cast
+    # truncates while other engines round, so an explicit floor keeps the
+    # threshold identical everywhere (oracles use FLOOR too)
+    return df.filter(ticket < F.floor(frac * _MOD))
 
 
 def pack_token_budget(
@@ -251,8 +254,9 @@ def mix_rebalance(
         )
     )
     ticket = md5_hash64(F.col(id_col).cast("string")) % _MOD
+    # explicit floor: see stratified_hash_sample — identical across engines
     return (
         df.join(F.broadcast(frac), strata_col)
-        .filter(ticket < (F.col("__keep") * _MOD).cast("bigint"))
+        .filter(ticket < F.floor(F.col("__keep") * _MOD))
         .drop("__keep")
     )

@@ -514,25 +514,47 @@ def remove_duplicated_spans(
 ) -> DataFrame:
     """Rewrite ``text_col`` with every duplicated span's tokens removed
     (the scrub step of span-level dedup). Non-span tokens keep their
-    relative order. One extra shuffle: spans aggregate per doc, then join
-    back on id (co-keyed with the span window's partitioning)."""
+    relative order, joined by single spaces; documents with NO duplicated
+    span keep their original text byte-for-byte (no whitespace
+    normalization). One extra shuffle: spans aggregate per doc, then join
+    back on id (co-keyed with the span window's partitioning).
+
+    The rewrite walks the COMPLEMENT intervals of the (sorted,
+    non-overlapping by construction) spans — O(tokens + spans) per doc,
+    never the O(tokens x spans) of a per-token membership test."""
     spans = (
         duplicated_kgram_spans(df, id_col, text_col, k, min_docs)
         .groupBy("id")
         .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("__spans")
+        )
+        # reserved name: a bare .drop("id") after the join would also drop
+        # any user column literally named 'id' (PySpark drops by name)
+        .withColumnRenamed("id", "__span_id")
+    )
+    out = df.join(
+        spans, on=[df[id_col] == spans["__span_id"]], how="left"
+    ).drop("__span_id")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # kept token ranges = gaps between consecutive spans (half-open):
+    # starts = [0, end_0+1, end_1+1, ...], ends = [start_0, start_1, ..., n]
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.transform(F.col("__spans"), lambda s: s["span_end"] + 1),
+    )
+    ends = F.concat(
+        F.transform(F.col("__spans"), lambda s: s["span_start"]),
+        F.array(F.size(toks)),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            starts, ends, lambda a, b: F.slice(toks, a + 1, F.greatest(b - a, F.lit(0)))
         )
     )
-    out = df.join(spans, on=[df[id_col] == spans["id"]], how="left").drop("id")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    keep = F.filter(
-        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda s: ~F.exists(
-            F.coalesce(F.col("__spans"), F.expr(
-                "cast(array() as array<struct<span_start:int,span_end:int>>)"
-            )),
-            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
-        ),
-    )
-    cleaned = F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))
-    return out.withColumn(text_col, cleaned).drop("__spans")
+    cleaned = F.concat_ws(" ", kept)
+    return out.withColumn(
+        text_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cleaned),
+    ).drop("__spans")

@@ -184,13 +184,24 @@ class VersionedTable:
     def _commit(self, df: DataFrame, v: int) -> int:
         import os
         import shutil
+        import uuid
 
-        tmp = self._vdir(v) + "__tmp"
+        # per-writer tmp dir: a shared name would let two racing writers
+        # overwrite each other's staged data before either renames
+        tmp = self._vdir(v) + f"__tmp-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(tmp)
         if v in self.versions():  # lost a concurrent commit race
             shutil.rmtree(tmp)
             raise FileExistsError(f"{self.path}: version {v} already committed")
-        os.rename(tmp, self._vdir(v))
+        try:
+            # atomic loser detection: rename onto an existing (non-empty)
+            # version dir fails, closing the check-then-rename window
+            os.rename(tmp, self._vdir(v))
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise FileExistsError(
+                f"{self.path}: version {v} already committed"
+            ) from None
         return v
 
     def write(self, df: DataFrame) -> int:
@@ -221,6 +232,6 @@ class VersionedTable:
         drop = self.versions()[:-keep_last]
         for v in drop:
             shutil.rmtree(self._vdir(v))
-        for tmp in glob.glob(os.path.join(self.path, "v=*__tmp")):
+        for tmp in glob.glob(os.path.join(self.path, "v=*__tmp*")):
             shutil.rmtree(tmp)
         return drop

@@ -116,8 +116,10 @@ keep AS (
   )
 )
 SELECT d.doc_id,
-       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
-                 FROM keep k WHERE k.doc_id = d.doc_id), '') AS text
+       CASE WHEN EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = d.doc_id)
+            THEN COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                           FROM keep k WHERE k.doc_id = d.doc_id), '')
+            ELSE d.text END AS text
 FROM documents d
 ORDER BY d.doc_id
 """
@@ -239,7 +241,7 @@ frac AS (SELECT source, w * t.t / n AS keep FROM counts, t)
 SELECT doc_id, d.source
 FROM documents d JOIN frac USING (source)
 WHERE {_HASH64.format(expr='CAST(doc_id AS VARCHAR)')} % 1000000
-      < CAST(keep * 1000000 AS BIGINT)
+      < CAST(FLOOR(keep * 1000000) AS BIGINT)
 ORDER BY doc_id
 """
 

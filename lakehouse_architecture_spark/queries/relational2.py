@@ -480,25 +480,58 @@ ORDER BY l_returnflag
 """
 
 
-# --- approximate aggregates (sketch-based; no cross-engine oracle) --------
+# --- approximate aggregates, verified as bounded-error claims -------------
 def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct counts + approximate quantiles. Sketches are
-    engine-specific by construction, so the driver records the rows-only
-    check; exact counterparts are oracle-checked in q_agg_distinct and
-    q_percentile."""
+    """HLL++ distinct counts + approximate quantiles. The sketch VALUES are
+    engine-specific (no cross-engine oracle can reproduce them), but their
+    accuracy contract is checkable: emit the group keys, the exact
+    aggregates, and booleans asserting each sketch estimate landed within
+    its documented error bound — all deterministic, so the row hash-matches
+    an oracle that computes the exact side and asserts the bounds as
+    literals. Raw sketch values stay covered by tests/test_queries.py."""
     t = tables(spark, sf_dir)
-    return (
+
+    def within(approx, exact, tol, name):
+        return ((F.abs(approx - exact) / exact) <= F.lit(tol)).alias(name)
+
+    agg = (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
-            F.expr("approx_percentile(l_extendedprice, 0.25)").alias("approx_p25"),
-            F.expr("approx_percentile(l_extendedprice, 0.75)").alias("approx_p75"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_med"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("__am"),
+        )
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            F.round("__exact_med", 4).alias("exact_median"),
+            # rsd=0.02 → 5x headroom; approx_percentile default accuracy
+            # (1e4) is near-exact at any per-group size we test
+            within(F.col("__ap"), F.col("exact_parts"), 0.10, "parts_ok"),
+            within(F.col("__ao"), F.col("exact_orders"), 0.10, "orders_ok"),
+            within(F.col("__am"), F.col("__exact_med"), 0.05, "median_ok"),
         )
         .orderBy("l_returnflag")
     )
+
+
+_Q_APPROX_AGGS_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+       TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 RELATIONAL2_QUERIES: list[QuerySpec] = [
@@ -517,5 +550,5 @@ RELATIONAL2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_analytic_windows", "ntile/percent_rank/cume_dist/first_value", _q_analytic_windows, _Q_ANALYTIC_WINDOWS_SQL),
     QuerySpec("q_percentile", "exact interpolated percentiles", _q_percentile, _Q_PERCENTILE_SQL),
     QuerySpec("q_conditional_agg", "count_if / bool_and / bool_or / filtered sum", _q_conditional_agg, _Q_CONDITIONAL_AGG_SQL),
-    QuerySpec("q_approx_aggs", "HLL++ distinct + approx percentiles (rows-only)", _q_approx_aggs, None),
+    QuerySpec("q_approx_aggs", "HLL++/approx-percentile bounded-error claims", _q_approx_aggs, _Q_APPROX_AGGS_SQL),
 ]

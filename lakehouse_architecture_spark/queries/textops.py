@@ -453,8 +453,8 @@ _Q_STRATIFIED_SQL = """
 SELECT doc_id, lang
 FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
-      < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.125 END)
-             * 1000000 AS BIGINT)
+      < CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.125 END)
+             * 1000000) AS BIGINT)
 ORDER BY doc_id
 """
 

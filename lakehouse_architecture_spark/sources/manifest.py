@@ -62,7 +62,13 @@ def _manifest_for_files(
         for batch in batches:
             out = []
             for f in batch["file"]:
-                md = pq.ParquetFile(f).metadata
+                try:
+                    md = pq.ParquetFile(f).metadata
+                except FileNotFoundError:
+                    # file vanished between listing and footer read
+                    # (compaction/vacuum race) — it would be dropped by the
+                    # next refresh's semi-join anyway, so skip, don't fail
+                    continue
                 names = [md.schema.column(i).name for i in range(len(md.schema))]
                 row: dict = {
                     "file": f,
@@ -104,11 +110,32 @@ def refresh_manifest(
     """Incrementally update a manifest after appends/compactions: footers
     are read ONLY for files not already covered; rows for vanished files
     are dropped — the Iceberg snapshot-append behavior. After a daily
-    append this costs O(new files), never O(table)."""
-    current = set(_list_files(path))
-    kept = manifest.filter(F.col("file").isin(list(current)))
-    known = {r.file for r in manifest.select("file").collect()}
-    new = sorted(current - known)
+    append this costs O(new files), never O(table).
+
+    Membership checks are DataFrame joins against the current listing (no
+    driver-side set, no ``isin`` in-list literal — at millions of files
+    that literal would dominate the plan); only the NEW file names are
+    collected, O(new files). The kept rows are materialized with an eager
+    ``localCheckpoint`` before returning, so later evaluations of the
+    result can never re-run the input manifest's footer reads — in
+    particular they can never touch files compaction has since removed
+    (the footer reader also skips vanished files defensively, so the one
+    materializing pass is safe even on an uncached input manifest)."""
+    listing = spark.createDataFrame(
+        [(f,) for f in _list_files(path)], ["file"]
+    )
+    kept = manifest.join(
+        F.broadcast(listing), "file", "left_semi"
+    ).localCheckpoint(eager=True)
+    # listing \ manifest == listing \ kept (files dropped by the semi-join
+    # are not in the listing), so anti-join against the materialized kept
+    # rows — the input manifest's lineage runs exactly once per refresh
+    new = sorted(
+        r.file
+        for r in listing.join(
+            kept.select("file"), "file", "left_anti"
+        ).collect()
+    )
     if not new:
         return kept
     return kept.unionByName(_manifest_for_files(spark, new, cols))

@@ -24,8 +24,8 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 50
     # every oracle key has a matching query
     assert set(oracles) <= set(qs)
-    # only sketch-based queries may lack an oracle (rows-only check)
-    assert set(qs) - set(oracles) == {"q_approx_aggs"}
+    # every query carries an oracle — no rows-only rows in the driver run
+    assert set(qs) == set(oracles)
 
 
 def test_multimodal_frame_sampling(spark):

@@ -105,3 +105,26 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         t.read(0)
+
+
+def test_versioned_table_commit_race_loser_detected(spark, tmp_path):
+    """Two writers staging the same next version: each stages into its OWN
+    tmp dir (no shared-name clobber) and the loser gets FileExistsError
+    while the winner's data stays intact."""
+    import os
+
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), keys=["k"])
+    t.write(spark.createDataFrame([(1, "a")], ["k", "val"]))
+
+    # simulate the loser: version dir appears after the pre-check would
+    # have passed — the atomic rename must fail, not overwrite
+    df_b = spark.createDataFrame([(2, "b")], ["k", "val"])
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        t._commit(df_b, 0)
+    assert sorted((r.k, r.val) for r in t.read(0).collect()) == [(1, "a")]
+    # no stranded tmp dirs
+    assert not [d for d in os.listdir(str(tmp_path / "vt")) if "__tmp" in d]

@@ -236,3 +236,64 @@ def test_refresh_manifest_incremental(spark, tmp_path):
     man3 = refresh_manifest(spark, man2, path, ["x"])
     assert man3.count() == n0
     assert victims[0] not in {r.file for r in man3.select("file").collect()}
+
+
+def test_refresh_manifest_uncached_after_compaction(spark, tmp_path):
+    """The ADVICE scenario: the input manifest is NOT cached, files vanish
+    (compaction), then refresh. The result must materialize without ever
+    re-reading the vanished footers, and stay evaluable repeatedly."""
+    import os
+
+    from lakehouse_architecture_spark.sources.manifest import (
+        file_manifest,
+        refresh_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(300).select(F.col("id").alias("x")).repartition(3).write.parquet(path)
+    man = file_manifest(spark, path, ["x"])  # lazy — deliberately uncached
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    os.remove(files[0])
+
+    man2 = refresh_manifest(spark, man, path, ["x"])
+    assert man2.count() == 2  # no FileNotFoundError, vanished row dropped
+    assert man2.count() == 2  # re-evaluation never touches footers again
+    assert files[0] not in {r.file for r in man2.select("file").collect()}
+
+
+def test_refresh_manifest_no_inlist_literal(spark, tmp_path):
+    """Membership checks are joins: with a 50k-row synthetic manifest the
+    kept-rows plan must carry no 50k-element in-list literal."""
+    from lakehouse_architecture_spark.sources.manifest import refresh_manifest
+
+    path = str(tmp_path / "t")
+    spark.range(10).select(F.col("id").alias("x")).coalesce(1).write.parquet(path)
+    real = sorted(glob.glob(f"{path}/*.parquet"))
+    synthetic = [(f"/nonexistent/part-{i:05d}.parquet", 10, 100, 0.0, 9.0)
+                 for i in range(50_000)]
+    man = spark.createDataFrame(
+        synthetic + [(real[0], 10, 100, 0.0, 9.0)],
+        ["file", "n_rows", "bytes", "min_x", "max_x"],
+    )
+    out = refresh_manifest(spark, man, path, ["x"])
+    assert [r.file for r in out.select("file").collect()] == real
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "nonexistent/part-00001" not in plan  # no in-list of file names
+
+
+def test_remove_spans_preserves_untouched_docs_and_id_column(spark):
+    """Docs with no duplicated span keep their text byte-for-byte (tabs,
+    newlines, space runs), and a user column literally named 'id' survives
+    the spans join."""
+    shared = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, 7, shared + " alpha beta gamma delta epsilon zeta"),
+        (2, 8, "intro words here first then " + shared),
+        (3, 9, "keep\tmy   tabs\nand  runs of spaces exactly as written ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "id", "text"])
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, "doc_id", "text", k=5).collect()}
+    assert out[3].text == rows[2][2]          # byte-for-byte, not re-joined
+    assert [out[i].id for i in (1, 2, 3)] == [7, 8, 9]  # user 'id' intact
+    assert out[1].text == "alpha beta gamma delta epsilon zeta"
+    assert out[2].text == "intro words here first then"
