@@ -74,6 +74,19 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Cold pass (methodology frozen as of round 3): every headline query
+    # once, straight off the parquet files, BEFORE any table caching — the
+    # round-1 measurement repeated verbatim so cross-round comparisons have
+    # a methodology-stable second series alongside the warm headline.
+    cold_total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        ALL_QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cold_total += time.time() - t0
+    cold_total = round(cold_total, 3)
+
     # Catalog + scan warm-up, outside the timed loop. The testdata files are
     # single-row-group parquet, and Spark's scan parallelism is row-group
     # aligned — every cold query would serialize on ONE decode task, an
@@ -120,6 +133,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_scan_total": cold_total,
                 "sf": sf,
             }
         )

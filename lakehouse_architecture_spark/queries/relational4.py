@@ -426,36 +426,36 @@ ORDER BY s_suppkey
 
 # --- q21: sole late shipper in multi-supplier orders (TPC-H Q21 shape) ---
 def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT-EXISTS over same-order suppliers, reformulated as ONE
+    scan of lineitem and a two-level aggregate instead of semi+anti
+    self-joins (which scan and shuffle lineitem two extra times): per
+    (order, supplier) count late rows, then per order count suppliers and
+    late suppliers. An order qualifies when it has >= 2 suppliers (the
+    EXISTS) and exactly one late supplier (the NOT EXISTS); that sole
+    supplier's late-row count is its numwait contribution."""
     t = tables(spark, sf_dir)
     f_orders = t["orders"].filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = (
-        li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
-        .select("l_orderkey", "l_suppkey")
+    joined = li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    is_late = (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    ).cast("int")
+    per_supp = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(is_late).alias("late_rows")
     )
-    l1 = late.alias("l1")
-    # exists: another supplier shipped in the same order
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    with_other = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    )
-    # not exists: no OTHER supplier was also late in that order
-    l3 = late.alias("l3")
-    sole_late = with_other.alias("l1").join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("int")).alias("n_late"),
+        F.max(
+            F.when(F.col("late_rows") > 0, F.struct("l_suppkey", "late_rows"))
+        ).alias("sole"),
     )
     return (
-        sole_late.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        per_order.filter((F.col("n_late") == 1) & (F.col("n_supp") >= 2))
+        .groupBy(F.col("sole.l_suppkey").alias("l_suppkey"))
+        .agg(F.sum("sole.late_rows").alias("numwait"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())

@@ -70,11 +70,13 @@ def test_tpch_tail_queries_broadcast_dims(spark):
         assert_no_cartesian(df)
 
 
-def test_q21_self_joins_are_hash_joins(spark):
-    # three lineitem roles -> semi/anti hash joins, never a nested loop
+def test_q21_single_lineitem_scan(spark):
+    # reformulated EXISTS/NOT-EXISTS: one lineitem scan + two-level
+    # aggregate, never a nested loop and never a second lineitem role
     plan = formatted_plan(_q(spark, "q21_sole_late"))
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, f"{bad} in Q21 plan"
+    assert plan.count("lineitem") <= 2, plan[:3000]  # tree + scan detail
 
 
 def test_q11_threshold_is_broadcast_scalar(spark):
