@@ -51,6 +51,20 @@ def test_registry_real_files_put_unverified_first():
         assert not missing, f"never-verified queries outside the window: {missing}"
 
 
+def test_registry_never_green_fits_driver_window():
+    """Guard against outgrowing the verification pipeline: if more queries
+    lack a green CORRECTNESS row than the driver's 50-slot window holds,
+    some additions cannot be verified next round no matter how the rotation
+    orders them. Stop adding registry queries until the backlog drains."""
+    hist = registry._verification_history()
+    never_green = [n for n in registry.ALL_QUERIES if n not in hist]
+    assert len(never_green) <= 50, (
+        f"{len(never_green)} unverified queries exceed the driver's 50-slot "
+        f"correctness window; defer new registry entries until these land: "
+        f"{never_green}"
+    )
+
+
 def test_registry_queries_and_oracles_consistent():
     q = registry.queries()
     o = registry.oracle_sql()
