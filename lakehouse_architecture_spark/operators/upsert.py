@@ -7,6 +7,12 @@ on plain tables: given a target and a batch of updates keyed by ``keys``,
 * matched rows are replaced by the update row (WHEN MATCHED THEN UPDATE SET *)
 * unmatched update rows are inserted (WHEN NOT MATCHED THEN INSERT *)
 
+* matched rows satisfying ``delete_condition`` are dropped
+  (WHEN MATCHED AND cond THEN DELETE; an unmatched delete-marked row is a
+  no-op, exactly as in Delta's MERGE)
+* with ``evolve_schema``, columns present only in the updates are added to
+  the table, existing rows reading NULL (Delta's ``mergeSchema``)
+
 One shuffle on the key for the anti-join; the union is shuffle-free. With a
 partitioned target, rewrite only the partitions the updates touch (dynamic
 partition overwrite) — pass ``partition_col`` to get the pruned write set.
@@ -18,7 +24,7 @@ writer-wins semantics (WHEN NOT MATCHED THEN INSERT, matched rows kept).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,13 +33,35 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     insert_only: bool = False,
+    delete_condition: str | Column | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
-    """Return the merged table (caller writes it back / to a new snapshot)."""
+    """Return the merged table (caller writes it back / to a new snapshot).
+
+    ``delete_condition`` is evaluated over the update row's columns (the
+    source side of the MERGE): matched targets whose update row satisfies it
+    are deleted; unmatched delete-marked rows are ignored. ``evolve_schema``
+    widens the result to the union of both schemas instead of requiring the
+    updates to carry every target column.
+    """
+    surviving = updates
+    if delete_condition is not None:
+        cond = (
+            F.expr(delete_condition)
+            if isinstance(delete_condition, str)
+            else delete_condition
+        )
+        # NULL condition == not deleted, matching SQL WHEN MATCHED AND cond
+        surviving = updates.filter(~F.coalesce(cond, F.lit(False)))
     if insert_only:
-        new_rows = updates.join(target.select(*keys), on=keys, how="left_anti")
-        return target.unionByName(new_rows)
+        new_rows = surviving.join(target.select(*keys), on=keys, how="left_anti")
+        return target.unionByName(new_rows, allowMissingColumns=evolve_schema)
+    # the anti-join sees EVERY update key — delete-marked rows must evict
+    # their matched target row even though they are not re-inserted below
     kept = target.join(updates.select(*keys), on=keys, how="left_anti")
-    return kept.unionByName(updates.select(*target.columns))
+    if evolve_schema:
+        return kept.unionByName(surviving, allowMissingColumns=True)
+    return kept.unionByName(surviving.select(*target.columns))
 
 
 def touched_partitions(updates: DataFrame, partition_col: str) -> list:

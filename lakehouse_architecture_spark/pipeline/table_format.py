@@ -63,28 +63,45 @@ class ManagedTable:
     def overwrite(self, df: DataFrame) -> None:
         df.write.format(self.format).mode("overwrite").save(self.path)
 
-    def merge(self, updates: DataFrame) -> None:
-        """MERGE: update matched keys, insert new ones."""
+    def merge(
+        self,
+        updates: DataFrame,
+        delete_condition: str | None = None,
+        evolve_schema: bool = False,
+    ) -> None:
+        """MERGE: update matched keys, insert new ones; optionally delete
+        matched rows whose update row satisfies ``delete_condition`` (a SQL
+        expression over the update columns) and widen the table schema to
+        new update columns (``evolve_schema``, Delta's ``mergeSchema``)."""
         if not self.exists():
+            if delete_condition is not None:
+                updates = updates.filter(f"NOT coalesce({delete_condition}, false)")
             self.overwrite(updates)
             return
         if self.format == "delta":
             from delta.tables import DeltaTable
 
+            if evolve_schema:
+                self.spark.conf.set(
+                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
+                )
             target = DeltaTable.forPath(self.spark, self.path)
             cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
-            (
-                target.alias("t")
-                .merge(updates.alias("s"), cond)
-                .whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
+            m = target.alias("t").merge(updates.alias("s"), cond)
+            if delete_condition is not None:
+                m = m.whenMatchedDelete(condition=delete_condition)
+            m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
             return
         # The merged snapshot must be durable BEFORE the source dir is
         # touched: cache()+count() is not (evicted/lost partitions would
         # recompute from a half-overwritten source).
-        merged = merge_upsert(self.read(), updates, self.keys)
+        merged = merge_upsert(
+            self.read(),
+            updates,
+            self.keys,
+            delete_condition=delete_condition,
+            evolve_schema=evolve_schema,
+        )
         if "://" in self.path:
             # Object store / remote FS: no POSIX rename. Truncate lineage
             # with an eager localCheckpoint so the overwrite cannot re-read
@@ -209,15 +226,32 @@ class VersionedTable:
         latest = self.latest_version()
         return self._commit(df, 0 if latest is None else latest + 1)
 
-    def merge(self, updates: DataFrame) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        delete_condition: str | None = None,
+        evolve_schema: bool = False,
+    ) -> int:
         """MERGE against the latest snapshot into a NEW version. The source
         version is never touched, so unlike an in-place swap there is no
         window where a failure corrupts the table — rollback = read the
-        previous version."""
+        previous version. ``delete_condition``/``evolve_schema`` follow
+        :func:`merge_upsert`: matched rows whose update row satisfies the
+        condition are deleted in the new snapshot, and new update columns
+        widen the schema (old snapshots keep theirs — time travel sees the
+        schema as of each version)."""
         latest = self.latest_version()
         if latest is None:
+            if delete_condition is not None:
+                updates = updates.filter(f"NOT coalesce({delete_condition}, false)")
             return self.write(updates)
-        merged = merge_upsert(self.read(latest), updates, self.keys)
+        merged = merge_upsert(
+            self.read(latest),
+            updates,
+            self.keys,
+            delete_condition=delete_condition,
+            evolve_schema=evolve_schema,
+        )
         return self._commit(merged, latest + 1)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:

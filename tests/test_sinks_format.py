@@ -34,6 +34,41 @@ def test_managed_table_merge(spark, tmp_path):
     assert got == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_managed_table_merge_delete_and_evolve(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = ManagedTable(spark, str(tmp_path / "tbl"), keys=["id"])
+    tbl.merge(spark.createDataFrame([(1, t0, "a"), (2, t0, "b"), (3, t0, "c")], SCHEMA))
+
+    # WHEN MATCHED AND deleted THEN DELETE: id=2 evicted, not re-inserted;
+    # id=9 is delete-marked but unmatched -> no-op; id=3 plain update
+    # fresh StructType: .add() would mutate the shared SCHEMA in place
+    upd = spark.createDataFrame(
+        [(2, t0, "B", True), (9, t0, "x", True), (3, t0, "C", False)],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("deleted", T.BooleanType())]),
+    )
+    tbl.merge(upd, delete_condition="deleted", evolve_schema=True)
+    rows = {r["id"]: (r["v"], r["deleted"]) for r in tbl.read().collect()}
+    # schema evolved: pre-existing rows read NULL for the new column
+    assert rows == {1: ("a", None), 3: ("C", False)}
+
+
+def test_versioned_table_merge_delete_keeps_history(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), keys=["k"])
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "val"]))
+    t.merge(
+        spark.createDataFrame([(1, "a", True), (3, "c", False)], ["k", "val", "del"]),
+        delete_condition="del",
+        evolve_schema=True,
+    )
+    assert {r["k"] for r in t.read().collect()} == {2, 3}
+    # time travel: the pre-delete snapshot still has k=1 and its old schema
+    v0 = t.read(0)
+    assert {r["k"] for r in v0.collect()} == {1, 2}
+    assert "del" not in v0.columns
+
+
 def test_foreach_batch_upsert_exactly_once(spark, tmp_path):
     src = str(tmp_path / "src")
     target = str(tmp_path / "target")
