@@ -1,0 +1,119 @@
+"""Event-stream analytics operators: path transitions, attribution,
+out-of-order diagnostics.
+
+The reference ships raw event-shaped data to BI (SURVEY.md §3 EP3); these
+are the standard product-analytics queries a warehouse serves over such a
+table, built scale-first: every window partitions by the entity key
+(user), never a global ordering, so state per task is one user's events
+and the shuffle is the same single hash-partition-by-user every
+sessionization job already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive events of
+    each user: (prev_type, next_type, n, prob) with ``prob`` normalized per
+    prev_type. One window partitioned by user + one hash aggregate; the
+    transition matrix is |types|² rows — a broadcastable serving table.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    steps = df.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    total = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "prob", F.round(F.col("n") / F.sum("n").over(total), 6)
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_type: str,
+    max_lag_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Attribute each conversion event to the user's most recent preceding
+    touch event within ``max_lag_seconds`` (last-touch model). Output: one
+    row per conversion with the attributed touch id/ts (NULL = organic).
+
+    Implemented as a per-user window over the interleaved event stream —
+    ``last(touch, ignorenulls=True)`` over rows-unbounded-preceding — so it
+    is one shuffle on user, not a range self-join; the window state is one
+    running value per user regardless of history length.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) == touch_type
+    touch_id = F.last(F.when(is_touch, F.col(id_col)), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    in_window = (
+        F.col(ts_col).cast("double") - F.col("__touch_ts").cast("double")
+        <= max_lag_seconds
+    )
+    return (
+        df.withColumn("__touch_id", touch_id)
+        .withColumn("__touch_ts", touch_ts)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col),
+            F.when(in_window, F.col("__touch_id")).alias("touch_id"),
+            F.when(in_window, F.col("__touch_ts")).alias("touch_ts"),
+        )
+    )
+
+
+def out_of_order_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermark-health diagnostic: per ``group_col``, how many events
+    arrived out of order within their key's stream (event time < the
+    running max of earlier-arriving events, arrival order = ``seq_col``),
+    and the worst lateness. This is the measurement that sizes a streaming
+    watermark delay before deploying one. ``max_lateness`` is returned
+    unrounded, in whatever unit ``ts_col`` subtracts in (pass epoch micros
+    for exact integer arithmetic; the caller scales to seconds).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    high = F.max(F.col(ts_col)).over(w)
+    lateness = F.when(
+        F.col("__high").isNotNull() & (F.col(ts_col) < F.col("__high")),
+        F.col("__high").cast("double") - F.col(ts_col).cast("double"),
+    ).otherwise(F.lit(0.0))
+    flagged = df.withColumn("__high", high).withColumn("__late_s", lateness)
+    return flagged.groupBy(group_col).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("__late_s") > 0).cast("bigint")).alias("n_late"),
+        F.round(
+            F.sum((F.col("__late_s") > 0).cast("bigint")) / F.count("*"), 6
+        ).alias("late_ratio"),
+        F.max("__late_s").alias("max_lateness"),
+    )

@@ -445,3 +445,37 @@ def kmeans_centroids(
         kept = cents.join(means.select("cent_id"), "cent_id", "left_anti")
         cents = means.unionByName(kept).localCheckpoint(eager=True)
     return cents
+
+
+def centroid_assignment(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF assignment step exposed on its own: every vector mapped to
+    its nearest centroid by cosine (tiebreak: lowest centroid id). Default
+    quantizer = the ``n_cells`` lowest-id vectors, like :func:`ivf_knn`;
+    pass :func:`kmeans_centroids` output to use a trained codebook.
+
+    This is the partitioner for semantic sharding / cluster-balanced
+    sampling of an embedding corpus: broadcast centroids, one narrow map,
+    no shuffle until the caller aggregates by cell.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        if centroids is None
+        else centroids.select("cent_id", "cvec")
+    )
+    scored = spread(corpus).crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+    )
+    best = top_k_per_group(
+        scored, [id_col], [F.col("ccos").desc(), F.col("cent_id").asc()], 1
+    )
+    return best.select(
+        F.col(id_col), F.col("cent_id").alias("cell"), F.col("ccos")
+    )

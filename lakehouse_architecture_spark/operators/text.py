@@ -509,3 +509,84 @@ def heuristic_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fails_gopher", F.coalesce(fails_gopher, F.lit(True)))
         .withColumn("fails_c4", has_lorem | has_curly)
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token diversity: Shannon entropy (bits) of the
+    within-document token distribution plus the unique-token ratio — the
+    "repetition" half of Gopher-style quality filtering that simple
+    max-frequency stats miss (a doc cycling 3 tokens has low entropy even
+    when no single token dominates).
+
+    Two hash aggregates — (doc, token) counts, then per-doc entropy — both
+    partial-aggregated map-side; the shuffle key is the doc id, so skew
+    follows document length, not corpus shape.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    from lakehouse_architecture_spark.functions.aggregates import dsum
+
+    counts = tok.groupBy(id_col, "__tok").agg(F.count("*").alias("__c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        # H = log2(n) - sum(c*log2(c))/n ; the double sum goes through
+        # decimal so the result is partition-order-invariant (base.py rules)
+        dsum(F.col("__c").cast("double") * F.log2("__c"), "__clgc"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_unique"),
+        F.round(F.col("n_unique") / F.col("n_tokens"), 6).alias("unique_ratio"),
+        F.round(
+            F.log2("n_tokens") - F.col("__clgc") / F.col("n_tokens"), 6
+        ).alias("entropy_bits"),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """KenLM-style fluency proxy: score every document by the mean
+    log10-probability of its word bigrams under a unigram-backoff-free
+    bigram model trained on the corpus itself (add-0 MLE:
+    p(w2|w1) = c(w1 w2) / c(w1 ·)). Low scores mark documents whose word
+    sequences are rare in the corpus — boilerplate, shuffled text, spam.
+
+    Scales as two shuffles over (doc, bigram) pairs: the model is built
+    with one hash aggregate over bigrams, the scoring re-joins documents'
+    bigrams against it on the bigram key. The model table is |V|²-bounded
+    but Zipf-small in practice; no part of it is collected to the driver.
+    """
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws("\x1f", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = df.select(F.col(id_col), F.explode(grams).alias("__bg"))
+    bg_counts = doc_grams.groupBy("__bg").agg(F.count("*").alias("__cbg"))
+    prefix_counts = (
+        doc_grams.withColumn("__w1", F.split_part(F.col("__bg"), F.lit("\x1f"), F.lit(1)))
+        .groupBy("__w1")
+        .agg(F.count("*").alias("__cw1"))
+    )
+    scored = (
+        doc_grams.join(bg_counts, on="__bg")
+        .withColumn("__w1", F.split_part(F.col("__bg"), F.lit("\x1f"), F.lit(1)))
+        .join(prefix_counts, on="__w1")
+        .withColumn("__lp", F.log10(F.col("__cbg") / F.col("__cw1")))
+    )
+    from lakehouse_architecture_spark.functions.aggregates import davg
+
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(davg("__lp"), 6).alias("mean_log10_p"),
+    )

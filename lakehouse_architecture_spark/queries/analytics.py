@@ -1,0 +1,467 @@
+"""Round-3 additions: event-path analytics, training-corpus quality
+signals, and embedding-cluster statistics — each with an exact DuckDB
+oracle. Registered after CORPUS2/RELATIONAL5 so this round's still-
+unverified queries keep their place at the head of the driver's 50-entry
+correctness window (queries/registry.py ordering note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.aggregates import davg, davg_sql
+from lakehouse_architecture_spark.operators import similarity as sim
+from lakehouse_architecture_spark.operators.analytics import (
+    event_transitions,
+    last_touch_attribution,
+    out_of_order_stats,
+)
+from lakehouse_architecture_spark.operators.dedup import ngram_jaccard_pairs
+from lakehouse_architecture_spark.operators.graph import dedup_clusters
+from lakehouse_architecture_spark.operators.text import (
+    bigram_lm_scores,
+    token_entropy,
+    tokens,
+)
+from lakehouse_architecture_spark.queries.base import QuerySpec, tables
+from lakehouse_architecture_spark.queries.textops import (
+    _DIMS_CTE,
+    _JACCARD_THRESHOLD,
+    _NORMS_CTE,
+    _SHINGLES_CTE,
+    _HASH64,
+)
+
+# DuckDB twin of operators/text.py tokens(): empty/blank text -> no tokens
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+)
+"""
+
+
+# --- corpus quality: per-doc token entropy + unique ratio -----------------
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return token_entropy(t["documents"], "doc_id", "text").orderBy("doc_id")
+
+
+_Q_TOKEN_ENTROPY_SQL = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_unique,
+         CAST(SUM(CAST(CAST(c AS DOUBLE) * log2(c) AS DECIMAL(38,6)))
+              AS DOUBLE) AS clgc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_unique,
+       ROUND(n_unique / CAST(n_tokens AS DOUBLE), 6) AS unique_ratio,
+       ROUND(log2(n_tokens) - clgc / n_tokens, 6) AS entropy_bits
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+# --- corpus quality: corpus-trained bigram LM fluency score ---------------
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return bigram_lm_scores(t["documents"], "doc_id", "text").orderBy("doc_id")
+
+
+_Q_BIGRAM_LM_SQL = f"""
+WITH {_TOKS_CTE},
+bg AS (
+  SELECT doc_id,
+         tk[i.i] AS w1,
+         tk[i.i] || chr(31) || tk[i.i + 1] AS b
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) i
+  WHERE len(tk) >= 2
+),
+bgc AS (SELECT b, COUNT(*) AS cbg FROM bg GROUP BY b),
+w1c AS (SELECT w1, COUNT(*) AS cw1 FROM bg GROUP BY w1)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND({davg_sql("log10(CAST(cbg AS DOUBLE) / cw1)")}, 6) AS mean_log10_p
+FROM bg JOIN bgc USING (b) JOIN w1c USING (w1)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- corpus hygiene: exact-duplicate mass per source ----------------------
+def _q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    d = t["documents"]
+    sizes = d.groupBy(F.md5("text").alias("__h")).agg(
+        F.count("*").alias("__sz")
+    )
+    flagged = d.join(F.broadcast(sizes), F.md5("text") == F.col("__h"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("__sz") > 1).cast("bigint")).alias("n_dup_docs"),
+            F.round(
+                F.sum((F.col("__sz") > 1).cast("bigint")) / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_DUP_RATIO_SQL = """
+WITH sizes AS (SELECT md5(text) AS h, COUNT(*) AS sz FROM documents GROUP BY 1)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       ROUND(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE),
+             6) AS dup_ratio
+FROM documents JOIN sizes ON md5(text) = h
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- corpus hygiene: near-dup cluster representatives ---------------------
+def _q_neardup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    d = t["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD)
+    clustered = dedup_clusters(d, pairs, "doc_id")
+    return (
+        clustered.groupBy("canonical_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+_Q_NEARDUP_REP_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+shh AS (SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(comp.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+)
+SELECT canonical_id,
+       COUNT(*) AS cluster_size,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MAX(doc_id) AS max_member
+FROM labeled
+GROUP BY canonical_id
+HAVING COUNT(*) > 1
+ORDER BY canonical_id
+"""
+
+
+# --- event paths: first-order transition matrix ---------------------------
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return event_transitions(t["events"]).orderBy("prev_type", "next_type")
+
+
+_Q_EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+         AS prob
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
+# --- event paths: last-touch attribution ----------------------------------
+_ATTR_LAG_S = 6 * 3600
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    # NTZ -> TZ timestamp (exact under the pinned UTC session) so the
+    # operator's epoch-seconds cast resolves
+    ev = t["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    out = last_touch_attribution(
+        ev, "purchase", "click", max_lag_seconds=_ATTR_LAG_S
+    )
+    return out.select(
+        "conversion_id",
+        "user_id",
+        "touch_id",
+        F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss").alias("touch_ts_s"),
+    ).orderBy("conversion_id")
+
+
+_Q_ATTRIBUTION_SQL = f"""
+WITH marked AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS touch_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS conversion_id,
+       user_id,
+       CASE WHEN epoch(ts) - epoch(touch_ts) <= {_ATTR_LAG_S} THEN touch_id END
+         AS touch_id,
+       CASE WHEN epoch(ts) - epoch(touch_ts) <= {_ATTR_LAG_S}
+            THEN strftime(touch_ts, '%Y-%m-%d %H:%M:%S') END AS touch_ts_s
+FROM marked
+WHERE event_type = 'purchase'
+ORDER BY conversion_id
+"""
+
+
+# --- streaming health: out-of-order arrival stats -------------------------
+def _q_ooo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # fixture ts is TIMESTAMP_NTZ; session TZ is pinned UTC (base.py),
+        # so the NTZ->TZ cast is exact and micros match DuckDB's epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = out_of_order_stats(
+        ev, key_col="user_id", ts_col="ts_us", seq_col="event_id",
+        group_col="event_type",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "n_late",
+        "late_ratio",
+        F.round(F.col("max_lateness") / 1e6, 6).alias("max_lateness_s"),
+    ).orderBy("event_type")
+
+
+_Q_OOO_STATS_SQL = """
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS high
+  FROM events
+),
+flagged AS (
+  SELECT event_type,
+         CASE WHEN high IS NOT NULL AND ts_us < high
+              THEN CAST(high AS DOUBLE) - ts_us ELSE 0.0 END AS late_us
+  FROM seq
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_ratio,
+       ROUND(MAX(late_us) / 1e6, 6) AS max_lateness_s
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- SQL belt: positional explode ----------------------------------------
+_POS_LIMIT = 10
+
+
+def _q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    pos_tok = t["documents"].select(
+        F.posexplode(tokens("text")).alias("pos", "token")
+    ).filter(F.col("pos") < _POS_LIMIT)
+    counts = pos_tok.groupBy("pos", "token").agg(F.count("*").alias("n"))
+    from lakehouse_architecture_spark.operators.relational import top_k_per_group
+
+    best = top_k_per_group(
+        counts, ["pos"], [F.col("n").desc(), F.col("token").asc()], 1
+    )
+    return best.select("pos", "token", "n").orderBy("pos")
+
+
+_Q_POSEXPLODE_SQL = f"""
+WITH {_TOKS_CTE},
+pos_tok AS (
+  SELECT CAST(i.i AS INT) AS pos, tk[i.i + 1] AS token
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0,
+                  least({_POS_LIMIT} - 1, len(tk) - 1))) AS i) i
+  WHERE len(tk) > 0
+),
+counts AS (SELECT pos, token, COUNT(*) AS n FROM pos_tok GROUP BY pos, token),
+ranked AS (
+  SELECT pos, token, n,
+         ROW_NUMBER() OVER (PARTITION BY pos ORDER BY n DESC, token ASC) AS rn
+  FROM counts
+)
+SELECT pos, token, n FROM ranked WHERE rn = 1 ORDER BY pos
+"""
+
+
+# --- embeddings: semantic cell statistics ---------------------------------
+_N_CELLS = 8
+
+
+def _q_centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    assigned = sim.centroid_assignment(t["embeddings"], n_cells=_N_CELLS)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(davg("ccos"), 6).alias("avg_cos"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+        )
+        .orderBy("cell")
+    )
+
+
+_Q_CENTROID_CELLS_SQL = f"""
+WITH {_DIMS_CTE},
+{_NORMS_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id ASC LIMIT {_N_CELLS}
+),
+cdots AS (
+  SELECT e.vec_id, c.cent_id,
+         ROUND(SUM(CAST(e.embedding[d.d] AS DOUBLE) * CAST(c.cvec[d.d] AS DOUBLE))
+               / (ne.nrm * nc.nrm), 6) AS ccos
+  FROM embeddings e
+  JOIN norms ne ON ne.vec_id = e.vec_id
+  CROSS JOIN cents c
+  JOIN norms nc ON nc.vec_id = c.cent_id
+  CROSS JOIN dims d
+  GROUP BY e.vec_id, c.cent_id, ne.nrm, nc.nrm
+),
+best AS (
+  SELECT vec_id, cent_id AS cell, ccos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cent_id ASC) AS rn
+  FROM cdots
+)
+SELECT cell,
+       COUNT(*) AS n_vectors,
+       ROUND({davg_sql("ccos")}, 6) AS avg_cos,
+       MIN(vec_id) AS min_member,
+       MAX(vec_id) AS max_member
+FROM best WHERE rn = 1
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+# --- packing planner: token-length buckets --------------------------------
+def _q_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    n = F.size(tokens("text"))
+    bucket = (
+        F.when(n < 20, "xs[0-19]")
+        .when(n < 30, "s[20-29]")
+        .when(n < 40, "m[30-39]")
+        .otherwise("l[40+]")
+    )
+    from pyspark.sql import Window
+
+    d = t["documents"].select(n.alias("__n"), bucket.alias("bucket"))
+    agg = d.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("__n").alias("total_tokens")
+    )
+    # share denominator via an all-rows window over the 4-row aggregate —
+    # no separate count() job, no driver scalar
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("n_docs")
+            / F.sum("n_docs").over(Window.partitionBy(F.lit(1))).cast("double"),
+            6,
+        ).alias("doc_share"),
+    ).orderBy("bucket")
+
+
+_Q_TOKEN_BUCKETS_SQL = f"""
+WITH {_TOKS_CTE},
+b AS (
+  SELECT len(tk) AS n,
+         CASE WHEN len(tk) < 20 THEN 'xs[0-19]'
+              WHEN len(tk) < 30 THEN 's[20-29]'
+              WHEN len(tk) < 40 THEN 'm[30-39]'
+              ELSE 'l[40+]' END AS bucket
+  FROM toks
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM b) AS DOUBLE), 6)
+         AS doc_share
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
+    QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
+    QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
+    QuerySpec("q_dup_ratio_by_source", "exact-duplicate mass per source", _q_dup_ratio_by_source, _Q_DUP_RATIO_SQL),
+    QuerySpec("q_neardup_representative", "near-dup cluster representatives + mass", _q_neardup_representative, _Q_NEARDUP_REP_SQL),
+    QuerySpec("q_event_transitions", "first-order event transition matrix", _q_event_transitions, _Q_EVENT_TRANSITIONS_SQL),
+    QuerySpec("q_attribution", "last-touch conversion attribution", _q_attribution, _Q_ATTRIBUTION_SQL),
+    QuerySpec("q_ooo_stats", "out-of-order arrival / watermark sizing stats", _q_ooo_stats, _Q_OOO_STATS_SQL),
+    QuerySpec("q_posexplode_tokens", "positional explode: top token per position", _q_posexplode_tokens, _Q_POSEXPLODE_SQL),
+    QuerySpec("q_centroid_cells", "embedding centroid-cell statistics", _q_centroid_cells, _Q_CENTROID_CELLS_SQL),
+    QuerySpec("q_token_buckets", "token-length bucket packing planner", _q_token_buckets, _Q_TOKEN_BUCKETS_SQL),
+)

@@ -1,0 +1,109 @@
+"""Event analytics (transitions, attribution, out-of-order) + round-3
+text-quality operators on tiny literal frames."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.analytics import (
+    event_transitions,
+    last_touch_attribution,
+    out_of_order_stats,
+)
+from lakehouse_architecture_spark.operators.similarity import centroid_assignment
+from lakehouse_architecture_spark.operators.text import bigram_lm_scores, token_entropy
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, 0, s), u, t) for i, (s, u, t) in enumerate(rows)],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+
+
+def test_event_transitions_counts_and_probs(spark):
+    df = _ev(
+        spark,
+        [(0, 1, "view"), (1, 1, "click"), (2, 1, "view"), (0, 2, "view"), (3, 2, "click")],
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+        for r in event_transitions(df).collect()
+    }
+    # user1: view->click, click->view; user2: view->click
+    assert got[("view", "click")] == (2, 1.0)
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 2
+
+
+def test_last_touch_attribution_window_and_order(spark):
+    df = _ev(
+        spark,
+        [
+            (0, 1, "click"),    # id 0
+            (5, 1, "purchase"),  # id 1 -> 5s lag, inside window -> touch 0
+            (12, 1, "purchase"),  # id 2 -> click too old (12s > 5s) -> organic
+            (0, 2, "purchase"),  # id 3 -> no prior touch -> organic
+            (1, 2, "click"),     # id 4 after conversion: must not attribute
+        ],
+    )
+    got = {
+        r["conversion_id"]: r["touch_id"]
+        for r in last_touch_attribution(
+            df, "purchase", "click", max_lag_seconds=5
+        ).collect()
+    }
+    assert got == {1: 0, 2: None, 3: None}
+
+
+def test_out_of_order_stats_flags_late_arrivals(spark):
+    # arrival order = event_id; user 1's third arrival has an older ts
+    df = _ev(spark, [(0, 1, "a"), (9, 1, "a"), (3, 1, "a"), (5, 2, "a")])
+    df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    row = out_of_order_stats(df).collect()[0]
+    assert (row["n_events"], row["n_late"]) == (4, 1)
+    assert row["late_ratio"] == 0.25
+    assert row["max_lateness"] == 6_000_000.0  # 6s in micros
+
+
+def test_token_entropy_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert got[1]["entropy_bits"] == 0.0 and got[1]["unique_ratio"] == 0.25
+    assert abs(got[2]["entropy_bits"] - 2.0) < 1e-6
+    assert got[2]["n_unique"] == 4
+
+
+def test_bigram_lm_scores_rare_vs_common(spark):
+    # 'x y' appears once; 'a b' twice -> doc 3 scores lower (rarer bigrams)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "x y"), (4, "z")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    # p('b'|'a') = 2/2 = 1 -> log10 = 0; p('y'|'x') = 1/1 = 1 too (MLE on
+    # its own mass) so compare against a mixed doc instead
+    assert got[1]["mean_log10_p"] == 0.0
+    assert 4 not in got  # <2 tokens -> no bigrams -> no row
+    df2 = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    got2 = {r["doc_id"]: r["mean_log10_p"] for r in bigram_lm_scores(df2).collect()}
+    assert got2[3] == round(math.log10(1 / 3), 6)
+    assert got2[1] == round(math.log10(2 / 3), 6)
+
+
+def test_centroid_assignment_nearest_by_cosine(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.1, 0.9]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r["cell"] for r in centroid_assignment(df, n_cells=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
