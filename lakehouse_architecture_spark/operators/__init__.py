@@ -1,3 +1,8 @@
+from lakehouse_architecture_spark.operators.analytics import (
+    event_transitions,
+    last_touch_attribution,
+    out_of_order_stats,
+)
 from lakehouse_architecture_spark.operators.dedup import (
     dedup_keep_first,
     exact_duplicates,
@@ -33,4 +38,7 @@ __all__ = [
     "salted_join",
     "key_histogram",
     "merge_upsert",
+    "event_transitions",
+    "last_touch_attribution",
+    "out_of_order_stats",
 ]
