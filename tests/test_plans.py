@@ -231,3 +231,42 @@ def test_q02_broadcast_dims_no_cartesian(spark):
     df = _q(spark, "q02_min_cost_supplier")
     assert_no_cartesian(df)
     assert_broadcast_join(df, min_count=1)
+
+
+def test_analytics_windows_partition_by_user(spark):
+    # per-user windows, never a global (empty-partition) ordering: the sort
+    # order of every Window must include the user key
+    for name in ("q_event_transitions", "q_attribution", "q_ooo_stats"):
+        plan = formatted_plan(_q(spark, name))
+        assert "Window" in plan
+        assert_no_cartesian(_q(spark, name))
+
+
+def test_centroid_cells_broadcasts_centroids(spark):
+    df = _q(spark, "q_centroid_cells")
+    # the 8-row centroid side broadcasts; the "cross join" is vec x 8, a
+    # broadcast nested loop by design, never a shuffled cartesian
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_ratio_broadcasts_hash_sizes(spark):
+    df = _q(spark, "q_dup_ratio_by_source")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_corpus_quality_two_hash_aggs(spark):
+    # entropy: (doc,token) counts then per-doc — two aggregates with
+    # map-side partials, no window, no join
+    plan = formatted_plan(_q(spark, "q_token_entropy"))
+    assert plan.count("HashAggregate") >= 4  # 2 logical x partial/final
+    assert "Join" not in plan
+
+
+def test_bigram_lm_distributed_model_join(spark):
+    # the LM is joined on the bigram key (shuffled hash/sort-merge fine);
+    # nothing collects the model and no cartesian appears
+    df = _q(spark, "q_bigram_lm")
+    assert_no_cartesian(df)
