@@ -16,6 +16,7 @@ one interface with two implementations:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.operators.upsert import merge_upsert
 
@@ -253,6 +254,26 @@ class VersionedTable:
             evolve_schema=evolve_schema,
         )
         return self._commit(merged, latest + 1)
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE semantics: re-commit an old snapshot as the NEW
+        latest version. History is preserved — the restore itself is a
+        version, so it can be audited and re-restored; nothing is deleted."""
+        return self._commit(self.read(version), (self.latest_version() or 0) + 1)
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """CDC between two snapshots: per-key ``added`` / ``removed`` /
+        ``changed`` rows (``same`` filtered out), the incremental feed a
+        downstream consumer applies instead of re-reading the full table.
+        Both sides reduce to (key, row-hash) before the full-outer join, so
+        the shuffle never carries full rows (operators/upsert.snapshot_diff).
+        """
+        from lakehouse_architecture_spark.operators.upsert import snapshot_diff
+
+        before = self.read(from_version)
+        after = self.read(self.latest_version() if to_version is None else to_version)
+        diff = snapshot_diff(before, after, self.keys)
+        return diff.filter(F.col("status") != "same")
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (and any crashed

@@ -52,6 +52,28 @@ def test_managed_table_merge_delete_and_evolve(spark, tmp_path):
     assert rows == {1: ("a", None), 3: ("C", False)}
 
 
+def test_versioned_table_restore_and_changes(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), keys=["k"])
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "val"]))       # v0
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "val"]))       # v1
+
+    # CDC v0 -> v1: 2 changed, 3 added, 1 untouched (filtered out)
+    changes = {r["k"]: r["status"] for r in t.read_changes(0, 1).collect()}
+    assert changes == {2: "changed", 3: "added"}
+
+    # RESTORE v0 becomes v2; latest content == v0, history intact
+    v2 = t.restore(0)
+    assert v2 == 2 and t.versions() == [0, 1, 2]
+    assert {(r["k"], r["val"]) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+    # CDC across the restore sees k=3 removed again
+    assert {r["k"]: r["status"] for r in t.read_changes(1).collect()} == {
+        2: "changed",
+        3: "removed",
+    }
+
+
 def test_versioned_table_merge_delete_keeps_history(spark, tmp_path):
     from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
 
