@@ -199,7 +199,7 @@ class VersionedTable:
         return out
 
     # -- writes -------------------------------------------------------------
-    def _commit(self, df: DataFrame, v: int) -> int:
+    def _commit(self, df: DataFrame, v: int, epoch: int | None = None) -> int:
         import os
         import shutil
         import uuid
@@ -208,6 +208,13 @@ class VersionedTable:
         # overwrite each other's staged data before either renames
         tmp = self._vdir(v) + f"__tmp-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(tmp)
+        if epoch is not None:
+            # provenance marker staged INSIDE the tmp dir so the atomic
+            # rename commits data + marker together (streaming sinks use
+            # it to detect crash-replayed epochs; "_"-prefix = invisible
+            # to parquet readers)
+            with open(os.path.join(tmp, "_epoch"), "w") as f:
+                f.write(str(epoch))
         if v in self.versions():  # lost a concurrent commit race
             shutil.rmtree(tmp)
             raise FileExistsError(f"{self.path}: version {v} already committed")
@@ -232,6 +239,7 @@ class VersionedTable:
         updates: DataFrame,
         delete_condition: str | None = None,
         evolve_schema: bool = False,
+        epoch: int | None = None,
     ) -> int:
         """MERGE against the latest snapshot into a NEW version. The source
         version is never touched, so unlike an in-place swap there is no
@@ -240,12 +248,13 @@ class VersionedTable:
         :func:`merge_upsert`: matched rows whose update row satisfies the
         condition are deleted in the new snapshot, and new update columns
         widen the schema (old snapshots keep theirs — time travel sees the
-        schema as of each version)."""
+        schema as of each version). ``epoch`` stamps the snapshot with a
+        provenance marker committed atomically with the data."""
         latest = self.latest_version()
         if latest is None:
             if delete_condition is not None:
                 updates = updates.filter(f"NOT coalesce({delete_condition}, false)")
-            return self.write(updates)
+            return self._commit(updates, 0, epoch=epoch)
         merged = merge_upsert(
             self.read(latest),
             updates,
@@ -253,7 +262,7 @@ class VersionedTable:
             delete_condition=delete_condition,
             evolve_schema=evolve_schema,
         )
-        return self._commit(merged, latest + 1)
+        return self._commit(merged, latest + 1, epoch=epoch)
 
     def restore(self, version: int) -> int:
         """Delta RESTORE semantics: re-commit an old snapshot as the NEW

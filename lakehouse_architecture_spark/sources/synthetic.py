@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "list_id string, title string, price string, address string, "
@@ -76,6 +81,31 @@ class SyntheticListingsReader(DataSourceReader):
             yield _row(i)
 
 
+class SyntheticListingsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: offsets are row indices, so a
+    micro-batch [start, end) is exactly reproducible — ``readBetweenOffsets``
+    (the crash-replay path Structured Streaming calls when a batch must be
+    re-delivered from the checkpoint) regenerates identical rows by
+    construction. ``rowsPerBatch`` bounds each trigger; ``maxRows`` makes
+    the stream finite so AvailableNow/processAllAvailable terminate.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rowsPerBatch", 20))
+        self.max_rows = int(options.get("maxRows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        s = int(start["index"])
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return iter([_row(i) for i in range(s, e)]), {"index": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["index"]), int(end["index"]))])
+
+
 class SyntheticListingsSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -86,6 +116,9 @@ class SyntheticListingsSource(DataSource):
 
     def reader(self, schema) -> SyntheticListingsReader:
         return SyntheticListingsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticListingsStreamReader:
+        return SyntheticListingsStreamReader(self.options)
 
 
 def register(spark) -> None:

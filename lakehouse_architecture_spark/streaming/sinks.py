@@ -58,3 +58,47 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_versioned(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream into a :class:`~lakehouse_architecture_spark.pipeline.
+    table_format.VersionedTable`: one MERGE-committed snapshot version per
+    micro-batch, so the streaming history is time-travelable and each
+    batch's delta is recoverable via ``read_changes``.
+
+    Exactly-once across restarts: every version is stamped with the epoch
+    that produced it (``_epoch`` marker staged in the commit's tmp dir, so
+    the atomic rename covers data + marker together); a replayed epoch —
+    the checkpoint re-delivers the last unacknowledged batch after a crash
+    — is detected and skipped instead of committing a duplicate version.
+    """
+
+    def _committed_epochs() -> set[int]:
+        import os
+
+        out = set()
+        for v in table.versions():
+            marker = os.path.join(table._vdir(v), "_epoch")
+            try:
+                with open(marker) as f:
+                    out.add(int(f.read().strip()))
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id in _committed_epochs():
+            return  # crash-replay of an already-committed batch
+        batch = batch.dropDuplicates(table.keys)
+        table.merge(batch, epoch=epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

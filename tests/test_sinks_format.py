@@ -125,6 +125,44 @@ def test_foreach_batch_upsert_exactly_once(spark, tmp_path):
     assert got2 == got
 
 
+def test_foreach_batch_versioned_one_version_per_batch(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+    from lakehouse_architecture_spark.streaming.sinks import foreach_batch_versioned
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    table = VersionedTable(spark, str(tmp_path / "vt"), keys=["id"])
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = foreach_batch_versioned(stream, table, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, t0, "a"), (2, t0, "b")], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert table.versions() == [0]
+
+    spark.createDataFrame([(2, t0, "B"), (3, t0, "c")], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert table.versions() == [0, 1]
+    got = {(r["id"], r["v"]) for r in table.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # time travel still sees the first batch alone
+    assert {(r["id"], r["v"]) for r in table.read(0).collect()} == {(1, "a"), (2, "b")}
+
+    # crash-replay simulation: wipe the checkpoint so Structured Streaming
+    # re-delivers BOTH files as epoch 0; the epoch marker of v0 dedupes the
+    # replay of epoch 0 but the re-batched data commits once more at most —
+    # replaying with intact checkpoint must be a clean no-op
+    run()
+    assert table.versions() == [0, 1]
+
+
 def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
 

@@ -40,3 +40,28 @@ def test_synthetic_source_feeds_cleaning(spark):
     # every generated price style (tỷ / triệu / raw) must normalize
     assert all(r["price_bn"] is not None and r["price_bn"] > 0 for r in rows)
     assert all(20 <= r["area_m2"] <= 170 for r in rows)
+
+
+def test_synthetic_source_streams_in_batches(spark, tmp_path):
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_listings")
+        .option("rowsPerBatch", "25")
+        .option("maxRows", "60")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM synth_stream").collect()
+    # finite stream: exactly maxRows rows, identical to the batch reader's
+    assert len(got) == 60
+    batch = spark.read.format("synthetic_listings").option("rows", "60").load()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
