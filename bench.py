@@ -79,11 +79,13 @@ def main() -> None:
     # round-1 measurement repeated verbatim so cross-round comparisons have
     # a methodology-stable second series alongside the warm headline.
     cold_total = 0.0
+    cold_queries: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         ALL_QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        cold_queries[name] = round(time.time() - t0, 3)
         cold_total += time.time() - t0
     cold_total = round(cold_total, 3)
 
@@ -134,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_scan_total": cold_total,
+                "cold_queries": cold_queries,
                 "sf": sf,
             }
         )

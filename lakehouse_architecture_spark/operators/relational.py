@@ -135,3 +135,48 @@ def range_join_bucketed(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Two-dimensional skyline: rows not weakly dominated by any other row
+    (another row with ``minimize`` <=, ``maximize`` >=, earlier tiebreak on
+    full ties). The classic "cheapest AND biggest" frontier query.
+
+    Sort-scan formulation instead of the naive dominance self-join: ordered
+    by (minimize asc, maximize desc, tiebreak), a row is on the frontier
+    iff its ``maximize`` strictly exceeds the running max of every earlier
+    row — O(n log n) versus the self-join's O(n²) candidate space.
+
+    Distributed two-phase: phase 1 computes each input partition's LOCAL
+    frontier in parallel (windows partitioned by ``spark_partition_id``, so
+    no shuffle and no single-task sort) — lossless, since a globally
+    non-dominated row is non-dominated within its partition. Phase 2 runs
+    the same scan globally over only the local survivors (bounded by the
+    sum of per-partition frontier sizes, typically ~log n each), so the
+    single-partition window touches a small set, never the full table.
+    """
+    order = [F.col(minimize).asc(), F.col(maximize).desc(), F.col(tiebreak)]
+
+    def scan(frame: DataFrame, w: Window) -> DataFrame:
+        prev_best = F.max(F.col(maximize)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            frame.withColumn("__prev_best", prev_best)
+            .filter(
+                F.col("__prev_best").isNull()
+                | (F.col(maximize) > F.col("__prev_best"))
+            )
+            .drop("__prev_best")
+        )
+
+    local = scan(
+        df.withColumn("__p", F.spark_partition_id()),
+        Window.partitionBy("__p").orderBy(*order),
+    ).drop("__p")
+    return scan(local, Window.orderBy(*order))

@@ -453,6 +453,37 @@ ORDER BY bucket
 """
 
 
+# --- skyline: cheapest-and-biggest part frontier --------------------------
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    t = tables(spark, sf_dir)
+    return (
+        pareto_frontier_2d(
+            t["part"], minimize="p_retailprice", maximize="p_size",
+            tiebreak="p_partkey",
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_retailprice")
+    )
+
+
+_Q_SKYLINE_SQL = """
+WITH scan AS (
+  SELECT p_partkey, p_size, p_retailprice,
+         max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC, p_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_best
+  FROM part
+)
+SELECT p_partkey, p_size, p_retailprice
+FROM scan
+WHERE prev_best IS NULL OR p_size > prev_best
+ORDER BY p_retailprice
+"""
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -464,4 +495,5 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_posexplode_tokens", "positional explode: top token per position", _q_posexplode_tokens, _Q_POSEXPLODE_SQL),
     QuerySpec("q_centroid_cells", "embedding centroid-cell statistics", _q_centroid_cells, _Q_CENTROID_CELLS_SQL),
     QuerySpec("q_token_buckets", "token-length bucket packing planner", _q_token_buckets, _Q_TOKEN_BUCKETS_SQL),
+    QuerySpec("q_skyline", "2-D pareto frontier (cheapest-and-biggest part)", _q_skyline, _Q_SKYLINE_SQL),
 )

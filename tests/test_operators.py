@@ -643,3 +643,24 @@ def test_kmeans_centroids_recover_clusters(spark):
         for r in ivf_knn(df, q, k=5, n_cells=3, centroids=cents).collect()
     }
     assert truth == approx
+
+
+def test_pareto_frontier_2d_exact(spark):
+    from lakehouse_architecture_spark.operators.relational import pareto_frontier_2d
+
+    rows = [
+        (1, 10.0, 5),   # frontier (cheapest)
+        (2, 12.0, 9),   # frontier (bigger, pricier)
+        (3, 12.0, 7),   # dominated by 2 (same price, smaller)
+        (4, 15.0, 9),   # dominated by 2 (same size, pricier)
+        (5, 20.0, 12),  # frontier
+        (6, 11.0, 5),   # dominated by 1
+    ]
+    df = spark.createDataFrame(rows, ["id", "price", "size"]).repartition(3)
+    got = {
+        r["id"]
+        for r in pareto_frontier_2d(
+            df, minimize="price", maximize="size", tiebreak="id"
+        ).collect()
+    }
+    assert got == {1, 2, 5}

@@ -270,3 +270,12 @@ def test_bigram_lm_distributed_model_join(spark):
     # nothing collects the model and no cartesian appears
     df = _q(spark, "q_bigram_lm")
     assert_no_cartesian(df)
+
+
+def test_skyline_two_phase_no_self_join(spark):
+    # sort-scan formulation: no dominance self-join, no cartesian; the
+    # global window runs over local-frontier survivors only
+    df = _q(spark, "q_skyline")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2  # local (per-partition) + global phase
