@@ -156,3 +156,76 @@ def test_canonicalize_url_idempotent(spark, urls):
         assert "utm_" not in r.c1 and "gclid" not in r.c1
         assert not re.search(r"^http://[^/?]*:80(/|\?|$)", r.c1)
         assert not re.search(r"^https://[^/?]*:443(/|\?|$)", r.c1)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pareto_frontier_matches_bruteforce(spark, pts):
+    """Two-phase sort-scan frontier == the O(n^2) dominance definition."""
+    from lakehouse_architecture_spark.operators.relational import pareto_frontier_2d
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "price", "size"]).repartition(4)
+    got = {
+        r["id"]
+        for r in pareto_frontier_2d(
+            df, minimize="price", maximize="size", tiebreak="id"
+        ).collect()
+    }
+
+    def dominated(a):
+        i, p, s = a
+        for j, q, t in rows:
+            if j == i:
+                continue
+            if q <= p and t >= s and (q < p or t > s or j < i):
+                # weak dominance incl. exact ties broken by earlier id
+                return True
+        return False
+
+    expect = {i for i, p, s in rows if not dominated((i, p, s))}
+    assert got == expect
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=12),
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 100), st.booleans()),
+        max_size=12,
+    ),
+)
+def test_merge_delete_algebra(spark, target_rows, update_rows):
+    """MERGE with a delete condition == the set algebra done in Python:
+    dedup update keys last-wins, matched deletes evict, survivors upsert."""
+    tgt = {k: v for k, v in target_rows}
+    upd = {}
+    for k, v, d in update_rows:  # last row per key wins, as dropDuplicates
+        upd.setdefault(k, (v, d))
+    expect = dict(tgt)
+    for k, (v, d) in upd.items():
+        if d:
+            expect.pop(k, None)  # delete: evict match, never insert
+        else:
+            expect[k] = v
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+    updates = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in upd.items()] or [(None, None, None)],
+        "k int, v int, del boolean",
+    ).filter("k IS NOT NULL")
+    merged = merge_upsert(
+        target, updates, ["k"], delete_condition="del", evolve_schema=True
+    ).select("k", "v")
+    assert {(r["k"], r["v"]) for r in merged.collect()} == set(expect.items())
