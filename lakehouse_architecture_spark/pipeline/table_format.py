@@ -229,10 +229,10 @@ class VersionedTable:
             ) from None
         return v
 
-    def write(self, df: DataFrame) -> int:
+    def write(self, df: DataFrame, epoch: int | None = None) -> int:
         """Append a new full-snapshot version; returns its number."""
         latest = self.latest_version()
-        return self._commit(df, 0 if latest is None else latest + 1)
+        return self._commit(df, 0 if latest is None else latest + 1, epoch=epoch)
 
     def merge(
         self,

@@ -119,3 +119,49 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5  # old rows get NULL, not errors
+
+
+def test_materialized_aggregate_incremental_equals_recompute(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.materialized import (
+        MaterializedAggregate,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"), keys=["id"])
+    view = MaterializedAggregate(
+        src, str(tmp_path / "view"), group_cols=["g"], sum_cols=["x"]
+    )
+
+    def snapshot():
+        return {
+            (r["g"], r["n"], r["sum_x"]) for r in view.read().collect()
+        }
+
+    src.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)], ["id", "g", "x"]
+    ))
+    assert view.refresh() == 0
+    assert snapshot() == {("a", 2, 15), ("b", 1, 7)}
+    assert view.refresh() is None  # already current: no-op
+
+    # v1: update id=2 (a -> 20), delete id=3 (group b empties), add id=4 (c)
+    src.merge(
+        spark.createDataFrame(
+            [(2, "a", 20, False), (3, "b", 0, True), (4, "c", 9, False)],
+            ["id", "g", "x", "del"],
+        ),
+        delete_condition="del",
+    )
+    assert view.refresh() == 1
+    # group b reached count zero and must disappear
+    assert snapshot() == {("a", 2, 30), ("c", 1, 9)}
+    # incremental result == full recompute from the latest snapshot
+    full = {
+        (r["g"], r["n"], r["sum_x"])
+        for r in src.read()
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sum_x"))
+        .collect()
+    }
+    assert snapshot() == full
+    assert view.refreshed_through() == 1
