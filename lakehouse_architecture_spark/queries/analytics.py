@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_architecture_spark.functions.aggregates import davg, davg_sql
+from lakehouse_architecture_spark.functions.aggregates import davg, davg_sql, dsum, dsum_sql
 from lakehouse_architecture_spark.operators import similarity as sim
 from lakehouse_architecture_spark.operators.analytics import (
     event_transitions,
@@ -484,6 +484,174 @@ WHERE prev_best IS NULL OR p_size > prev_best
 ORDER BY p_retailprice
 """
 
+# --- time series: lagged cross-correlation of event streams ---------------
+_XCORR_LAGS = (0, 1, 2, 3)
+
+
+def _q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag relationship between the hourly click and purchase series:
+    Pearson correlation of c(h) vs p(h+lag) for small lags, computed from
+    decimal-exact sums (order-invariant, engine-portable). The hourly
+    series is one hash aggregate over events; each lag joins the (tiny)
+    series to itself — broadcastable at any corpus scale."""
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    base = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("bigint")).alias("c"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("p"),
+        )
+    )
+    out = None
+    for lag in _XCORR_LAGS:
+        a = base.select(F.col("h"), F.col("c"))
+        b = base.select(
+            (F.col("h") - F.expr(f"INTERVAL {lag} HOURS")).alias("h"),
+            F.col("p"),
+        )
+        j = a.join(b, on="h")
+        x = F.col("c").cast("double")
+        y = F.col("p").cast("double")
+        agg = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(x, "sx"),
+            dsum(y, "sy"),
+            dsum(x * y, "sxy"),
+            dsum(x * x, "sxx"),
+            dsum(y * y, "syy"),
+        ).select(
+            F.lit(lag).alias("lag_hours"),
+            "n",
+            F.round(
+                (F.col("n").cast("double") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(
+                        F.col("n").cast("double") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    )
+                    * F.sqrt(
+                        F.col("n").cast("double") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    )
+                ),
+                6,
+            ).alias("corr_click_purchase"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("lag_hours")
+
+
+_XCORR_ONE = """
+SELECT {lag} AS lag_hours,
+       COUNT(*) AS n,
+       ROUND((CAST(COUNT(*) AS DOUBLE) * {sxy} - {sx} * {sy})
+             / (sqrt(CAST(COUNT(*) AS DOUBLE) * {sxx} - {sx} * {sx})
+                * sqrt(CAST(COUNT(*) AS DOUBLE) * {syy} - {sy} * {sy})), 6)
+         AS corr_click_purchase
+FROM hourly a JOIN hourly b ON b.h = a.h + INTERVAL {lag} HOUR
+"""
+
+
+def _xcorr_sql() -> str:
+    parts = []
+    fills = dict(
+        sx=dsum_sql("CAST(a.c AS DOUBLE)"),
+        sy=dsum_sql("CAST(b.p AS DOUBLE)"),
+        sxy=dsum_sql("CAST(a.c AS DOUBLE) * CAST(b.p AS DOUBLE)"),
+        sxx=dsum_sql("CAST(a.c AS DOUBLE) * CAST(a.c AS DOUBLE)"),
+        syy=dsum_sql("CAST(b.p AS DOUBLE) * CAST(b.p AS DOUBLE)"),
+    )
+    for lag in _XCORR_LAGS:
+        parts.append(_XCORR_ONE.format(lag=lag, **fills))
+    return (
+        """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+)
+"""
+        + " UNION ALL ".join(parts)
+        + " ORDER BY lag_hours"
+    )
+
+
+_Q_CROSS_CORR_SQL = _xcorr_sql()
+
+
+# --- embeddings: intra- vs inter-label cosine separation ------------------
+_PAIR_STRIDE = 20
+
+
+def _q_emb_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality metric: over a deterministic sample of
+    vector pairs, how much higher is cosine within a label than across
+    labels. The pair set is the cross of a strided id sample with itself
+    (sample² pairs — the stride keeps that quadratic term bounded)."""
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].filter(F.col("vec_id") % _PAIR_STRIDE == 0)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cos", F.round(sim.cosine(F.col("va"), F.col("vb")), 6)
+    )
+    return (
+        pairs.groupBy((F.col("la") == F.col("lb")).alias("same_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(davg("cos"), 6).alias("avg_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+        .orderBy("same_label")
+    )
+
+
+_Q_EMB_PAIR_STATS_SQL = f"""
+WITH {_DIMS_CTE},
+samp AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % {_PAIR_STRIDE} = 0
+),
+nrm AS (
+  SELECT vec_id,
+         sqrt(SUM(CAST(embedding[d.d] AS DOUBLE) * CAST(embedding[d.d] AS DOUBLE))) AS nrm
+  FROM samp, dims d GROUP BY vec_id
+),
+pair AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS la, b.label AS lb,
+         ROUND(SUM(CAST(a.embedding[d.d] AS DOUBLE) * CAST(b.embedding[d.d] AS DOUBLE))
+               / (na.nrm * nb.nrm), 6) AS cos
+  FROM samp a
+  JOIN samp b ON a.vec_id < b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  CROSS JOIN dims d
+  GROUP BY a.vec_id, b.vec_id, a.label, b.label, na.nrm, nb.nrm
+)
+SELECT (la = lb) AS same_label,
+       COUNT(*) AS n_pairs,
+       ROUND({davg_sql("cos")}, 6) AS avg_cos,
+       ROUND(MIN(cos), 6) AS min_cos,
+       ROUND(MAX(cos), 6) AS max_cos
+FROM pair
+GROUP BY same_label
+ORDER BY same_label
+"""
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -496,4 +664,6 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_centroid_cells", "embedding centroid-cell statistics", _q_centroid_cells, _Q_CENTROID_CELLS_SQL),
     QuerySpec("q_token_buckets", "token-length bucket packing planner", _q_token_buckets, _Q_TOKEN_BUCKETS_SQL),
     QuerySpec("q_skyline", "2-D pareto frontier (cheapest-and-biggest part)", _q_skyline, _Q_SKYLINE_SQL),
+    QuerySpec("q_cross_corr", "lagged cross-correlation of event series", _q_cross_corr, _Q_CROSS_CORR_SQL),
+    QuerySpec("q_emb_pair_stats", "intra- vs inter-label embedding cosine", _q_emb_pair_stats, _Q_EMB_PAIR_STATS_SQL),
 )
