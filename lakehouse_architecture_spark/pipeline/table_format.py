@@ -284,6 +284,16 @@ class VersionedTable:
         diff = snapshot_diff(before, after, self.keys)
         return diff.filter(F.col("status") != "same")
 
+    def compact(self, target_files: int = 1) -> int:
+        """OPTIMIZE-style small-file compaction as a NEW version: the
+        latest snapshot rewritten into ``target_files`` files (coalesce —
+        no shuffle, existing order preserved). Readers of older versions
+        are untouched; reclaim the fragmented snapshot with vacuum()."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"{self.path}: nothing to compact")
+        return self._commit(self.read(latest).coalesce(target_files), latest + 1)
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (and any crashed
         ``__tmp`` leftovers); returns the versions removed."""

@@ -52,6 +52,18 @@ def test_managed_table_merge_delete_and_evolve(spark, tmp_path):
     assert rows == {1: ("a", None), 3: ("C", False)}
 
 
+def test_versioned_table_compact_reduces_files(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), keys=["k"])
+    t.write(spark.createDataFrame([(i, str(i)) for i in range(40)], ["k", "val"]).repartition(8))
+    assert t.history()[0]["n_files"] == 8
+    v1 = t.compact(target_files=1)
+    assert v1 == 1 and t.history()[1]["n_files"] == 1
+    # same rows, old fragmented snapshot still readable
+    assert t.read(1).count() == 40 and t.read(0).count() == 40
+
+
 def test_versioned_table_restore_and_changes(spark, tmp_path):
     from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
 
