@@ -90,27 +90,50 @@ class MaterializedAggregate:
             full = self._agg(self.source.read(latest))
             return self.view.write(full, epoch=latest)
 
-        # incremental: fold only rows whose keys changed between versions
-        before = self.source.read(done)
-        after = self.source.read(latest)
-        diff = snapshot_diff(before, after, self.source.keys).filter(
-            F.col("status") != "same"
-        )
-        old_rows = before.join(
-            diff.filter(F.col("status").isin("removed", "changed")).select(
-                *self.source.keys
-            ),
-            on=self.source.keys,
-            how="left_semi",
-        )
-        new_rows = after.join(
-            diff.filter(F.col("status").isin("added", "changed")).select(
-                *self.source.keys
-            ),
-            on=self.source.keys,
-            how="left_semi",
-        )
-        delta = self._agg(old_rows, sign=-1).unionByName(self._agg(new_rows))
+        # incremental: prefer the change feed captured at merge time —
+        # O(churn) rows, zero snapshot scans. -pre + post telescopes across
+        # consecutive versions, so pending feeds fold as one union.
+        feeds = [
+            self.source.change_feed(v) for v in range(done + 1, latest + 1)
+        ]
+        if all(f is not None for f in feeds):
+            cols = self.group_cols + self.sum_cols
+            pres = [f[0].select(*cols) for f in feeds]
+            posts = [f[1].select(*cols) for f in feeds]
+
+            def cat(frames):
+                out = frames[0]
+                for f in frames[1:]:
+                    out = out.unionByName(f)
+                return out
+
+            delta = self._agg(cat(pres), sign=-1).unionByName(
+                self._agg(cat(posts))
+            )
+        else:
+            # fallback (some commit didn't log changes): re-derive the
+            # delta by hash-diffing the two snapshots — two scans, but the
+            # shuffle still carries (key, hash) + changed rows only
+            before = self.source.read(done)
+            after = self.source.read(latest)
+            diff = snapshot_diff(before, after, self.source.keys).filter(
+                F.col("status") != "same"
+            )
+            old_rows = before.join(
+                diff.filter(F.col("status").isin("removed", "changed")).select(
+                    *self.source.keys
+                ),
+                on=self.source.keys,
+                how="left_semi",
+            )
+            new_rows = after.join(
+                diff.filter(F.col("status").isin("added", "changed")).select(
+                    *self.source.keys
+                ),
+                on=self.source.keys,
+                how="left_semi",
+            )
+            delta = self._agg(old_rows, sign=-1).unionByName(self._agg(new_rows))
         merged = (
             self.read()
             .unionByName(delta)

@@ -199,7 +199,13 @@ class VersionedTable:
         return out
 
     # -- writes -------------------------------------------------------------
-    def _commit(self, df: DataFrame, v: int, epoch: int | None = None) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        v: int,
+        epoch: int | None = None,
+        changes: tuple[DataFrame, DataFrame] | None = None,
+    ) -> int:
         import os
         import shutil
         import uuid
@@ -208,6 +214,14 @@ class VersionedTable:
         # overwrite each other's staged data before either renames
         tmp = self._vdir(v) + f"__tmp-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(tmp)
+        if changes is not None:
+            # change feed (Delta CDF shape): the rows this commit replaced
+            # (pre-images) and the rows it introduced (post-images), staged
+            # in the same tmp dir so the atomic rename covers data + feed;
+            # "_"-prefixed, so snapshot readers never see it
+            pre, post = changes
+            pre.write.mode("overwrite").parquet(os.path.join(tmp, "_changes", "pre"))
+            post.write.mode("overwrite").parquet(os.path.join(tmp, "_changes", "post"))
         if epoch is not None:
             # provenance marker staged INSIDE the tmp dir so the atomic
             # rename commits data + marker together (streaming sinks use
@@ -240,6 +254,7 @@ class VersionedTable:
         delete_condition: str | None = None,
         evolve_schema: bool = False,
         epoch: int | None = None,
+        log_changes: bool = False,
     ) -> int:
         """MERGE against the latest snapshot into a NEW version. The source
         version is never touched, so unlike an in-place swap there is no
@@ -249,20 +264,54 @@ class VersionedTable:
         condition are deleted in the new snapshot, and new update columns
         widen the schema (old snapshots keep theirs — time travel sees the
         schema as of each version). ``epoch`` stamps the snapshot with a
-        provenance marker committed atomically with the data."""
+        provenance marker committed atomically with the data.
+
+        ``log_changes`` records a change feed with the commit: the target
+        rows this merge replaced or deleted (pre-images) and the update
+        rows it applied (post-images) — captured HERE, where the delta is
+        already known, so incremental consumers (pipeline/materialized.py)
+        later fold O(churn) rows instead of re-deriving the delta with two
+        full-snapshot scans (the snapshot_diff fallback)."""
         latest = self.latest_version()
+        surviving = updates
+        if delete_condition is not None:
+            surviving = updates.filter(f"NOT coalesce({delete_condition}, false)")
         if latest is None:
-            if delete_condition is not None:
-                updates = updates.filter(f"NOT coalesce({delete_condition}, false)")
-            return self._commit(updates, 0, epoch=epoch)
+            changes = (
+                (surviving.limit(0), surviving) if log_changes else None
+            )
+            return self._commit(surviving, 0, epoch=epoch, changes=changes)
+        base = self.read(latest)
+        changes = None
+        if log_changes:
+            pre = base.join(
+                updates.select(*self.keys).distinct(), on=self.keys, how="left_semi"
+            )
+            changes = (pre, surviving)
         merged = merge_upsert(
-            self.read(latest),
+            base,
             updates,
             self.keys,
             delete_condition=delete_condition,
             evolve_schema=evolve_schema,
         )
-        return self._commit(merged, latest + 1, epoch=epoch)
+        return self._commit(merged, latest + 1, epoch=epoch, changes=changes)
+
+    def change_feed(self, version: int) -> tuple[DataFrame, DataFrame] | None:
+        """The (pre-images, post-images) recorded with ``version``'s
+        commit, or None when that commit didn't log changes. Folding
+        ``-pre + post`` over consecutive versions telescopes: each pre is
+        the prior version's values, so multi-version deltas compose by
+        simple union."""
+        import os
+
+        d = os.path.join(self._vdir(version), "_changes")
+        if not os.path.isdir(os.path.join(d, "pre")):
+            return None
+        return (
+            self.spark.read.parquet(os.path.join(d, "pre")),
+            self.spark.read.parquet(os.path.join(d, "post")),
+        )
 
     def restore(self, version: int) -> int:
         """Delta RESTORE semantics: re-commit an old snapshot as the NEW

@@ -165,3 +165,43 @@ def test_materialized_aggregate_incremental_equals_recompute(spark, tmp_path):
     }
     assert snapshot() == full
     assert view.refreshed_through() == 1
+
+
+def test_materialized_refresh_uses_change_feed(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.materialized import (
+        MaterializedAggregate,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"), keys=["id"])
+    view = MaterializedAggregate(
+        src, str(tmp_path / "view"), group_cols=["g"], sum_cols=["x"]
+    )
+    src.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)], ["id", "g", "x"]
+    ))
+    view.refresh()
+
+    # two feed-logged merges pending at once: folding must telescope
+    src.merge(
+        spark.createDataFrame([(2, "a", 20), (4, "c", 9)], ["id", "g", "x"]),
+        log_changes=True,
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(2, "a", 0, True), (5, "b", 3, False)], ["id", "g", "x", "del"]
+        ),
+        delete_condition="del",
+        log_changes=True,
+    )
+    assert src.change_feed(1) is not None and src.change_feed(2) is not None
+    assert view.refresh() is not None
+    got = {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()}
+    full = {
+        (r["g"], r["n"], r["sum_x"])
+        for r in src.read()
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sum_x"))
+        .collect()
+    }
+    assert got == full == {("a", 1, 10), ("b", 2, 10), ("c", 1, 9)}
