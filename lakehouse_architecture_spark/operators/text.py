@@ -590,3 +590,51 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.round(davg("__lp"), 6).alias("mean_log10_p"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard context-window prep for training/embedding pipelines. One row
+    per chunk: (id, chunk_index, chunk_start, n_chunk_tokens, chunk_text).
+
+    Pure Catalyst: chunk starts are a ``sequence`` with stride
+    ``chunk_tokens - overlap``, each start sliced out of the token array
+    and re-joined — a narrow map + one posexplode, no shuffle, no Python.
+    Short documents yield exactly one chunk; empty documents none.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # last start <= max(n - chunk, 0), aligned to stride
+    last_start = F.greatest(
+        F.floor((n - F.lit(chunk_tokens) + F.lit(stride) - 1) / F.lit(stride))
+        * F.lit(stride),
+        F.lit(0),
+    ).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), last_start, F.lit(stride)))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_index"),
+            s.alias("chunk_start"),
+            F.slice(toks, s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("ch")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("ch.chunk_index").alias("chunk_index"),
+        F.col("ch.chunk_start").alias("chunk_start"),
+        F.size("ch.toks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("ch.toks")).alias("chunk_text"),
+    )

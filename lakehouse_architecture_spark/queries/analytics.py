@@ -652,6 +652,42 @@ GROUP BY same_label
 ORDER BY same_label
 """
 
+# --- training prep: fixed-window document chunking ------------------------
+_CHUNK_TOKENS = 24
+_CHUNK_OVERLAP = 8
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.text import chunk_documents
+
+    t = tables(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], "doc_id", "text",
+        chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP,
+    ).orderBy("doc_id", "chunk_index")
+
+
+_Q_CHUNK_DOCS_SQL = f"""
+WITH {_TOKS_CTE},
+starts AS (
+  SELECT doc_id, tk,
+         CAST(i.i AS INT) AS chunk_index,
+         CAST(i.i * {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS INT) AS chunk_start
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(greatest(ceil((len(tk) - {_CHUNK_TOKENS})
+                        / {_CHUNK_TOKENS - _CHUNK_OVERLAP}.0), 0) AS BIGINT))) AS i) i
+  WHERE len(tk) > 0
+)
+SELECT doc_id, chunk_index, chunk_start,
+       CAST(len(list_slice(tk, chunk_start + 1, chunk_start + {_CHUNK_TOKENS})) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(tk, chunk_start + 1, chunk_start + {_CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_index
+"""
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -666,4 +702,5 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_skyline", "2-D pareto frontier (cheapest-and-biggest part)", _q_skyline, _Q_SKYLINE_SQL),
     QuerySpec("q_cross_corr", "lagged cross-correlation of event series", _q_cross_corr, _Q_CROSS_CORR_SQL),
     QuerySpec("q_emb_pair_stats", "intra- vs inter-label embedding cosine", _q_emb_pair_stats, _Q_EMB_PAIR_STATS_SQL),
+    QuerySpec("q_chunk_docs", "fixed-window token chunking with overlap", _q_chunk_docs, _Q_CHUNK_DOCS_SQL),
 )

@@ -272,3 +272,28 @@ def test_heuristic_flags_rules(spark):
     empty = heuristic_flags(spark.createDataFrame([(9, "")], ["doc_id", "text"]))
     r = empty.collect()[0]
     assert r.fails_gopher is True and r.mean_word_len is None
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from lakehouse_architecture_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(str(i) for i in range(10))),  # 2 chunks (stride 6)
+            (2, "a b c"),                               # short: 1 chunk
+            (3, ""),                                    # empty: 0 chunks
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_index"]): (r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    }
+    assert got[(1, 0)] == (0, 8, "0 1 2 3 4 5 6 7")
+    assert got[(1, 1)] == (6, 4, "6 7 8 9")  # overlap of 2 with chunk 0
+    assert got[(2, 0)] == (0, 3, "a b c")
+    assert all(k[0] != 3 for k in got)
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
