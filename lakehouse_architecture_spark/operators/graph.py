@@ -91,3 +91,63 @@ def dedup_clusters(
             F.coalesce("component", df[id_col]).alias("canonical_id"),
         )
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (directed; pass both
+    directions for an undirected graph, e.g. a near-dup similarity graph —
+    there centrality ranks each cluster's most-connected document, a
+    better dedup representative than min-id).
+
+    Every iteration is one (edge join + aggregate) pair — the same shuffle
+    shape as connected_components; ``iterations`` is fixed (not
+    convergence-tested) so the whole computation is a finite Catalyst plan
+    an unrolled SQL oracle can replicate exactly. Dangling (edge-less)
+    nodes keep the teleport term only. Determinism: contribution sums go
+    through DECIMAL(38,6) and each iteration's rank is rounded to 9
+    decimals, so partition order can never leak into the result.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import dsum
+
+    # materialize the edge list once: every iteration joins it, and an
+    # expensive upstream (LSH candidate generation) would otherwise be
+    # re-planned per iteration — same pattern as connected_components
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    teleport = (1.0 - damping) / n_nodes
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select(
+        F.col(id_col).alias("nid"),
+        F.round(F.lit(1.0 / n_nodes), 9).alias("rank"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["nid"])
+            .join(deg, on="src")
+            .select(F.col("dst"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(dsum("c", "in_mass"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("nid"))
+            .join(contribs, F.col("nid") == F.col("dst"), "left")
+            .select(
+                "nid",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("nid").alias(id_col), "rank")

@@ -688,6 +688,90 @@ FROM starts
 ORDER BY doc_id, chunk_index
 """
 
+# --- graph: PageRank centrality over the near-dup graph -------------------
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.graph import pagerank
+
+    t = tables(spark, sf_dir)
+    d = t["documents"]
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD)
+    sym = pairs.select("id_a", "id_b").unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    pr = pagerank(
+        d.select(F.col("doc_id").alias("node")), sym,
+        iterations=_PR_ITERS, damping=_PR_DAMP,
+    )
+    return (
+        pr.select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _pr_sql() -> str:
+    from lakehouse_architecture_spark.functions.aggregates import dsum_sql
+
+    n = 500  # documents at any sf: driver fixture keeps 500 docs at sf0.01
+    # NB: the oracle must not hard-code corpus size; compute it in SQL
+    tele = f"((1.0 - {_PR_DAMP}) / (SELECT COUNT(*) FROM documents))"
+    body = f"""
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+deg AS (SELECT a AS src, COUNT(*) AS out_deg FROM sym GROUP BY a),
+r0 AS (SELECT doc_id AS nid,
+              ROUND(1.0 / (SELECT COUNT(*) FROM documents), 9) AS rank
+       FROM documents)"""
+    for i in range(1, _PR_ITERS + 1):
+        body += f""",
+c{i} AS (
+  SELECT s.b AS dst, {dsum_sql(f"r.rank / d.out_deg")} AS in_mass
+  FROM sym s JOIN r{i-1} r ON r.nid = s.a JOIN deg d ON d.src = s.a
+  GROUP BY s.b
+),
+r{i} AS (
+  SELECT n.doc_id AS nid,
+         ROUND({tele} + {_PR_DAMP} * COALESCE(c.in_mass, 0.0), 9) AS rank
+  FROM documents n LEFT JOIN c{i} c ON c.dst = n.doc_id
+)"""
+    return (
+        f"""
+WITH {_SHINGLES_CTE},
+shh AS (SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= {_JACCARD_THRESHOLD}
+),"""
+        + body
+        + f"""
+SELECT nid AS doc_id, ROUND(rank, 6) AS rank
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, doc_id ASC
+LIMIT 20
+"""
+    )
+
+
+_Q_PAGERANK_SQL = _pr_sql()
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -703,4 +787,5 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_cross_corr", "lagged cross-correlation of event series", _q_cross_corr, _Q_CROSS_CORR_SQL),
     QuerySpec("q_emb_pair_stats", "intra- vs inter-label embedding cosine", _q_emb_pair_stats, _Q_EMB_PAIR_STATS_SQL),
     QuerySpec("q_chunk_docs", "fixed-window token chunking with overlap", _q_chunk_docs, _Q_CHUNK_DOCS_SQL),
+    QuerySpec("q_pagerank", "fixed-iteration PageRank on the near-dup graph", _q_pagerank, _Q_PAGERANK_SQL),
 )

@@ -664,3 +664,19 @@ def test_pareto_frontier_2d_exact(spark):
         ).collect()
     }
     assert got == {1, 2, 5}
+
+
+def test_pagerank_star_graph_center_wins(spark):
+    from lakehouse_architecture_spark.operators.graph import pagerank
+
+    # undirected star 0-1, 0-2, 0-3 plus isolated node 4
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    r = {row["node"]: row["rank"] for row in pagerank(nodes, edges).collect()}
+    assert len(r) == 5
+    # hub holds the most mass; leaves tie; the isolated node keeps only
+    # teleport mass and ranks strictly below every connected node
+    assert r[0] > r[1] == r[2] == r[3] > r[4]
+    assert abs(sum(v for k, v in r.items() if k != 4) + r[4] - 1.0) < 0.2
