@@ -260,3 +260,40 @@ def mix_rebalance(
         .filter(ticket < F.floor(F.col("__keep") * _MOD))
         .drop("__keep")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split label is a
+    pure function of its id (md5 bucket in [0, 1e6) against cumulative
+    weight thresholds), so the partition is reproducible across runs,
+    engines, and repartitioning, rows never migrate between splits when the
+    corpus grows, and no shuffle or RNG is involved — a narrow map, unlike
+    randomSplit (whose assignment depends on partition layout).
+
+    ``weights`` maps label -> fraction; fractions must sum to 1. Label
+    order follows the dict (insertion) order for threshold stacking.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+    bucket = F.pmod(
+        md5_hash64(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w
+        cond = bucket < int(acc * 1_000_000)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

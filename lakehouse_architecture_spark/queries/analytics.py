@@ -24,6 +24,7 @@ from lakehouse_architecture_spark.operators.text import (
     token_entropy,
     tokens,
 )
+from lakehouse_architecture_spark.functions.hashing import md5_hash64_sql
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 from lakehouse_architecture_spark.queries.textops import (
     _DIMS_CTE,
@@ -772,6 +773,51 @@ LIMIT 20
 
 _Q_PAGERANK_SQL = _pr_sql()
 
+# --- training prep: deterministic train/val/test split --------------------
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.curation import hash_split
+
+    t = tables(spark, sf_dir)
+    out = hash_split(t["documents"], "doc_id", _SPLIT_WEIGHTS)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_Q_HASH_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         {md5_hash64_sql("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000
+           AS bucket
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN bucket < 800000 THEN 'train'
+              WHEN bucket < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM lab
+GROUP BY split
+ORDER BY split
+"""
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -788,4 +834,5 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_emb_pair_stats", "intra- vs inter-label embedding cosine", _q_emb_pair_stats, _Q_EMB_PAIR_STATS_SQL),
     QuerySpec("q_chunk_docs", "fixed-window token chunking with overlap", _q_chunk_docs, _Q_CHUNK_DOCS_SQL),
     QuerySpec("q_pagerank", "fixed-iteration PageRank on the near-dup graph", _q_pagerank, _Q_PAGERANK_SQL),
+    QuerySpec("q_hash_split", "deterministic train/val/test hash split", _q_hash_split, _Q_HASH_SPLIT_SQL),
 )

@@ -41,3 +41,30 @@ def test_normalize_price(spark):
     assert vals[1] == pytest.approx(0.8)
     assert vals[2] == pytest.approx(5.2)
     assert vals[3:] == [None, None, None]
+
+
+def test_hash_split_stable_and_disjoint(spark):
+    from lakehouse_architecture_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in hash_split(df, "id", w).collect()}
+    # repartitioning must not move any row between splits
+    b = {
+        r["id"]: r["split"]
+        for r in hash_split(df.repartition(7), "id", w).collect()
+    }
+    assert a == b
+    # growing the corpus must not reassign existing ids
+    big = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    c = {r["id"]: r["split"] for r in hash_split(big, "id", w).collect()}
+    assert all(c[i] == a[i] for i in a)
+    # proportions roughly honored
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.7 < frac["train"] / 1000 < 0.9
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, "id", {"train": 0.5, "val": 0.1})
