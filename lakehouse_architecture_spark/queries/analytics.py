@@ -818,6 +818,51 @@ GROUP BY split
 ORDER BY split
 """
 
+# --- robust stats: per-group median + MAD ---------------------------------
+def _q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and median-absolute-deviation of extended price per return
+    flag — the outlier-resistant twin of mean/stddev screening. Exact
+    percentiles (not approx) so the oracle matches bit-for-bit; two grouped
+    aggregates (medians, then deviations against the broadcast medians)."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    dev = li.join(F.broadcast(med), on="l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 4).alias("median_price"),
+            F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q_ROBUST_STATS_SQL = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+dev AS (
+  SELECT l.l_returnflag, m.med, abs(l.l_extendedprice - m.med) AS adev
+  FROM lineitem l JOIN med m USING (l_returnflag)
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(ANY_VALUE(med), 4) AS median_price,
+       ROUND(quantile_cont(adev, 0.5), 4) AS mad_price
+FROM dev
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -835,4 +880,5 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_chunk_docs", "fixed-window token chunking with overlap", _q_chunk_docs, _Q_CHUNK_DOCS_SQL),
     QuerySpec("q_pagerank", "fixed-iteration PageRank on the near-dup graph", _q_pagerank, _Q_PAGERANK_SQL),
     QuerySpec("q_hash_split", "deterministic train/val/test hash split", _q_hash_split, _Q_HASH_SPLIT_SQL),
+    QuerySpec("q_robust_stats", "per-group median + MAD (robust outlier stats)", _q_robust_stats, _Q_ROBUST_STATS_SQL),
 )

@@ -107,3 +107,24 @@ def test_centroid_assignment_nearest_by_cosine(spark):
     )
     got = {r["vec_id"]: r["cell"] for r in centroid_assignment(df, n_cells=2).collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_analytics_ops_handle_empty_input(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert event_transitions(empty).count() == 0
+    assert last_touch_attribution(empty, "purchase", "click", 60).count() == 0
+    assert out_of_order_stats(
+        empty.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    ).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert token_entropy(docs).count() == 0
+    assert bigram_lm_scores(docs).count() == 0
