@@ -168,6 +168,14 @@ def minhash_signatures(
     single groupBy over the shingle rows — one shuffle, no num_perm× row
     blow-up (an explode-per-permutation version was ~4× slower at sf0.1 and
     scales worse: the shuffle would carry num_perm copies of the corpus).
+
+    A zero-shuffle array formulation (per-row shingle array + one
+    ``aggregate`` HOF computing all minima) also measured ~4× SLOWER
+    (tools/exp_minhash_array.py): HOF lambdas evaluate interpreted outside
+    whole-stage codegen and allocate per element, while this form keeps
+    every permutation update in codegen'd hash-agg arithmetic — and with
+    map-side partial mins the shuffle carries only (id, num_perm longs)
+    per doc per map partition, not the shingle corpus.
     """
     sh = word_shingles(df, id_col, text_col, shingle_n).withColumn(
         "h", md5_hash64(F.col("shingle"))
