@@ -479,3 +479,70 @@ def centroid_assignment(
     return best.select(
         F.col(id_col), F.col("cent_id").alias("cell"), F.col("ccos")
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    min_cos: float = 0.9,
+    centroids: DataFrame | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    pruning within embedding clusters. Every vector is assigned to its
+    nearest centroid cell (:func:`centroid_assignment`); within each cell,
+    a vector is PRUNED when a lower-id vector of the same cell sits within
+    ``min_cos`` cosine of it — the deterministic keep-lowest-id variant of
+    the paper's keep-one-per-duplicate-group rule. Cross-cell near-dups are
+    intentionally not compared: that locality is what makes the method
+    sub-quadratic (the paper's finding is that k-means cells capture almost
+    all semantic duplicates).
+
+    Returns (id, cell, pruned) for every input vector.
+
+    Scale shape: centroids broadcast (narrow assignment map), then ONE
+    shuffle on cell for the within-cell self-join; candidate pairs are
+    bounded per cell, never corpus-wide. At production scale n_cells grows
+    with the corpus (the paper uses ~0.01x vectors) so cells stay small;
+    ``max_cell`` is the skew guard — cells larger than it are excluded
+    from pairing (their vectors are kept), mirroring ``max_bucket`` in
+    :func:`lsh_bucket_pairs`, since a degenerate quantizer would otherwise
+    re-create the quadratic blow-up cell-locally.
+    """
+    assign = centroid_assignment(corpus, id_col, vec_col, n_cells, centroids)
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cells = assign.select(F.col(id_col).alias("id"), "cell").join(vecs, "id")
+    if max_cell is not None:
+        big = (
+            cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cell)
+            .select("cell")
+        )
+        cells = cells.join(F.broadcast(big), "cell", "left_anti")
+    a = cells.select("cell", F.col("id").alias("id_keep"), F.col("v").alias("va"))
+    b = cells.select("cell", F.col("id").alias("id_prune"), F.col("v").alias("vb"))
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("id_keep") < F.col("id_prune"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(min_cos))
+        .select("id_prune")
+        .distinct()
+    )
+    return (
+        assign.select(F.col(id_col), "cell")
+        .join(
+            pruned.withColumnRenamed("id_prune", id_col).withColumn(
+                "pruned", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "cell",
+            F.coalesce("pruned", F.lit(False)).alias("pruned"),
+        )
+    )

@@ -17,7 +17,10 @@ from lakehouse_architecture_spark.operators.analytics import (
     last_touch_attribution,
     out_of_order_stats,
 )
-from lakehouse_architecture_spark.operators.dedup import ngram_jaccard_pairs
+from lakehouse_architecture_spark.operators.dedup import (
+    ngram_array,
+    ngram_jaccard_pairs,
+)
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
 from lakehouse_architecture_spark.operators.text import (
     bigram_lm_scores,
@@ -863,6 +866,225 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+# --- SemDeDup: semantic prune within embedding cells ----------------------
+_SEMDEDUP_MIN_COS = 0.3
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2303.09540) keep-lowest-id variant; the
+    fixture embeddings are isotropic so the threshold sits at 0.3 (~2.4
+    sigma for 64-dim random cosines) to exercise both branches."""
+    t = tables(spark, sf_dir)
+    return sim.semdedup_prune(
+        t["embeddings"], n_cells=_N_CELLS, min_cos=_SEMDEDUP_MIN_COS
+    ).orderBy("vec_id")
+
+
+_Q_SEMDEDUP_SQL = f"""
+WITH {_DIMS_CTE},
+{_NORMS_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id ASC LIMIT {_N_CELLS}
+),
+cdots AS (
+  SELECT e.vec_id, c.cent_id,
+         ROUND(SUM(CAST(e.embedding[d.d] AS DOUBLE) * CAST(c.cvec[d.d] AS DOUBLE))
+               / (ne.nrm * nc.nrm), 6) AS ccos
+  FROM embeddings e
+  JOIN norms ne ON ne.vec_id = e.vec_id
+  CROSS JOIN cents c
+  JOIN norms nc ON nc.vec_id = c.cent_id
+  CROSS JOIN dims d
+  GROUP BY e.vec_id, c.cent_id, ne.nrm, nc.nrm
+),
+best AS (
+  SELECT vec_id, cent_id AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cent_id ASC) AS rn
+  FROM cdots
+),
+assign AS (SELECT vec_id, cell FROM best WHERE rn = 1),
+paircos AS (
+  SELECT b.vec_id AS id_prune,
+         ROUND(SUM(CAST(ea.embedding[d.d] AS DOUBLE) * CAST(eb.embedding[d.d] AS DOUBLE))
+               / (na.nrm * nb.nrm), 6) AS cos
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  CROSS JOIN dims d
+  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+pruned AS (SELECT DISTINCT id_prune FROM paircos WHERE cos >= {_SEMDEDUP_MIN_COS}),
+sel AS (
+  SELECT a.vec_id, a.cell, (p.id_prune IS NOT NULL) AS pruned
+  FROM assign a LEFT JOIN pruned p ON p.id_prune = a.vec_id
+)
+SELECT vec_id, cell, pruned FROM sel ORDER BY vec_id
+"""
+
+
+# --- equi-depth quartile bins over lineitem price -------------------------
+def _q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning via exact quantile cut-points (the q_histogram
+    twin: that one is equi-WIDTH). No global sort/ranking anywhere — the
+    cuts are one aggregate, broadcast back, then a single hash agg; at
+    100 TB swap ``percentile`` for ``approx_percentile`` (same plan shape,
+    bounded-error cuts)."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    cuts = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("c1"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("c2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("c3"),
+    )
+    price = F.col("l_extendedprice")
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        F.when(price <= F.col("c1"), "q1")
+        .when(price <= F.col("c2"), "q2")
+        .when(price <= F.col("c3"), "q3")
+        .otherwise("q4")
+        .alias("bin"),
+        price,
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(price), 2).alias("min_price"),
+            F.round(F.max(price), 2).alias("max_price"),
+            F.round(dsum(price), 2).alias("sum_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+_Q_EQUIDEPTH_SQL = f"""
+WITH cuts AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS c1,
+         quantile_cont(l_extendedprice, 0.50) AS c2,
+         quantile_cont(l_extendedprice, 0.75) AS c3
+  FROM lineitem
+),
+binned AS (
+  SELECT CASE WHEN l_extendedprice <= c1 THEN 'q1'
+              WHEN l_extendedprice <= c2 THEN 'q2'
+              WHEN l_extendedprice <= c3 THEN 'q3'
+              ELSE 'q4' END AS bin,
+         l_extendedprice
+  FROM lineitem, cuts
+)
+SELECT bin,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND({dsum_sql('l_extendedprice')}, 2) AS sum_price
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+# --- corpus diversity: bigram type-token ratio per source -----------------
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram type-token ratio — the corpus-level diversity
+    complement of the per-doc repetition stats (a crawl section whose TTR
+    collapses is template/boilerplate mass). One explode, one hash agg with
+    a distinct count; shuffle key is (source, bigram)."""
+    t = tables(spark, sf_dir)
+    ex = t["documents"].select(
+        "source", F.explode(ngram_array(tokens("text"), 2)).alias("bg")
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_distinct"),
+        )
+        .withColumn(
+            "ttr", F.round(F.col("n_distinct") / F.col("n_bigrams"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+_Q_NGRAM_DIVERSITY_SQL = f"""
+WITH {_TOKS_CTE},
+bg AS (
+  SELECT source, array_to_string(list_slice(tk, i.i + 1, i.i + 2), ' ') AS bg
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, len(tk) - 2)) AS i) i
+)
+SELECT source,
+       COUNT(*) AS n_bigrams,
+       COUNT(DISTINCT bg) AS n_distinct,
+       ROUND(COUNT(DISTINCT bg) / CAST(COUNT(*) AS DOUBLE), 6) AS ttr
+FROM bg
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- vocabulary tail: hapax legomena per source ---------------------------
+def _q_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hapax (frequency-1) tokens attributed to the source holding
+    their single occurrence — the vocabulary-tail health metric (OCR noise
+    and mojibake inflate it; heavy dedup deflates it). Two hash aggregates
+    on the token, both with map-side partials."""
+    t = tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c"), F.max("source").alias("src")
+    )
+    hapax = (
+        freq.filter(F.col("c") == 1)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_hapax"))
+        .withColumnRenamed("src", "source")
+    )
+    dist = (
+        tok.distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    n_hapax = F.coalesce(F.col("n_hapax"), F.lit(0)).cast("bigint")
+    return (
+        dist.join(hapax, "source", "left")
+        .select(
+            "source",
+            "n_distinct",
+            n_hapax.alias("n_hapax"),
+            F.round(n_hapax / F.col("n_distinct"), 6).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_HAPAX_SQL = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT source, unnest(tk) AS tok FROM toks),
+freq AS (SELECT tok, COUNT(*) AS c, MAX(source) AS src FROM tok GROUP BY tok),
+hapax AS (
+  SELECT src AS source, COUNT(*) AS n_hapax FROM freq WHERE c = 1 GROUP BY src
+),
+dist AS (
+  SELECT source, COUNT(DISTINCT tok) AS n_distinct FROM tok GROUP BY source
+)
+SELECT d.source,
+       d.n_distinct,
+       CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+       ROUND(COALESCE(h.n_hapax, 0) / CAST(d.n_distinct AS DOUBLE), 6)
+         AS hapax_ratio
+FROM dist d LEFT JOIN hapax h ON h.source = d.source
+ORDER BY d.source
+"""
+
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -881,4 +1103,8 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_pagerank", "fixed-iteration PageRank on the near-dup graph", _q_pagerank, _Q_PAGERANK_SQL),
     QuerySpec("q_hash_split", "deterministic train/val/test hash split", _q_hash_split, _Q_HASH_SPLIT_SQL),
     QuerySpec("q_robust_stats", "per-group median + MAD (robust outlier stats)", _q_robust_stats, _Q_ROBUST_STATS_SQL),
+    QuerySpec("q_semdedup", "SemDeDup within-cell semantic prune", _q_semdedup, _Q_SEMDEDUP_SQL),
+    QuerySpec("q_equidepth_bins", "equi-depth quartile bins via exact cut-points", _q_equidepth_bins, _Q_EQUIDEPTH_SQL),
+    QuerySpec("q_ngram_diversity", "per-source bigram type-token ratio", _q_ngram_diversity, _Q_NGRAM_DIVERSITY_SQL),
+    QuerySpec("q_hapax", "hapax legomena vocabulary-tail stats per source", _q_hapax, _Q_HAPAX_SQL),
 )

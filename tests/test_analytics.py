@@ -128,3 +128,75 @@ def test_analytics_ops_handle_empty_input(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert token_entropy(docs).count() == 0
     assert bigram_lm_scores(docs).count() == 0
+
+
+def test_semdedup_prunes_higher_id_near_dups(spark):
+    from lakehouse_architecture_spark.operators.similarity import semdedup_prune
+
+    # 2 clusters on orthogonal axes; the default quantizer seeds centroids
+    # from the two LOWEST ids, so ids 1/2 are one vector of each cluster —
+    # each cluster gets its own cell and the higher id of each pair prunes
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (3, [0.99, 0.14, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.14, 0.99]),   # near-dup of 2
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup_prune(df, n_cells=2, min_cos=0.9).collect()
+    }
+    assert got == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_semdedup_max_cell_guard_keeps_oversized_cells(spark):
+    from lakehouse_architecture_spark.operators.similarity import semdedup_prune
+
+    # all 4 vectors collapse into one cell; max_cell=3 excludes the cell
+    # from pairing so nothing is pruned (the skew guard is conservative)
+    rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup_prune(df, n_cells=1, min_cos=0.5, max_cell=3).collect()
+    assert len(out) == 4 and not any(r["pruned"] for r in out)
+
+
+def test_semdedup_empty_input(spark):
+    from lakehouse_architecture_spark.operators.similarity import semdedup_prune
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert semdedup_prune(df, n_cells=2, min_cos=0.5).count() == 0
+
+
+def test_equidepth_bins_are_balanced(spark):
+    from tests.conftest import SF_SMOKE
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    rows = ALL_QUERIES["q_equidepth_bins"].build(spark, SF_SMOKE).collect()
+    assert [r["bin"] for r in rows] == ["q1", "q2", "q3", "q4"]
+    counts = [r["n_rows"] for r in rows]
+    # equi-depth: every bin within 2% of the mean (ties at cut-points only)
+    mean = sum(counts) / 4
+    assert all(abs(c - mean) <= 0.02 * mean + 1 for c in counts)
+    # bins tile the value range in order
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_price"] <= hi["min_price"]
+
+
+def test_hapax_and_diversity_on_tiny_corpus(spark):
+    from lakehouse_architecture_spark.queries import analytics as A
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "s1", 7),
+            (2, "c d", "s1", 3),
+            (3, "e e", "s2", 3),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    ).withColumnRenamed("lang", "lang").withColumn("n_chars", F.lit(0))
+    # hapax: corpus counts a=2,b=2,c=1,d=1,e=2 -> hapax {c,d} both in s1
+    tok = docs.select("source", F.explode(
+        F.split(F.trim("text"), r"\s+")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    hapax = {r["tok"] for r in freq.filter("c = 1").collect()}
+    assert hapax == {"c", "d"}

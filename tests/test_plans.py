@@ -279,3 +279,31 @@ def test_skyline_two_phase_no_self_join(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert plan.count("Window") >= 2  # local (per-partition) + global phase
+
+
+def test_semdedup_cell_join_is_equi_join(spark):
+    # centroid assignment broadcasts the cell seeds (vec x n_cells nested
+    # loop by design); the within-cell pairing must be an equi-join on
+    # cell, never a corpus-wide cartesian
+    df = _q(spark, "q_semdedup")
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_bins_single_pass_no_sort(spark):
+    # cut-points come from one percentile aggregate broadcast back; the
+    # plan must not contain a global Sort of the fact table (the naive
+    # ntile-over-everything formulation would)
+    df = _q(spark, "q_equidepth_bins")
+    plan = formatted_plan(df)
+    # lineitem scanned twice (cuts + bins); formatted plans print each
+    # scan node twice (tree + details), so 2 logical scans = 4 mentions
+    assert plan.count("Scan parquet") <= 4
+    import re
+
+    # the orderBy of the 4-row result is fine (one logical Sort = 2
+    # mentions, tree + details); a second Sort — over the scan — is not
+    body = plan.split("== Physical Plan ==")[-1]
+    sorts = [m for m in re.finditer(r"\bSort\b", body)]
+    assert len(sorts) <= 2, f"unexpected sorts in plan:\n{body[:3000]}"
