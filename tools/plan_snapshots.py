@@ -1,0 +1,67 @@
+"""Regenerate PLANS.md — formatted physical plans for the headline queries.
+
+Plan shape is the stable scale signal (wall-clock samples wobble; the
+exchange/join/aggregate structure is what survives a 100x scale-up), so the
+headline plans are checked in for review. Regenerate after any operator
+change: python tools/plan_snapshots.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lakehouse_architecture_spark.plans.inspect import formatted_plan
+from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+from lakehouse_architecture_spark.session import SessionFactory
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q05_nation_revenue",
+    "q18_large_orders",
+    "q21_sole_late",
+    "q_asof_join",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_dup_spans",
+    "q_embedding_knn",
+    "q_semdedup",
+    "q_sessionize",
+    "q_funnel",
+    "q_corpus_curation",
+    "q_equidepth_bins",
+]
+
+HEADER = """# Headline query plans (generated — do not hand-edit)
+
+`tools/plan_snapshots.py` output at sf0.001, engine session confs.
+What to look for, per the design rules: dimension sides behind
+`BroadcastExchange`; filters in `PushedFilters`; aggregates as paired
+partial/final `HashAggregate` (map-side combine); no `CartesianProduct`;
+`Exchange` nodes only on intended keys.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = SessionFactory(app_name="plan_snapshots").get_or_create()
+    out = [HEADER]
+    for name in QUERIES:
+        df = ALL_QUERIES[name].build(spark, sf_dir)
+        plan = formatted_plan(df)
+        # keep the tree, drop the verbose per-node details section — the
+        # shape is the signal and the details churn with expr ids
+        tree = plan.split("\n\n")[0]
+        out.append(f"## {name}\n\n```\n{tree}\n```\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md with {len(QUERIES)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
