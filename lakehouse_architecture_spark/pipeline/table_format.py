@@ -333,15 +333,42 @@ class VersionedTable:
         diff = snapshot_diff(before, after, self.keys)
         return diff.filter(F.col("status") != "same")
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(
+        self,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
+    ) -> int:
         """OPTIMIZE-style small-file compaction as a NEW version: the
-        latest snapshot rewritten into ``target_files`` files (coalesce —
-        no shuffle, existing order preserved). Readers of older versions
-        are untouched; reclaim the fragmented snapshot with vacuum()."""
+        latest snapshot rewritten into ``target_files`` files. Readers of
+        older versions are untouched; reclaim the fragmented snapshot with
+        vacuum().
+
+        Default = plain coalesce (no shuffle, existing order preserved).
+        ``zorder_by`` = Delta's ``OPTIMIZE ... ZORDER BY``: the rewrite is
+        range-partitioned + sorted on the Morton interleave of the given
+        non-negative integer columns (operators/partitioning.zorder_value),
+        so the compacted snapshot's row-group min/max stats are tight on
+        EVERY clustered column — one shuffle, paid once per maintenance
+        run, amortized across all future pruned scans."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"{self.path}: nothing to compact")
-        return self._commit(self.read(latest).coalesce(target_files), latest + 1)
+        df = self.read(latest)
+        if zorder_by:
+            from lakehouse_architecture_spark.operators.partitioning import (
+                zorder_value,
+            )
+
+            df = (
+                df.withColumn("__z", zorder_value(zorder_by, zorder_bits))
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(target_files)
+        return self._commit(df, latest + 1)
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (and any crashed

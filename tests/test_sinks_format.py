@@ -235,3 +235,46 @@ def test_versioned_table_commit_race_loser_detected(spark, tmp_path):
     assert sorted((r.k, r.val) for r in t.read(0).collect()) == [(1, "a")]
     # no stranded tmp dirs
     assert not [d for d in os.listdir(str(tmp_path / "vt")) if "__tmp" in d]
+
+
+def test_versioned_table_compact_zorder_tightens_stats(spark, tmp_path):
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    # 1k rows over a 2-D grid, written in shuffled order across 4 files so
+    # every file's (x, y) bounding box starts near-full-range
+    rng = random.Random(7)
+    rows = [(i, i % 32, (i * 17) % 32) for i in range(1000)]
+    rng.shuffle(rows)
+    t = VersionedTable(spark, str(tmp_path / "vt"), keys=["k"])
+    t.write(spark.createDataFrame(rows, ["k", "x", "y"]).repartition(4))
+
+    def boxes(version):
+        out = []
+        for f in glob.glob(str(tmp_path / "vt" / f"v={version}" / "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            span = {}
+            for c in ("x", "y"):
+                i = names.index(c)
+                st = md.row_group(0).column(i).statistics
+                span[c] = st.max - st.min
+            out.append(span)
+        return out
+
+    v1 = t.compact(target_files=4, zorder_by=["x", "y"], zorder_bits=5)
+    assert v1 == 1
+    assert t.read(1).count() == 1000
+    assert sorted(r["k"] for r in t.read(1).collect()) == list(range(1000))
+
+    pre, post = boxes(0), boxes(1)
+    # shuffled layout: every file spans ~the full 0-31 range on both dims;
+    # z-clustered: the average per-file span shrinks on BOTH dims at once
+    for c in ("x", "y"):
+        pre_avg = sum(b[c] for b in pre) / len(pre)
+        post_avg = sum(b[c] for b in post) / len(post)
+        assert post_avg < pre_avg * 0.7, (c, pre_avg, post_avg)
