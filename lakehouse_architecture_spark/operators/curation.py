@@ -297,3 +297,65 @@ def hash_split(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al., *Data Selection for
+    Language Models via Importance Resampling*, arXiv:2302.03169),
+    unigram-feature variant: score(doc) = mean over its tokens of
+    ``ln p_target(tok) − ln p_raw(tok)`` with add-one smoothing, where the
+    target distribution is estimated from the rows matching
+    ``target_filter`` (a boolean Column — e.g. the high-quality domain)
+    and the raw distribution from the whole input. Downstream selection
+    keeps the top-score mass (deterministic resampling via a hash
+    tiebreak, as in :func:`weighted_priority_sample`).
+
+    Scale shape: ONE token aggregate builds both distributions (the
+    target count is a conditional sum inside the same groupBy — not a
+    second pass), totals fold to a single broadcast row, the per-token
+    weight joins back on the token key, and one final doc aggregate
+    scores the corpus. Everything partial-aggregates map-side; no
+    driver-side scalars. Docs with no tokens are dropped (no score is
+    definable for them).
+
+    Output: (id, n_tokens, dsir_score), score quantized via decimal sums
+    for engine-portable determinism.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import davg
+    from lakehouse_architecture_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        target_filter.alias("__tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("__tgt").cast("bigint")).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("nr"),
+        F.sum("ct").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")).cast("double"))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")).cast("double"))
+        ).alias("w"),
+    )
+    return (
+        tok.join(w, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(davg("w"), 6).alias("dsir_score"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

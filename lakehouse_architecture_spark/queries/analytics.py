@@ -1085,6 +1085,54 @@ ORDER BY d.source
 """
 
 
+# --- DSIR importance scores against a target domain -----------------------
+_DSIR_TARGETS = ("src0", "src1", "src2")
+
+
+def _q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.curation import dsir_scores
+
+    t = tables(spark, sf_dir)
+    return dsir_scores(
+        t["documents"],
+        "doc_id",
+        "text",
+        F.col("source").isin(*_DSIR_TARGETS),
+    ).orderBy("doc_id")
+
+
+_DSIR_IN = ", ".join(f"'{s}'" for s in _DSIR_TARGETS)
+_Q_DSIR_SQL = f"""
+WITH {_TOKS_CTE},
+tok AS (
+  SELECT doc_id, (source IN ({_DSIR_IN})) AS tgt, unnest(tk) AS tok
+  FROM toks
+),
+cnt AS (
+  SELECT tok, COUNT(*) AS cr,
+         CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tok GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt,
+         COUNT(*) AS v
+  FROM cnt
+),
+w AS (
+  SELECT tok,
+         ln((ct + 1) / CAST(nt + v AS DOUBLE))
+           - ln((cr + 1) / CAST(nr + v AS DOUBLE)) AS w
+  FROM cnt, tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND({davg_sql('w')}, 6) AS dsir_score
+FROM tok JOIN w USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_token_entropy", "per-doc token entropy + unique ratio", _q_token_entropy, _Q_TOKEN_ENTROPY_SQL),
     QuerySpec("q_bigram_lm", "corpus bigram-LM fluency score per doc", _q_bigram_lm, _Q_BIGRAM_LM_SQL),
@@ -1107,4 +1155,5 @@ ANALYTICS_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec("q_equidepth_bins", "equi-depth quartile bins via exact cut-points", _q_equidepth_bins, _Q_EQUIDEPTH_SQL),
     QuerySpec("q_ngram_diversity", "per-source bigram type-token ratio", _q_ngram_diversity, _Q_NGRAM_DIVERSITY_SQL),
     QuerySpec("q_hapax", "hapax legomena vocabulary-tail stats per source", _q_hapax, _Q_HAPAX_SQL),
+    QuerySpec("q_dsir_score", "DSIR importance scores vs target domain", _q_dsir_score, _Q_DSIR_SQL),
 )

@@ -200,3 +200,39 @@ def test_hapax_and_diversity_on_tiny_corpus(spark):
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     hapax = {r["tok"] for r in freq.filter("c = 1").collect()}
     assert hapax == {"c", "d"}
+
+
+def test_dsir_scores_favor_target_domain_tokens(spark):
+    from lakehouse_architecture_spark.operators.curation import dsir_scores
+
+    # target docs talk about "alpha beta", raw background about "gamma
+    # delta"; a held-back doc of target-style tokens must outscore a
+    # background-style doc
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", True),
+            (2, "alpha beta beta alpha", True),
+            (3, "gamma delta gamma delta", False),
+            (4, "gamma delta delta gamma", False),
+            (5, "alpha beta", False),   # target-style, outside target set
+            (6, "gamma delta", False),  # background-style
+        ],
+        ["doc_id", "text", "is_tgt"],
+    )
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(docs, "doc_id", "text", F.col("is_tgt")).collect()
+    }
+    assert len(got) == 6
+    assert got[5] > got[6]
+    assert got[1] > got[3]
+
+
+def test_dsir_scores_drop_empty_docs(spark):
+    from lakehouse_architecture_spark.operators.curation import dsir_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b", True), (2, "", False)], ["doc_id", "text", "t"]
+    )
+    out = dsir_scores(docs, "doc_id", "text", F.col("t")).collect()
+    assert [r["doc_id"] for r in out] == [1]
