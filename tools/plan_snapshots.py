@@ -29,6 +29,7 @@ QUERIES = [
     "q_dup_spans",
     "q_embedding_knn",
     "q_semdedup",
+    "q_dsir_score",
     "q_sessionize",
     "q_funnel",
     "q_corpus_curation",
