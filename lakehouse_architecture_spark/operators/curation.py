@@ -327,8 +327,12 @@ def dsir_scores(
     for engine-portable determinism.
     """
     from lakehouse_architecture_spark.functions.aggregates import davg
+    from lakehouse_architecture_spark.operators.partitioning import spread
     from lakehouse_architecture_spark.operators.text import tokens
 
+    # spread before the explode: tokenization fan-out must not inherit a
+    # collapsed input partition count (README "Compact inputs" rule)
+    df = spread(df)
     tok = df.select(
         F.col(id_col).alias("id"),
         target_filter.alias("__tgt"),

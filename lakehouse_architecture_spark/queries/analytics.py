@@ -994,15 +994,24 @@ def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of the per-doc repetition stats (a crawl section whose TTR
     collapses is template/boilerplate mass). One explode, one hash agg with
     a distinct count; shuffle key is (source, bigram)."""
+    from lakehouse_architecture_spark.operators.partitioning import spread
+
     t = tables(spark, sf_dir)
-    ex = t["documents"].select(
+    # spread BEFORE the explode: the bigram build is per-row fan-out work
+    # that otherwise inherits the file's partition count (README "Compact
+    # inputs" rule)
+    ex = spread(t["documents"]).select(
         "source", F.explode(ngram_array(tokens("text"), 2)).alias("bg")
     )
+    # two-level hash agg instead of countDistinct (an Expand-based distinct
+    # would duplicate every exploded bigram row): level 1 combines map-side
+    # on (source, bigram), level 2 is |vocab|-sized — the vocab_topk pattern
+    per_bg = ex.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
     return (
-        ex.groupBy("source")
+        per_bg.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.countDistinct("bg").alias("n_distinct"),
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
         )
         .withColumn(
             "ttr", F.round(F.col("n_distinct") / F.col("n_bigrams"), 6)
@@ -1034,8 +1043,10 @@ def _q_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     their single occurrence — the vocabulary-tail health metric (OCR noise
     and mojibake inflate it; heavy dedup deflates it). Two hash aggregates
     on the token, both with map-side partials."""
+    from lakehouse_architecture_spark.operators.partitioning import spread
+
     t = tables(spark, sf_dir)
-    tok = t["documents"].select(
+    tok = spread(t["documents"]).select(
         "source", F.explode(tokens("text")).alias("tok")
     )
     freq = tok.groupBy("tok").agg(
