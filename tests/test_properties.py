@@ -229,3 +229,69 @@ def test_merge_delete_algebra(spark, target_rows, update_rows):
         target, updates, ["k"], delete_condition="del", evolve_schema=True
     ).select("k", "v")
     assert {(r["k"], r["v"]) for r in merged.collect()} == set(expect.items())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    ).filter(lambda vs: all(any(abs(x) > 1e-3 for x in v) for v in vs))
+)
+def test_semdedup_prune_monotone_in_threshold(spark, vecs):
+    """A stricter (higher) cosine threshold can only prune a SUBSET of what
+    a looser one prunes — cells are threshold-independent, so the pair set
+    shrinks monotonically."""
+    from lakehouse_architecture_spark.operators.similarity import semdedup_prune
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    loose = {
+        r["vec_id"]
+        for r in semdedup_prune(df, n_cells=2, min_cos=0.5).collect()
+        if r["pruned"]
+    }
+    strict = {
+        r["vec_id"]
+        for r in semdedup_prune(df, n_cells=2, min_cos=0.9).collect()
+        if r["pruned"]
+    }
+    assert strict <= loose
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=10),
+    st.lists(st.booleans(), min_size=1, max_size=10),
+)
+def test_dsir_scores_shift_invariant_to_doc_ids(spark, texts, flags):
+    """Scores depend on corpus content, not on row ids/order: permuting
+    document ids yields the same (text, target) -> score mapping."""
+    from lakehouse_architecture_spark.operators.curation import dsir_scores
+
+    n = len(texts)
+    flags = (flags * n)[:n]
+    rows = [(i, t, f) for i, (t, f) in enumerate(zip(texts, flags))]
+    perm = [((i * 7 + 3) % n, t, f) for i, (t, f) in enumerate(zip(texts, flags))]
+    if len({r[0] for r in perm}) != n:
+        perm = [(n - 1 - i, t, f) for i, (t, f) in enumerate(zip(texts, flags))]
+    df1 = spark.createDataFrame(rows, "doc_id int, text string, tgt boolean")
+    df2 = spark.createDataFrame(perm, "doc_id int, text string, tgt boolean")
+    s1 = {
+        (rows[r["doc_id"]][1], rows[r["doc_id"]][2]): r["dsir_score"]
+        for r in dsir_scores(df1, "doc_id", "text", F.col("tgt")).collect()
+    }
+    by_id2 = {r[0]: (r[1], r[2]) for r in perm}
+    s2 = {
+        by_id2[r["doc_id"]]: r["dsir_score"]
+        for r in dsir_scores(df2, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert s1 == s2
