@@ -51,6 +51,10 @@ DEFAULT_QUERIES = [
     "q_funnel",
     "q_sessionize",
     "q_corpus_curation",
+    "q_dsir_score",
+    "q_hapax",
+    "q_ngram_diversity",
+    "q_semdedup",
 ]
 
 
