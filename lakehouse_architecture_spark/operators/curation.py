@@ -315,11 +315,13 @@ def dsir_scores(
     keeps the top-score mass (deterministic resampling via a hash
     tiebreak, as in :func:`weighted_priority_sample`).
 
-    Scale shape: ONE token aggregate builds both distributions (the
-    target count is a conditional sum inside the same groupBy — not a
-    second pass), totals fold to a single broadcast row, the per-token
-    weight joins back on the token key, and one final doc aggregate
-    scores the corpus. Everything partial-aggregates map-side; no
+    Scale shape: two passes over the token stream — one to build the
+    model, one to score. The model build is ONE token aggregate for both
+    distributions (the target count is a conditional sum inside the same
+    groupBy), and its vocab-sized result is CACHED so the totals fold and
+    the weight table derive from it without re-tokenizing the corpus;
+    the per-token weight then joins back on the token key and one final
+    doc aggregate scores everything. Map-side partials throughout; no
     driver-side scalars. Docs with no tokens are dropped (no score is
     definable for them).
 
@@ -338,10 +340,12 @@ def dsir_scores(
         target_filter.alias("__tgt"),
         F.explode(tokens(text_col)).alias("tok"),
     )
+    # vocab-sized; cached so totals + weights don't re-run the corpus
+    # tokenize (same pattern as the Jaccard inverted index's sh.cache())
     counts = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.col("__tgt").cast("bigint")).alias("ct"),
-    )
+    ).cache()
     totals = counts.agg(
         F.sum("cr").alias("nr"),
         F.sum("ct").alias("nt"),

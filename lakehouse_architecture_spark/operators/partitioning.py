@@ -78,6 +78,24 @@ def zorder_value_sql(exprs: list[str], bits: int = 16) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def zorder_cluster(
+    df: DataFrame, zorder_cols: list[str], n_files: int, bits: int = 16
+) -> DataFrame:
+    """Cluster ``df`` by the Z-order of ``zorder_cols``: range-partition +
+    sort on the interleaved key, so a subsequent write's row-group stats
+    are tight on every clustered column at once. The z column itself is
+    dropped (it is derivable). Shared by :func:`zordered_write` and
+    ``VersionedTable.compact(zorder_by=...)`` so the clustering recipe
+    cannot drift between the two."""
+    z = zorder_value(zorder_cols, bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def zordered_write(
     df: DataFrame,
     path: str,
@@ -86,16 +104,5 @@ def zordered_write(
     bits: int = 16,
     mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` clustered by the Z-order of ``zorder_cols``: range-
-    partition + sort on the interleaved key, so row-group stats are tight
-    on every clustered column at once. The z column itself is dropped from
-    the files (it is derivable)."""
-    z = zorder_value(zorder_cols, bits)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    """Write ``df`` clustered via :func:`zorder_cluster`."""
+    zorder_cluster(df, zorder_cols, n_files, bits).write.mode(mode).parquet(path)

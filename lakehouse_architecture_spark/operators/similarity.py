@@ -511,9 +511,17 @@ def semdedup_prune(
     :func:`lsh_bucket_pairs`, since a degenerate quantizer would otherwise
     re-create the quadratic blow-up cell-locally.
     """
-    assign = centroid_assignment(corpus, id_col, vec_col, n_cells, centroids)
+    # cached: the assignment subtree (broadcast scoring + top-1 window) is
+    # referenced by both pair sides and the final output — without the
+    # cache it would execute three times per invocation (narrow rows:
+    # id, cell, ccos; MEMORY_AND_DISK so oversized corpora spill, not fail)
+    assign = centroid_assignment(
+        corpus, id_col, vec_col, n_cells, centroids
+    ).cache()
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cells = assign.select(F.col(id_col).alias("id"), "cell").join(vecs, "id")
+    cells = (
+        assign.select(F.col(id_col).alias("id"), "cell").join(vecs, "id").cache()
+    )
     if max_cell is not None:
         big = (
             cells.groupBy("cell")

@@ -638,3 +638,72 @@ def chunk_documents(
         F.size("ch.toks").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("ch.toks")).alias("chunk_text"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame, source_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-source word-n-gram type-token ratio — the corpus-level
+    diversity complement of :func:`repetition_stats` (a crawl section
+    whose TTR collapses is template/boilerplate mass).
+
+    Scale shape: spread before the explode (fan-out must not inherit a
+    collapsed input partition count), then a two-level hash agg — level 1
+    combines map-side on (source, n-gram HASH) (the 60-bit md5 key, same
+    convention as the Jaccard inverted index: cheaper exchange, collisions
+    mirrored by any oracle that hashes identically), level 2 is
+    vocab-sized. No Expand-based countDistinct.
+    """
+    from lakehouse_architecture_spark.functions.hashing import md5_hash64
+    from lakehouse_architecture_spark.operators.dedup import ngram_array
+    from lakehouse_architecture_spark.operators.partitioning import spread
+
+    ex = (
+        spread(df)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(ngram_array(tokens(text_col), n)).alias("__bg"),
+        )
+        .select("source", md5_hash64(F.col("__bg")).alias("bg"))
+    )
+    per_bg = ex.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_bg.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .withColumn("ttr", F.round(F.col("n_distinct") / F.col("n_bigrams"), 6))
+    )
+
+
+def hapax_stats(df: DataFrame, source_col: str, text_col: str) -> DataFrame:
+    """Corpus-hapax (frequency-1) tokens attributed to the source holding
+    their single occurrence — the vocabulary-tail health metric (OCR noise
+    and mojibake inflate it; heavy dedup deflates it). Two token hash
+    aggregates, both with map-side partials; spread before the explode.
+    """
+    from lakehouse_architecture_spark.operators.partitioning import spread
+
+    tok = spread(df).select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c"), F.max("source").alias("src")
+    )
+    hapax = (
+        freq.filter(F.col("c") == 1)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_hapax"))
+        .withColumnRenamed("src", "source")
+    )
+    dist = (
+        tok.distinct().groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    n_hapax = F.coalesce(F.col("n_hapax"), F.lit(0)).cast("bigint")
+    return dist.join(hapax, "source", "left").select(
+        "source",
+        "n_distinct",
+        n_hapax.alias("n_hapax"),
+        F.round(n_hapax / F.col("n_distinct"), 6).alias("hapax_ratio"),
+    )

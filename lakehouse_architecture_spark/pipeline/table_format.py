@@ -357,15 +357,10 @@ class VersionedTable:
         df = self.read(latest)
         if zorder_by:
             from lakehouse_architecture_spark.operators.partitioning import (
-                zorder_value,
+                zorder_cluster,
             )
 
-            df = (
-                df.withColumn("__z", zorder_value(zorder_by, zorder_bits))
-                .repartitionByRange(target_files, F.col("__z"))
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            df = zorder_cluster(df, zorder_by, target_files, zorder_bits)
         else:
             df = df.coalesce(target_files)
         return self._commit(df, latest + 1)

@@ -990,45 +990,12 @@ ORDER BY bin
 
 # --- corpus diversity: bigram type-token ratio per source -----------------
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source bigram type-token ratio — the corpus-level diversity
-    complement of the per-doc repetition stats (a crawl section whose TTR
-    collapses is template/boilerplate mass). One explode, one hash agg with
-    a distinct count; shuffle key is (source, bigram)."""
-    from lakehouse_architecture_spark.operators.partitioning import spread
+    """Per-source bigram type-token ratio; see operators/text.ngram_diversity
+    for the scale-shape rationale (spread, hashed two-level agg)."""
+    from lakehouse_architecture_spark.operators.text import ngram_diversity
 
     t = tables(spark, sf_dir)
-    # spread BEFORE the explode: the bigram build is per-row fan-out work
-    # that otherwise inherits the file's partition count (README "Compact
-    # inputs" rule)
-    from lakehouse_architecture_spark.functions.hashing import md5_hash64
-
-    # the level-1 shuffle key is the 60-bit bigram hash, not the string —
-    # same distinct count (the oracle hashes identically, collisions
-    # mirrored) and a cheaper exchange: audited shuffle bytes drop ~20%
-    # at sf0.1 (short fixture bigrams; the gap widens with real-corpus
-    # n-gram length since the hash is fixed 8 bytes)
-    ex = (
-        spread(t["documents"])
-        .select(
-            "source", F.explode(ngram_array(tokens("text"), 2)).alias("__bg")
-        )
-        .select("source", md5_hash64(F.col("__bg")).alias("bg"))
-    )
-    # two-level hash agg instead of countDistinct (an Expand-based distinct
-    # would duplicate every exploded bigram row): level 1 combines map-side
-    # on (source, bigram hash), level 2 is |vocab|-sized — vocab_topk pattern
-    per_bg = ex.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        per_bg.groupBy("source")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_distinct"),
-        )
-        .withColumn(
-            "ttr", F.round(F.col("n_distinct") / F.col("n_bigrams"), 6)
-        )
-        .orderBy("source")
-    )
+    return ngram_diversity(t["documents"], "source", "text", n=2).orderBy("source")
 
 
 _Q_NGRAM_DIVERSITY_SQL = f"""
@@ -1051,41 +1018,11 @@ ORDER BY source
 
 # --- vocabulary tail: hapax legomena per source ---------------------------
 def _q_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-hapax (frequency-1) tokens attributed to the source holding
-    their single occurrence — the vocabulary-tail health metric (OCR noise
-    and mojibake inflate it; heavy dedup deflates it). Two hash aggregates
-    on the token, both with map-side partials."""
-    from lakehouse_architecture_spark.operators.partitioning import spread
+    """Hapax-legomena vocabulary-tail stats; see operators/text.hapax_stats."""
+    from lakehouse_architecture_spark.operators.text import hapax_stats
 
     t = tables(spark, sf_dir)
-    tok = spread(t["documents"]).select(
-        "source", F.explode(tokens("text")).alias("tok")
-    )
-    freq = tok.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c"), F.max("source").alias("src")
-    )
-    hapax = (
-        freq.filter(F.col("c") == 1)
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("n_hapax"))
-        .withColumnRenamed("src", "source")
-    )
-    dist = (
-        tok.distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
-    n_hapax = F.coalesce(F.col("n_hapax"), F.lit(0)).cast("bigint")
-    return (
-        dist.join(hapax, "source", "left")
-        .select(
-            "source",
-            "n_distinct",
-            n_hapax.alias("n_hapax"),
-            F.round(n_hapax / F.col("n_distinct"), 6).alias("hapax_ratio"),
-        )
-        .orderBy("source")
-    )
+    return hapax_stats(t["documents"], "source", "text").orderBy("source")
 
 
 _Q_HAPAX_SQL = f"""

@@ -184,22 +184,36 @@ def test_equidepth_bins_are_balanced(spark):
 
 
 def test_hapax_and_diversity_on_tiny_corpus(spark):
-    from lakehouse_architecture_spark.queries import analytics as A
+    from lakehouse_architecture_spark.operators.text import (
+        hapax_stats,
+        ngram_diversity,
+    )
 
     docs = spark.createDataFrame(
         [
-            (1, "a b a b", "s1", 7),
-            (2, "c d", "s1", 3),
-            (3, "e e", "s2", 3),
+            (1, "a b a b", "s1"),
+            (2, "c d", "s1"),
+            (3, "e e", "s2"),
         ],
-        ["doc_id", "text", "lang", "source"],
-    ).withColumnRenamed("lang", "lang").withColumn("n_chars", F.lit(0))
-    # hapax: corpus counts a=2,b=2,c=1,d=1,e=2 -> hapax {c,d} both in s1
-    tok = docs.select("source", F.explode(
-        F.split(F.trim("text"), r"\s+")).alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    hapax = {r["tok"] for r in freq.filter("c = 1").collect()}
-    assert hapax == {"c", "d"}
+        ["doc_id", "text", "source"],
+    )
+    # corpus token counts a=2,b=2,c=1,d=1,e=2 -> hapax {c,d}, both in s1;
+    # distinct per source: s1 {a,b,c,d}, s2 {e}
+    hap = {r["source"]: r for r in hapax_stats(docs, "source", "text").collect()}
+    assert (hap["s1"]["n_distinct"], hap["s1"]["n_hapax"]) == (4, 2)
+    assert hap["s1"]["hapax_ratio"] == 0.5
+    assert (hap["s2"]["n_distinct"], hap["s2"]["n_hapax"]) == (1, 0)
+    assert hap["s2"]["hapax_ratio"] == 0.0
+
+    # bigrams: s1 = [a b, b a, a b] + [c d] -> 4 total, 3 distinct;
+    # s2 = [e e] -> 1/1
+    div = {
+        r["source"]: r for r in ngram_diversity(docs, "source", "text").collect()
+    }
+    assert (div["s1"]["n_bigrams"], div["s1"]["n_distinct"]) == (4, 3)
+    assert div["s1"]["ttr"] == 0.75
+    assert (div["s2"]["n_bigrams"], div["s2"]["n_distinct"]) == (1, 1)
+    assert div["s2"]["ttr"] == 1.0
 
 
 def test_dsir_scores_favor_target_domain_tokens(spark):
