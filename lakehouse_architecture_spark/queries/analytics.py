@@ -17,10 +17,7 @@ from lakehouse_architecture_spark.operators.analytics import (
     last_touch_attribution,
     out_of_order_stats,
 )
-from lakehouse_architecture_spark.operators.dedup import (
-    ngram_array,
-    ngram_jaccard_pairs,
-)
+from lakehouse_architecture_spark.operators.dedup import ngram_jaccard_pairs
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
 from lakehouse_architecture_spark.operators.text import (
     bigram_lm_scores,
