@@ -100,3 +100,90 @@ def foreach_batch_neardedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _semantic_dedup_batch(
+    batch: DataFrame,
+    store: DataFrame | None,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+) -> DataFrame:
+    """One micro-batch of incremental SemDeDup: returns the surviving
+    (id, cell, vector) rows. The store holds the kept vectors of all prior
+    epochs keyed by cell; a batch vector is dropped when it sits within
+    ``min_cos`` of any stored vector in its cell, then in-batch near-dups
+    collapse to the lowest id (operators/similarity.semdedup_prune with
+    the SAME fixed codebook — centroids must be stable across epochs or
+    cell membership shifts and history stops matching)."""
+    from lakehouse_architecture_spark.operators.similarity import (
+        centroid_assignment,
+        cosine,
+        semdedup_prune,
+    )
+
+    assign = centroid_assignment(batch, id_col, vec_col, centroids=centroids)
+    rows = (
+        batch.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(assign.select(F.col(id_col).alias("id"), "cell"), "id")
+        .cache()
+    )
+    if store is not None:
+        dup_ids = (
+            rows.join(
+                store.select("cell", F.col("v").alias("__sv")), "cell"
+            )
+            .filter(F.round(cosine(F.col("v"), F.col("__sv")), 6) >= F.lit(min_cos))
+            .select("id")
+            .distinct()
+        )
+        rows = rows.join(dup_ids, "id", "left_anti")
+    survivors = rows.select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    )
+    pruned = semdedup_prune(
+        survivors, id_col, vec_col, centroids=centroids, min_cos=min_cos
+    )
+    keep = pruned.filter(~F.col("pruned")).select(
+        F.col(id_col).alias("id"), "cell"
+    )
+    return rows.join(keep.select("id"), "id", "left_semi")
+
+
+def foreach_batch_semantic_dedup_ingest(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+) -> StreamingQuery:
+    """Streaming SemDeDup: every micro-batch is semantically deduplicated
+    against the kept-vector store, then its survivors append to the store
+    epoch-atomically (same exactly-once epoch-dir pattern as the text
+    near-dedup ingest above).
+
+    State trade vs the text path: the store must hold full VECTORS (cosine
+    needs them), not few-byte signatures — at scale keep it bucketed by
+    cell so the per-batch join is co-located, and grow the codebook with
+    the corpus so cells stay small."""
+    spark = stream.sparkSession
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:  # first epoch: no store yet
+            store = None
+        kept = _semantic_dedup_batch(
+            batch, store, centroids, id_col, vec_col, min_cos
+        )
+        kept.write.mode("overwrite").parquet(f"{store_path}/epoch={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -251,3 +251,61 @@ def test_streaming_url_dedup_on_canonical_key(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.canonical_url for r in spark.sql("SELECT canonical_url FROM uout").collect()}
     assert got == {"https://example.com/a?a=1&b=2", "https://example.com/other"}
+
+
+def test_semantic_dedup_ingest_across_batches(spark, tmp_path):
+    """Streaming SemDeDup: near-dup vectors are dropped in-batch AND
+    against the kept-vector store of earlier epochs; distinct vectors
+    survive. Fixed 2-cell codebook on orthogonal axes."""
+    from lakehouse_architecture_spark.streaming.corpus_ingest import (
+        foreach_batch_semantic_dedup_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = str(tmp_path / "vec_src")
+    store = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])], ["cent_id", "cvec"]
+    )
+
+    def write_vecs(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = foreach_batch_semantic_dedup_ingest(
+            stream, store, ckpt, cents, min_cos=0.95
+        )
+        q.awaitTermination(120)
+
+    # epoch 1: 11 near-dups 10 in-batch (same cell 0); 20 is cell 1
+    write_vecs(
+        [
+            (10, [1.0, 0.05, 0.0]),
+            (11, [1.0, 0.06, 0.0]),
+            (20, [0.0, 0.05, 1.0]),
+        ]
+    )
+    run()
+    kept1 = {r["id"] for r in spark.read.parquet(store).collect()}
+    assert kept1 == {10, 20}
+
+    # epoch 2: 12 near-dups 10 ACROSS epochs (store hit); 30 is genuinely
+    # new in cell 1 (orthogonal-ish to 20? no — opposite sign, cos < 0.95)
+    write_vecs(
+        [
+            (12, [1.0, 0.04, 0.0]),
+            (30, [0.35, 0.0, 0.9]),
+        ]
+    )
+    run()
+    kept = {r["id"] for r in spark.read.parquet(store).collect()}
+    assert kept == {10, 20, 30}
