@@ -98,20 +98,9 @@ def main() -> None:
     # runs measure operator execution at the parallelism a real deployment's
     # scans would have. Same hot-data methodology as the warm-plan runs
     # above; timings still include every shuffle, join, and sink write.
-    from lakehouse_architecture_spark.queries.base import tables as _load_tables
+    from lakehouse_architecture_spark.queries.base import warm_cached_tables
 
-    tbls = _load_tables(spark, sf_dir)
-    max_parts = spark.sparkContext.defaultParallelism
-    for name, df in tbls.items():
-        rows = df.count()
-        # ~25k rows per partition, capped at core count: big facts decode
-        # and scan in parallel, tiny dims stay single-partition (32 near-
-        # empty partitions cost more in task launches than they save)
-        n = max(1, min(max_parts, rows // 25_000))
-        cached = (df.repartition(n) if n > 1 else df).cache()
-        cached.count()  # materialize
-        cached.createOrReplaceTempView(name)
-        tbls[name] = cached  # builders resolve via this shared dict or views
+    warm_cached_tables(spark, sf_dir)
 
     # Best-of-2 per query: single-process local runs have 10-20% wall-time
     # noise (GC, JIT recompiles, OS scheduling); min-of-2 reports the

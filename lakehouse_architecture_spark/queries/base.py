@@ -49,3 +49,28 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if cached is None:
         cached = _TABLE_CACHE[key] = load_tables(spark, sf_dir)
     return cached
+
+
+def warm_cached_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Decode every table once into a partitioned in-memory cache and swap
+    it into this session's shared table dict + temp views — the warm-table
+    environment bench.py times against (and tools/steady_probe.py must
+    reproduce EXACTLY, hence one shared implementation).
+
+    Rationale: the fixture parquet is single-row-group, and Spark's scan
+    parallelism is row-group aligned — cold queries would serialize on one
+    decode task, a fixture artifact (production tables have thousands of
+    row groups). ~25k rows per partition, capped at core count: big facts
+    decode and scan in parallel, tiny dims stay single-partition (32
+    near-empty partitions cost more in task launches than they save).
+    """
+    tbls = tables(spark, sf_dir)
+    max_parts = spark.sparkContext.defaultParallelism
+    for name, df in tbls.items():
+        rows = df.count()
+        n = max(1, min(max_parts, rows // 25_000))
+        cached = (df.repartition(n) if n > 1 else df).cache()
+        cached.count()  # materialize
+        cached.createOrReplaceTempView(name)
+        tbls[name] = cached  # builders resolve via this shared dict or views
+    return tbls

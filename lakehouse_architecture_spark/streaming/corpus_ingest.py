@@ -68,6 +68,28 @@ def _near_dedup_batch(
     return batch, sigs
 
 
+def _store_before(spark, path: str, epoch_id: int) -> DataFrame | None:
+    """Read a per-epoch store, keeping ONLY epochs earlier than the one
+    being processed. The epoch filter is what makes replay safe: after a
+    crash between the epoch-N write and the checkpoint commit, the replay
+    of epoch N must NOT see epoch N's own partition — otherwise every
+    batch row matches its own stored copy, the whole batch is 'deduped'
+    away, and the overwrite empties the partition (permanent data loss).
+
+    Only a missing store (first epoch) maps to None; any other read error
+    propagates so the checkpoint retries the batch instead of silently
+    skipping cross-epoch dedup."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    return store.filter(F.col("epoch") < epoch_id)
+
+
 def foreach_batch_neardedup_ingest(
     stream: DataFrame,
     corpus_path: str,
@@ -83,10 +105,7 @@ def foreach_batch_neardedup_ingest(
     spark = stream.sparkSession
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        try:
-            store = spark.read.parquet(sig_path)
-        except Exception:  # first epoch: no store yet
-            store = None
+        store = _store_before(spark, sig_path, epoch_id)
         kept, sigs = _near_dedup_batch(
             batch, store, id_col, text_col, num_perm, bands
         )
@@ -109,26 +128,30 @@ def _semantic_dedup_batch(
     id_col: str,
     vec_col: str,
     min_cos: float,
-) -> DataFrame:
-    """One micro-batch of incremental SemDeDup: returns the surviving
-    (id, cell, vector) rows. The store holds the kept vectors of all prior
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of incremental SemDeDup: returns (surviving
+    (id, cell, vector) rows, the cached assignment handle to unpersist
+    after materialization). The store holds the kept vectors of all prior
     epochs keyed by cell; a batch vector is dropped when it sits within
     ``min_cos`` of any stored vector in its cell, then in-batch near-dups
-    collapse to the lowest id (operators/similarity.semdedup_prune with
-    the SAME fixed codebook — centroids must be stable across epochs or
-    cell membership shifts and history stops matching)."""
+    collapse to the lowest id — the SAME fixed codebook every epoch
+    (centroids must be stable or cell membership shifts and history stops
+    matching)."""
     from lakehouse_architecture_spark.operators.similarity import (
         centroid_assignment,
         cosine,
-        semdedup_prune,
     )
 
+    # ONE assignment per batch, cached — the store join, the in-batch
+    # prune (both sides), and the final output all reuse it; the caller
+    # unpersists after materializing the result
     assign = centroid_assignment(batch, id_col, vec_col, centroids=centroids)
-    rows = (
+    cached = (
         batch.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .join(assign.select(F.col(id_col).alias("id"), "cell"), "id")
         .cache()
     )
+    rows = cached
     if store is not None:
         dup_ids = (
             rows.join(
@@ -139,16 +162,18 @@ def _semantic_dedup_batch(
             .distinct()
         )
         rows = rows.join(dup_ids, "id", "left_anti")
-    survivors = rows.select(
-        F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    # in-batch prune inlined against the cached assignment (calling
+    # semdedup_prune here would recompute the assignment on survivors)
+    a = rows.select("cell", F.col("id").alias("id_keep"), F.col("v").alias("va"))
+    b = rows.select("cell", F.col("id").alias("id_prune"), F.col("v").alias("vb"))
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("id_keep") < F.col("id_prune"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(min_cos))
+        .select(F.col("id_prune").alias("id"))
+        .distinct()
     )
-    pruned = semdedup_prune(
-        survivors, id_col, vec_col, centroids=centroids, min_cos=min_cos
-    )
-    keep = pruned.filter(~F.col("pruned")).select(
-        F.col(id_col).alias("id"), "cell"
-    )
-    return rows.join(keep.select("id"), "id", "left_semi")
+    return rows.join(losers, "id", "left_anti"), cached
 
 
 def foreach_batch_semantic_dedup_ingest(
@@ -172,14 +197,16 @@ def foreach_batch_semantic_dedup_ingest(
     spark = stream.sparkSession
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:  # first epoch: no store yet
-            store = None
-        kept = _semantic_dedup_batch(
+        store = _store_before(spark, store_path, epoch_id)
+        kept, cached = _semantic_dedup_batch(
             batch, store, centroids, id_col, vec_col, min_cos
         )
-        kept.write.mode("overwrite").parquet(f"{store_path}/epoch={epoch_id}")
+        try:
+            kept.write.mode("overwrite").parquet(f"{store_path}/epoch={epoch_id}")
+        finally:
+            # release the per-batch cache — a long ingest would otherwise
+            # accumulate one dead cached relation per epoch
+            cached.unpersist()
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -309,3 +309,63 @@ def test_semantic_dedup_ingest_across_batches(spark, tmp_path):
     run()
     kept = {r["id"] for r in spark.read.parquet(store).collect()}
     assert kept == {10, 20, 30}
+
+
+def test_store_before_filters_current_epoch(spark, tmp_path):
+    from lakehouse_architecture_spark.streaming.corpus_ingest import _store_before
+
+    path = str(tmp_path / "store")
+    spark.createDataFrame([(1, "x")], ["id", "v"]).write.parquet(f"{path}/epoch=0")
+    spark.createDataFrame([(2, "y")], ["id", "v"]).write.parquet(f"{path}/epoch=1")
+    # replaying epoch 1 must see ONLY epoch 0 (not its own partial write)
+    assert {r["id"] for r in _store_before(spark, path, 1).collect()} == {1}
+    assert _store_before(spark, path, 0).count() == 0
+    assert _store_before(spark, str(tmp_path / "missing"), 0) is None
+
+
+def test_neardedup_ingest_replay_does_not_lose_data(spark, tmp_path):
+    """Crash between the epoch write and the checkpoint commit leaves the
+    epoch's store partition on disk; the replayed epoch must not dedup the
+    batch against its OWN partial write (which would drop every doc and
+    overwrite the epoch dir empty — permanent loss)."""
+    from lakehouse_architecture_spark.operators.dedup import band_signatures
+    from lakehouse_architecture_spark.streaming.corpus_ingest import (
+        foreach_batch_neardedup_ingest,
+    )
+
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(doc_schema).parquet(src)
+        q = foreach_batch_neardedup_ingest(stream, corpus, sigs, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog today fine")],
+        doc_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1}
+
+    # simulate epoch 1 crashing AFTER its store write but BEFORE the
+    # checkpoint commit: its signatures are already under sigs/epoch=1
+    # when the batch is (re)processed as epoch 1
+    doc2 = spark.createDataFrame(
+        [(2, "entirely different words appear within this new document now")],
+        doc_schema,
+    )
+    band_signatures(doc2, "doc_id", "text", 16, 8).write.mode(
+        "overwrite"
+    ).parquet(f"{sigs}/epoch=1")
+    doc2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    # without the epoch<current store filter, doc 2 matches its own
+    # epoch-1 signatures and is silently dropped
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2}
+    assert spark.read.parquet(sigs).select("id").distinct().count() == 2

@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from lakehouse_architecture_spark.queries.base import tables as _load_tables
+from lakehouse_architecture_spark.queries.base import warm_cached_tables
 from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
 from lakehouse_architecture_spark.session import SessionFactory
 
@@ -37,16 +37,9 @@ def main() -> None:
     names = sys.argv[3:] or DEFAULT_QUERIES
 
     spark = SessionFactory(app_name="steady_probe").get_or_create()
-    # identical warm-cache setup to bench.py's timed section
-    tbls = _load_tables(spark, sf_dir)
-    max_parts = spark.sparkContext.defaultParallelism
-    for name, df in tbls.items():
-        rows = df.count()
-        n = max(1, min(max_parts, rows // 25_000))
-        cached = (df.repartition(n) if n > 1 else df).cache()
-        cached.count()
-        cached.createOrReplaceTempView(name)
-        tbls[name] = cached
+    # identical warm-cache setup to bench.py's timed section — one shared
+    # implementation so the two can never drift
+    warm_cached_tables(spark, sf_dir)
 
     for qname in names:
         spec = ALL_QUERIES[qname]
