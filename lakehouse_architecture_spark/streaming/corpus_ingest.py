@@ -17,7 +17,11 @@ dozen bytes, no text). Per micro-batch:
 4. append survivors to the corpus and their signatures to the store,
    each epoch into its own ``epoch=N`` subdirectory with overwrite — a
    replayed epoch rewrites the same directory, making the append
-   idempotent and the pipeline exactly-once under the checkpoint
+   idempotent and the pipeline exactly-once under the checkpoint.
+   Replay safety requires reading the store through
+   :func:`_store_before`: the replayed epoch must not see its own
+   crashed partial write, or it deduplicates the batch against itself
+   and overwrites the epoch empty
 
 State never grows past O(docs x bands) signature rows and each batch's
 cost is O(batch) — no re-scan, no unbounded driver state. At 100 TB the
