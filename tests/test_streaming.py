@@ -369,3 +369,46 @@ def test_neardedup_ingest_replay_does_not_lose_data(spark, tmp_path):
     # epoch-1 signatures and is silently dropped
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2}
     assert spark.read.parquet(sigs).select("id").distinct().count() == 2
+
+
+def test_semantic_ingest_replay_does_not_lose_data(spark, tmp_path):
+    """Semantic twin of the near-dedup replay test: a crashed epoch's
+    kept-vector partition must not dedup the replayed batch against
+    itself."""
+    from lakehouse_architecture_spark.streaming.corpus_ingest import (
+        foreach_batch_semantic_dedup_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cent_id", "cvec"]
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = foreach_batch_semantic_dedup_ingest(stream, store, ckpt, cents)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(10, [1.0, 0.05])], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert {r["id"] for r in spark.read.parquet(store).collect()} == {10}
+
+    # crashed epoch 1: its own kept rows already sit under epoch=1
+    spark.createDataFrame(
+        [(20, 0, [0.0, 1.0])], "id long, cell int, v array<double>"
+    ).write.mode("overwrite").parquet(f"{store}/epoch=1")
+    spark.createDataFrame([(20, [0.0, 1.0])], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    assert {r["id"] for r in spark.read.parquet(store).collect()} == {10, 20}
