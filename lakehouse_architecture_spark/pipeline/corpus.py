@@ -6,11 +6,18 @@ FineWeb pipelines — filter before dedup before mix):
 
 1. language filter      (operators/text.language_id)
 2. quality filter       (operators/text.quality_score)
+2b. DSIR selection      (operators/curation.dsir_scores; optional —
+                         importance-score docs against a target domain
+                         and keep those above a threshold; docs with no
+                         tokens have no score and are dropped)
 3. exact dedup          (operators/text.fingerprint — keep lowest id)
 4. near-dedup           (operators/dedup.minhash_lsh_candidates +
                          operators/graph.dedup_clusters; optional — the
                          LSH shuffle dominates pipeline cost, so callers
                          can run it on a cadence instead of every batch)
+4b. semantic dedup      (operators/similarity.semdedup_prune; optional —
+                         needs an embeddings side table keyed by doc id;
+                         docs without an embedding pass through)
 5. per-source quota     (operators/curation.quota_cap)
 6. token-budget packing (operators/curation.pack_token_budget)
 
@@ -60,6 +67,11 @@ class CurationConfig:
     minhash_bands: int = 4
     minhash_perms: int = 16
     min_shared_bands: int = 1
+    dsir_target_sources: tuple[str, ...] = ()
+    min_dsir: float | None = None
+    semantic_dedup: bool = False
+    semantic_cells: int = 8
+    semantic_min_cos: float = 0.9
     stages: list[str] = field(default_factory=list)  # filled by curate_corpus
 
 
@@ -69,6 +81,9 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Run the composed curation pipeline; returns the curated corpus with
     ``n_tokens``, ``quality``, and (when budget-packed) ``running_tokens``
@@ -87,6 +102,24 @@ def curate_corpus(
     # 2. quality filter
     out = quality_score(out, text_col).filter(F.col("quality") >= config.min_quality)
     config.stages.append("quality")
+
+    # 2b. DSIR target-domain selection (optional): keep docs whose
+    # importance score against the target sources clears the threshold
+    if config.dsir_target_sources and config.min_dsir is not None:
+        from lakehouse_architecture_spark.operators.curation import dsir_scores
+
+        keep = (
+            dsir_scores(
+                out,
+                id_col,
+                text_col,
+                F.col(source_col).isin(*config.dsir_target_sources),
+            )
+            .filter(F.col("dsir_score") >= config.min_dsir)
+            .select(id_col)
+        )
+        out = out.join(keep, id_col, "left_semi")
+        config.stages.append("dsir")
 
     # 3. exact dedup: keep the lowest id per normalization fingerprint —
     # min-struct aggregation (no window sort), one shuffle on the 60-bit fp
@@ -109,6 +142,33 @@ def curate_corpus(
         )
         out = out.join(losers, id_col, "left_anti")
         config.stages.append("near_dedup")
+
+    # 4b. semantic dedup (optional): SemDeDup over the embeddings of the
+    # surviving docs; pruned ids leave the corpus, docs with no embedding
+    # pass through untouched
+    if config.semantic_dedup:
+        if embeddings is None:
+            raise ValueError("semantic_dedup=True requires an embeddings table")
+        from lakehouse_architecture_spark.operators.similarity import (
+            semdedup_prune,
+        )
+
+        emb = embeddings.withColumnRenamed(emb_id_col, id_col).join(
+            out.select(id_col), id_col, "left_semi"
+        )
+        drop = (
+            semdedup_prune(
+                emb,
+                id_col,
+                vec_col,
+                n_cells=config.semantic_cells,
+                min_cos=config.semantic_min_cos,
+            )
+            .filter(F.col("pruned"))
+            .select(id_col)
+        )
+        out = out.join(drop, id_col, "left_anti")
+        config.stages.append("semantic_dedup")
 
     # 5. per-source quota
     if config.source_cap is not None:

@@ -88,7 +88,15 @@ def _store_before(spark, path: str, epoch_id: int) -> DataFrame | None:
     try:
         store = spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        msg = str(e)
+        # missing store or an existing-but-empty dir (no epoch written
+        # yet) are both the first-epoch state; anything else is a real
+        # read failure
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
             return None
         raise
     return store.filter(F.col("epoch") < epoch_id)

@@ -142,3 +142,34 @@ def test_corpus_curation_full_chain_with_near_dedup(spark):
         docs, out).collect()}
     assert rep["s1"][0] == 4 and rep["s2"][0] == 2
     assert rep["s1"][1] >= 1 and rep["s2"][1] >= 1
+
+
+def test_curate_corpus_with_dsir_and_semantic_stages(spark):
+    from tests.conftest import SF_SMOKE
+    from lakehouse_architecture_spark.pipeline.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cfg = CurationConfig(
+        languages=(),
+        min_quality=-1e9,
+        dsir_target_sources=("src0", "src1", "src2"),
+        min_dsir=-1e9,            # permissive: stage runs, drops nothing scored
+        semantic_dedup=True,
+        semantic_cells=4,
+        semantic_min_cos=0.3,     # isotropic fixture: prunes a real subset
+    )
+    out = curate_corpus(docs, cfg, embeddings=emb)
+    assert cfg.stages == ["quality", "dsir", "exact_dedup", "semantic_dedup"]
+    n_in = docs.count()
+    n_out = out.count()
+    assert 0 < n_out < n_in  # semantic stage really pruned something
+    # no id appears twice after the dedup stages
+    assert out.select("doc_id").distinct().count() == n_out
+
+    # semantic off + embeddings absent must not raise
+    cfg2 = CurationConfig(languages=(), min_quality=-1e9)
+    assert curate_corpus(docs, cfg2).count() >= n_out
