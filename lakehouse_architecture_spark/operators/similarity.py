@@ -490,6 +490,25 @@ def semdedup_prune(
     centroids: DataFrame | None = None,
     max_cell: int | None = None,
 ) -> DataFrame:
+    """See :func:`semdedup_prune_cached`; this wrapper discards the cache
+    handles (fine for one-shot queries — the session LRU-evicts; a caller
+    invoking this on a cadence should use the ``_cached`` variant and
+    unpersist after materializing)."""
+    out, _ = semdedup_prune_cached(
+        corpus, id_col, vec_col, n_cells, min_cos, centroids, max_cell
+    )
+    return out
+
+
+def semdedup_prune_cached(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    min_cos: float = 0.9,
+    centroids: DataFrame | None = None,
+    max_cell: int | None = None,
+) -> tuple[DataFrame, list[DataFrame]]:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
     pruning within embedding clusters. Every vector is assigned to its
     nearest centroid cell (:func:`centroid_assignment`); within each cell,
@@ -500,7 +519,8 @@ def semdedup_prune(
     sub-quadratic (the paper's finding is that k-means cells capture almost
     all semantic duplicates).
 
-    Returns (id, cell, pruned) for every input vector.
+    Returns ((id, cell, pruned) for every input vector, [cache handles
+    to unpersist once the result is materialized]).
 
     Scale shape: centroids broadcast (narrow assignment map), then ONE
     shuffle on cell for the within-cell self-join; candidate pairs are
@@ -539,7 +559,7 @@ def semdedup_prune(
         .select("id_prune")
         .distinct()
     )
-    return (
+    out = (
         assign.select(F.col(id_col), "cell")
         .join(
             pruned.withColumnRenamed("id_prune", id_col).withColumn(
@@ -554,3 +574,4 @@ def semdedup_prune(
             F.coalesce("pruned", F.lit(False)).alias("pruned"),
         )
     )
+    return out, [assign, cells]

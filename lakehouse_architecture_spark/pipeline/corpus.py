@@ -105,6 +105,11 @@ def curate_corpus(
 
     # 2b. DSIR target-domain selection (optional): keep docs whose
     # importance score against the target sources clears the threshold
+    if bool(config.dsir_target_sources) != (config.min_dsir is not None):
+        raise ValueError(
+            "DSIR stage needs BOTH dsir_target_sources and min_dsir "
+            "(half-configuration would silently skip the stage)"
+        )
     if config.dsir_target_sources and config.min_dsir is not None:
         from lakehouse_architecture_spark.operators.curation import dsir_scores
 
@@ -150,23 +155,29 @@ def curate_corpus(
         if embeddings is None:
             raise ValueError("semantic_dedup=True requires an embeddings table")
         from lakehouse_architecture_spark.operators.similarity import (
-            semdedup_prune,
+            semdedup_prune_cached,
         )
 
         emb = embeddings.withColumnRenamed(emb_id_col, id_col).join(
             out.select(id_col), id_col, "left_semi"
         )
-        drop = (
-            semdedup_prune(
-                emb,
-                id_col,
-                vec_col,
-                n_cells=config.semantic_cells,
-                min_cos=config.semantic_min_cos,
-            )
-            .filter(F.col("pruned"))
-            .select(id_col)
+        pruned, caches = semdedup_prune_cached(
+            emb,
+            id_col,
+            vec_col,
+            n_cells=config.semantic_cells,
+            min_cos=config.semantic_min_cos,
         )
+        # the one stage that materializes inside curate_corpus: the drop
+        # list is checkpointed eagerly so the operator's internal caches
+        # can be released here instead of leaking one pair per invocation
+        drop = (
+            pruned.filter(F.col("pruned"))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        for c in caches:
+            c.unpersist()
         out = out.join(drop, id_col, "left_anti")
         config.stages.append("semantic_dedup")
 

@@ -99,6 +99,20 @@ def _store_before(spark, path: str, epoch_id: int) -> DataFrame | None:
         ):
             return None
         raise
+    # stale-store guard: stored epochs AHEAD of the current one cannot
+    # come from a normal replay (streaming epochs are sequential) — they
+    # mean a fresh checkpoint was pointed at an existing store, where the
+    # epoch filter would silently disable cross-epoch dedup and the
+    # epoch-dir overwrites would clobber old partitions. Fail loudly.
+    # (Undetectable edge: a fresh checkpoint against a store holding ONLY
+    # epoch 0 is indistinguishable from a replay of epoch 0.)
+    mx = store.agg(F.max("epoch")).first()[0]
+    if mx is not None and mx > epoch_id:
+        raise ValueError(
+            f"store at {path} holds epoch {mx} > current epoch {epoch_id}: "
+            "the checkpoint does not match this store — reuse the original "
+            "checkpoint_dir or point the ingest at a fresh store path"
+        )
     return store.filter(F.col("epoch") < epoch_id)
 
 

@@ -173,3 +173,21 @@ def test_curate_corpus_with_dsir_and_semantic_stages(spark):
     # semantic off + embeddings absent must not raise
     cfg2 = CurationConfig(languages=(), min_quality=-1e9)
     assert curate_corpus(docs, cfg2).count() >= n_out
+
+
+def test_curate_corpus_dsir_half_config_raises(spark):
+    import pytest
+
+    from tests.conftest import SF_SMOKE
+    from lakehouse_architecture_spark.pipeline.corpus import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(ValueError, match="dsir_target_sources"):
+        curate_corpus(docs, CurationConfig(languages=(), min_dsir=0.5))
+    with pytest.raises(ValueError, match="dsir_target_sources"):
+        curate_corpus(
+            docs, CurationConfig(languages=(), dsir_target_sources=("src0",))
+        )

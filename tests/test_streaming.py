@@ -319,7 +319,8 @@ def test_store_before_filters_current_epoch(spark, tmp_path):
     spark.createDataFrame([(2, "y")], ["id", "v"]).write.parquet(f"{path}/epoch=1")
     # replaying epoch 1 must see ONLY epoch 0 (not its own partial write)
     assert {r["id"] for r in _store_before(spark, path, 1).collect()} == {1}
-    assert _store_before(spark, path, 0).count() == 0
+    # the next fresh epoch sees the full store
+    assert {r["id"] for r in _store_before(spark, path, 2).collect()} == {1, 2}
     assert _store_before(spark, str(tmp_path / "missing"), 0) is None
 
 
@@ -412,3 +413,20 @@ def test_semantic_ingest_replay_does_not_lose_data(spark, tmp_path):
     ).parquet(src)
     run()
     assert {r["id"] for r in spark.read.parquet(store).collect()} == {10, 20}
+
+
+def test_store_before_rejects_stale_store(spark, tmp_path):
+    """A fresh checkpoint pointed at an existing multi-epoch store must
+    fail loudly — the epoch filter would otherwise silently disable all
+    cross-epoch dedup and the overwrites would clobber old partitions."""
+    import pytest
+
+    from lakehouse_architecture_spark.streaming.corpus_ingest import _store_before
+
+    path = str(tmp_path / "store")
+    spark.createDataFrame([(1, "x")], ["id", "v"]).write.parquet(f"{path}/epoch=0")
+    spark.createDataFrame([(2, "y")], ["id", "v"]).write.parquet(f"{path}/epoch=5")
+    with pytest.raises(ValueError, match="does not match this store"):
+        _store_before(spark, path, 0)
+    # the same store is fine when the checkpoint is actually at epoch 6
+    assert _store_before(spark, path, 6).count() == 2
