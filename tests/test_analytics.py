@@ -250,3 +250,36 @@ def test_dsir_scores_drop_empty_docs(spark):
     )
     out = dsir_scores(docs, "doc_id", "text", F.col("t")).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_dsir_all_target_scores_zero(spark):
+    """When the target set IS the whole corpus, p_target == p_raw exactly
+    (same counts, same smoothing), so every importance score is 0."""
+    from lakehouse_architecture_spark.operators.curation import dsir_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a d"), (3, "e")], ["doc_id", "text"]
+    )
+    out = dsir_scores(docs, "doc_id", "text", F.lit(True)).collect()
+    assert len(out) == 3
+    assert all(r["dsir_score"] == 0.0 for r in out)
+
+
+def test_hapax_vanishes_when_corpus_duplicated(spark):
+    """Every token's corpus frequency doubles when the corpus is unioned
+    with an id-shifted copy of itself — no frequency-1 token can survive."""
+    from lakehouse_architecture_spark.operators.text import hapax_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "c", "s2")], ["doc_id", "text", "source"]
+    )
+    doubled = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + 100)
+    )
+    out = hapax_stats(doubled, "source", "text").collect()
+    assert {r["source"] for r in out} == {"s1", "s2"}
+    assert all(r["n_hapax"] == 0 for r in out)
+
+    # and the single copy has hapaxes everywhere
+    single = hapax_stats(docs, "source", "text").collect()
+    assert all(r["n_hapax"] == r["n_distinct"] for r in single)
