@@ -96,8 +96,15 @@ class MaterializedAggregate:
         feeds = [
             self.source.change_feed(v) for v in range(done + 1, latest + 1)
         ]
-        if all(f is not None for f in feeds):
-            cols = self.group_cols + self.sum_cols
+        cols = self.group_cols + self.sum_cols
+        # the feed path also needs every group/sum column present in every
+        # pre/post frame — feeds captured BEFORE a schema evolution lack
+        # the new columns and would crash the select; degrade to the
+        # snapshot-diff fallback instead
+        feeds_usable = all(f is not None for f in feeds) and all(
+            set(cols) <= set(frame.columns) for f in feeds for frame in f
+        )
+        if feeds_usable:
             pres = [f[0].select(*cols) for f in feeds]
             posts = [f[1].select(*cols) for f in feeds]
 
@@ -111,10 +118,18 @@ class MaterializedAggregate:
                 self._agg(cat(posts))
             )
         else:
-            # fallback (some commit didn't log changes): re-derive the
-            # delta by hash-diffing the two snapshots — two scans, but the
-            # shuffle still carries (key, hash) + changed rows only
-            before = self.source.read(done)
+            # fallback (some commit didn't log changes, or a feed predates
+            # a schema evolution): re-derive the delta by hash-diffing the
+            # two snapshots — two scans, the shuffle still carries
+            # (key, hash) + changed rows only. If version ``done`` has
+            # been vacuumed away, the diff is impossible — degrade to a
+            # FULL rebuild of the current snapshot rather than erroring on
+            # every refresh forever.
+            try:
+                before = self.source.read(done)
+            except FileNotFoundError:
+                full = self._agg(self.source.read(latest))
+                return self.view.write(full, epoch=latest)
             after = self.source.read(latest)
             diff = snapshot_diff(before, after, self.source.keys).filter(
                 F.col("status") != "same"

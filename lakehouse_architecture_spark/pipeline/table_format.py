@@ -52,11 +52,16 @@ class ManagedTable:
         self.format = resolve_format(format)
 
     def exists(self) -> bool:
-        try:
-            self.read().limit(1).collect()
-            return True
-        except Exception:
-            return False
+        """Path-existence check, NOT a read probe: a read that failed
+        transiently (executor loss, FS blip) must not make ``merge`` take
+        the create branch and overwrite the table with only the update
+        batch. Uses the Hadoop FileSystem API so object-store paths
+        resolve the same way the reader will."""
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def read(self) -> DataFrame:
         return self.spark.read.format(self.format).load(self.path)
@@ -80,18 +85,41 @@ class ManagedTable:
             self.overwrite(updates)
             return
         if self.format == "delta":
+            import re
+
             from delta.tables import DeltaTable
 
-            if evolve_schema:
-                self.spark.conf.set(
-                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
-                )
             target = DeltaTable.forPath(self.spark, self.path)
             cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
             m = target.alias("t").merge(updates.alias("s"), cond)
             if delete_condition is not None:
-                m = m.whenMatchedDelete(condition=delete_condition)
-            m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+                # the contract says the condition is over the UPDATE
+                # columns; inside MERGE a bare name shared by both sides is
+                # ambiguous (or resolves target-side — different rows than
+                # the parquet branch deletes), so qualify update-column
+                # references with the source alias
+                qualified = delete_condition
+                for c in sorted(updates.columns, key=len, reverse=True):
+                    qualified = re.sub(
+                        rf"(?<![\w.`]){re.escape(c)}(?![\w`])",
+                        f"s.{c}",
+                        qualified,
+                    )
+                m = m.whenMatchedDelete(condition=qualified)
+            # session conf is global: set/restore around the one execute so
+            # a later merge(evolve_schema=False) cannot silently auto-evolve
+            conf_key = "spark.databricks.delta.schema.autoMerge.enabled"
+            prev = self.spark.conf.get(conf_key, None)
+            if evolve_schema:
+                self.spark.conf.set(conf_key, "true")
+            try:
+                m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+            finally:
+                if evolve_schema:
+                    if prev is None:
+                        self.spark.conf.unset(conf_key)
+                    else:
+                        self.spark.conf.set(conf_key, prev)
             return
         # The merged snapshot must be durable BEFORE the source dir is
         # touched: cache()+count() is not (evicted/lost partitions would
@@ -111,15 +139,25 @@ class ManagedTable:
             merged = merged.localCheckpoint(eager=True)
             self.overwrite(merged)
             return
-        # Local path: write to a temp sibling, then atomically swap.
+        # Local path: write to a temp sibling, then swap via two renames —
+        # never rmtree-then-rename, which leaves NO table at all if the
+        # process dies between the two steps. After "rename target → old",
+        # a crash leaves the old dir recoverable by hand; after
+        # "rename tmp → target" the table is complete. Per-writer uuid tmp
+        # names, same rationale as VersionedTable._commit: a shared name
+        # would let two racing merges overwrite each other's staged data.
         import os
         import shutil
+        import uuid
 
+        token = uuid.uuid4().hex[:12]
         target = self.path.rstrip("/")
-        tmp = target + "__merging"
+        tmp = f"{target}__merging-{token}"
+        old = f"{target}__old-{token}"
         merged.write.format(self.format).mode("overwrite").save(tmp)
-        shutil.rmtree(target)
+        os.rename(target, old)
         os.rename(tmp, target)
+        shutil.rmtree(old)
 
 
 class VersionedTable:
@@ -365,18 +403,30 @@ class VersionedTable:
             df = df.coalesce(target_files)
         return self._commit(df, latest + 1)
 
-    def vacuum(self, keep_last: int = 1) -> list[int]:
-        """Drop all but the newest ``keep_last`` versions (and any crashed
-        ``__tmp`` leftovers); returns the versions removed."""
+    def vacuum(self, keep_last: int = 1, tmp_min_age_s: float = 3600.0) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (and crashed
+        ``__tmp`` leftovers); returns the versions removed.
+
+        A tmp dir is only 'crashed' if it is OLD: an age gate
+        (``tmp_min_age_s``, Delta-VACUUM-style retention) keeps a
+        maintenance job from deleting the staging dir of a writer that is
+        mid-commit right now — which would kill that writer's rename."""
         import glob
         import os
         import shutil
+        import time
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         drop = self.versions()[:-keep_last]
         for v in drop:
             shutil.rmtree(self._vdir(v))
+        now = time.time()
         for tmp in glob.glob(os.path.join(self.path, "v=*__tmp*")):
-            shutil.rmtree(tmp)
+            try:
+                age = now - os.path.getmtime(tmp)
+            except OSError:
+                continue  # vanished: its writer just committed or cleaned up
+            if age >= tmp_min_age_s:
+                shutil.rmtree(tmp)
         return drop

@@ -205,3 +205,29 @@ def test_materialized_refresh_uses_change_feed(spark, tmp_path):
         .collect()
     }
     assert got == full == {("a", 1, 10), ("b", 2, 10), ("c", 1, 9)}
+
+
+def test_materialized_refresh_survives_vacuumed_fallback(spark, tmp_path):
+    """A no-feed commit after the refreshed-through version was VACUUMED
+    must degrade to a full rebuild, not raise on every refresh forever."""
+    from lakehouse_architecture_spark.pipeline.materialized import (
+        MaterializedAggregate,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"), keys=["id"])
+    view = MaterializedAggregate(
+        src, str(tmp_path / "view"), group_cols=["g"], sum_cols=["x"]
+    )
+    src.write(spark.createDataFrame([(1, "a", 10)], ["id", "g", "x"]))
+    assert view.refresh() == 0
+
+    # v1 WITHOUT a change feed, then drop v0 (the refreshed-through base)
+    src.merge(
+        spark.createDataFrame([(2, "b", 5)], ["id", "g", "x"]),
+        log_changes=False,
+    )
+    src.vacuum(keep_last=1, tmp_min_age_s=0.0)
+    assert view.refresh() == 1  # full rebuild, no error
+    got = {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()}
+    assert got == {("a", 1, 10), ("b", 1, 5)}

@@ -202,12 +202,15 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     assert [h["version"] for h in hist] == [0, 1]
     assert all(h["n_files"] >= 1 and h["bytes"] > 0 for h in hist)
 
-    # crashed-writer leftovers are invisible and vacuumed
+    # crashed-writer leftovers are invisible and vacuumed — but only once
+    # OLD (the age gate protects an in-flight writer's staging dir)
     import os
     os.makedirs(str(tmp_path / "vt" / "v=2__tmp"))
     assert t.latest_version() == 1
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1)  # default age gate: fresh tmp survives
     assert removed == [0] and t.versions() == [1]
+    assert os.path.exists(str(tmp_path / "vt" / "v=2__tmp"))
+    assert t.vacuum(keep_last=1, tmp_min_age_s=0.0) == []
     assert not os.path.exists(str(tmp_path / "vt" / "v=2__tmp"))
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
