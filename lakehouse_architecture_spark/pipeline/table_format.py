@@ -241,7 +241,7 @@ class VersionedTable:
         self,
         df: DataFrame,
         v: int,
-        epoch: int | None = None,
+        epoch: int | str | None = None,
         changes: tuple[DataFrame, DataFrame] | None = None,
     ) -> int:
         import os
@@ -281,7 +281,7 @@ class VersionedTable:
             ) from None
         return v
 
-    def write(self, df: DataFrame, epoch: int | None = None) -> int:
+    def write(self, df: DataFrame, epoch: int | str | None = None) -> int:
         """Append a new full-snapshot version; returns its number."""
         latest = self.latest_version()
         return self._commit(df, 0 if latest is None else latest + 1, epoch=epoch)
@@ -291,7 +291,7 @@ class VersionedTable:
         updates: DataFrame,
         delete_condition: str | None = None,
         evolve_schema: bool = False,
-        epoch: int | None = None,
+        epoch: int | str | None = None,
         log_changes: bool = False,
     ) -> int:
         """MERGE against the latest snapshot into a NEW version. The source

@@ -45,12 +45,16 @@ def crawl_batch(
     max_retries: int = 3,
     page_pause_s: float = 0.0,
     now: datetime | None = None,
+    backoff_base_s: float = 1.0,
 ) -> CrawlResult:
     """Crawl up to max_pages×page_size listings into one bronze batch file.
 
-    Retry policy mirrors the reference: ``max_retries`` attempts with 2^n
-    backoff per detail fetch (``app/bronze.py:73-98``); a listing that keeps
-    failing is skipped, never fatal.
+    Retry policy mirrors the reference: ``max_retries`` attempts with
+    ``backoff_base_s * 2^n`` backoff per detail fetch
+    (``app/bronze.py:73-98``); a listing that keeps failing is skipped,
+    never fatal. Tests pass a millisecond-scale ``backoff_base_s``; the
+    production default is real seconds — a baked-in ms sleep would make
+    the retry a no-op against any actual outage or 429.
     """
     seen = set(seen_ids or ())
     rows: list[dict] = []
@@ -60,11 +64,16 @@ def crawl_batch(
         if not listings:
             break
         for item in listings:
-            lid = str(item.get("list_id", item.get("id", "")))
+            # `get("list_id", fallback)` would NOT fall back on an
+            # explicit null (the key exists), and str(None) is a truthy
+            # id that poisons seen_ids for every later null-id item
+            lid = str(item.get("list_id") or item.get("id") or "")
             if not lid or lid in seen:
                 skipped += 1
                 continue
-            detail = _fetch_with_retry(fetch_detail, lid, max_retries)
+            detail = _fetch_with_retry(
+                fetch_detail, lid, max_retries, backoff_base_s
+            )
             if detail is None:
                 skipped += 1
                 continue
@@ -76,19 +85,27 @@ def crawl_batch(
         return CrawlResult(None, 0, skipped, seen)
     stamp = (now or datetime.now(timezone.utc)).strftime("%Y%m%d_%H%M%S")
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, f"crawl_{stamp}.json")
+    # second-resolution stamps collide when two batches land in the same
+    # wall-clock second (silently replacing the first file); a uuid
+    # suffix makes every batch file unique
+    import uuid
+
+    path = os.path.join(out_dir, f"crawl_{stamp}_{uuid.uuid4().hex[:8]}.json")
     with open(path, "w", encoding="utf-8") as f:
         json.dump(rows, f, ensure_ascii=False)
     return CrawlResult(path, len(rows), skipped, seen)
 
 
 def _fetch_with_retry(
-    fetch_detail: Callable[[str], dict], lid: str, max_retries: int
+    fetch_detail: Callable[[str], dict],
+    lid: str,
+    max_retries: int,
+    backoff_base_s: float = 1.0,
 ) -> dict | None:
     for attempt in range(max_retries):
         try:
             return fetch_detail(lid)
         except Exception:  # noqa: BLE001 — any fetch error retries
             if attempt + 1 < max_retries:
-                time.sleep(min(2**attempt, 8) * 0.001)  # ms-scale in tests
+                time.sleep(min(2**attempt, 8) * backoff_base_s)
     return None

@@ -48,26 +48,33 @@ def windowed_counts(
     slide: str | None = None,
     watermark: str = "30 minutes",
     group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Tumbling (or sliding, when ``slide`` is set) event-time aggregation
     with late-data handling via watermark. Works identically on a batch
     DataFrame (watermark is a no-op there) — used by the oracle tests.
+    ``value_col=None`` skips the sum for events without a numeric column
+    (every other column here is parameterized; the measure should be too).
     """
     win = (
         F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     )
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
     return (
         src.groupBy(win.alias("w"), *group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
-        )
+        .agg(*aggs)
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             *group_cols,
             "n",
-            "total_value",
+            *(["total_value"] if value_col is not None else []),
         )
     )
 

@@ -31,26 +31,35 @@ def foreach_batch_upsert(
     spark = stream.sparkSession
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch = batch.dropDuplicates(keys)  # last-writer within a batch is
-        # arbitrary; dedup first so the upsert is well-defined
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:  # first batch: no target yet
-            batch.write.mode("overwrite").parquet(target_path)
-            return
-        merged = merge_upsert(target, batch, keys)
-        # The merged snapshot must be durable BEFORE the source dir is
-        # touched — cache()+count() is not (an evicted/lost partition would
-        # recompute from the dir mid-overwrite). Same write-to-sibling +
-        # rename as pipeline/table_format.ManagedTable.merge; the
-        # checkpoint + idempotent merge carry the exactly-once guarantee.
         import os
         import shutil
+        import uuid
 
-        tmp = target_path.rstrip("/") + "__epoch_tmp"
+        batch = batch.dropDuplicates(keys)  # last-writer within a batch is
+        # arbitrary; dedup first so the upsert is well-defined
+        target = target_path.rstrip("/")
+        # PATH check, not a read probe: a transient read failure must not
+        # route a later epoch onto the create branch, where the overwrite
+        # would replace all previously merged data with one micro-batch
+        # (same rationale as pipeline/table_format.ManagedTable.exists)
+        if not os.path.exists(target):
+            batch.write.mode("overwrite").parquet(target)
+            return
+        merged = merge_upsert(spark.read.parquet(target), batch, keys)
+        # The merged snapshot must be durable BEFORE the source dir is
+        # touched — cache()+count() is not (an evicted/lost partition would
+        # recompute from the dir mid-overwrite). Two-rename swap, same as
+        # ManagedTable.merge: rmtree-then-rename would leave NO target on a
+        # crash between the steps, and the restart's create branch would
+        # then wipe every prior epoch's data. The checkpoint + idempotent
+        # merge carry the exactly-once guarantee.
+        token = uuid.uuid4().hex[:12]
+        tmp = f"{target}__epoch_tmp-{token}"
+        old = f"{target}__old-{token}"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path.rstrip("/"))
-        os.rename(tmp, target_path.rstrip("/"))
+        os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -77,7 +86,15 @@ def foreach_batch_versioned(
     — is detected and skipped instead of committing a duplicate version.
     """
 
-    def _committed_epochs() -> set[int]:
+    import hashlib
+
+    # markers are scoped to the checkpoint: epoch ids restart at 0 under a
+    # fresh checkpoint dir (or a second query), so a bare epoch_id would
+    # collide with stale markers and silently DROP the new batches as
+    # "replays" — the scope makes the dedup key valid per query lineage
+    scope = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def _committed_epochs() -> set[str]:
         import os
 
         out = set()
@@ -85,16 +102,17 @@ def foreach_batch_versioned(
             marker = os.path.join(table._vdir(v), "_epoch")
             try:
                 with open(marker) as f:
-                    out.add(int(f.read().strip()))
-            except (OSError, ValueError):
+                    out.add(f.read().strip())
+            except OSError:
                 continue
         return out
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
-        if epoch_id in _committed_epochs():
+        stamp = f"{scope}:{epoch_id}"
+        if stamp in _committed_epochs():
             return  # crash-replay of an already-committed batch
         batch = batch.dropDuplicates(table.keys)
-        table.merge(batch, epoch=epoch_id)
+        table.merge(batch, epoch=stamp)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -36,11 +36,15 @@ def test_crawl_batch_pagination_dedup_retry(tmp_path, spark):
         max_pages=10,
         page_size=20,
         now=dt.datetime(2025, 9, 27, 10, 15, 0),
+        backoff_base_s=0.001,
     )
     # 45 listings - 2 already seen - 1 permanently failing = 42 fetched
     assert res.n_fetched == 42 and res.n_skipped == 3
     assert calls["7"] == 3  # bounded retries with backoff (bronze.py:73-98)
-    assert res.batch_path.endswith("crawl_20250927_101500.json")
+    import os as _os
+    base = _os.path.basename(res.batch_path)
+    # stamp + uniquifier: same-second batches must not overwrite each other
+    assert base.startswith("crawl_20250927_101500_") and base.endswith(".json")
     rows = json.loads(open(res.batch_path).read())
     assert len(rows) == 42
 
@@ -50,7 +54,7 @@ def test_crawl_batch_pagination_dedup_retry(tmp_path, spark):
 
     # idempotent re-crawl: everything now seen
     res2 = crawl_batch(fetch_page, fetch_detail, str(tmp_path), seen_ids=res.seen_ids,
-                       max_pages=10, page_size=20)
+                       max_pages=10, page_size=20, backoff_base_s=0.001)
     assert res2.n_fetched == 0 and res2.batch_path is None
 
 
@@ -151,3 +155,34 @@ def test_streaming_top_k_transform_with_state(spark, tmp_path):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert rows == brows == {1: [9.0, 7.0, 5.0], 2: [1.0]}
+
+
+def test_crawl_batch_null_list_id_falls_back_to_id(tmp_path):
+    """An explicit null list_id must fall back to 'id' — dict.get's
+    default only applies when the KEY is missing, and str(None) would
+    poison seen_ids as the truthy id 'None' for every later null row."""
+    import datetime as dt
+
+    listings = [
+        {"list_id": None, "id": "a1"},
+        {"list_id": None, "id": "a2"},
+        {"list_id": "b1"},
+    ]
+
+    def fetch_page(offset, limit):
+        return listings if offset == 0 else []
+
+    def fetch_detail(lid):
+        return {"id": lid}
+
+    res = crawl_batch(
+        fetch_page,
+        fetch_detail,
+        str(tmp_path),
+        max_pages=2,
+        page_size=10,
+        now=dt.datetime(2025, 9, 27, 11, 0, 0),
+        backoff_base_s=0.001,
+    )
+    assert res.n_fetched == 3  # a1 and a2 both fetched, not deduped as 'None'
+    assert {"a1", "a2", "b1"} <= res.seen_ids
