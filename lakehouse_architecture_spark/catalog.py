@@ -122,6 +122,11 @@ class Catalog:
         require the catalog (``saveAsTable``), which is why this lives
         here and not in sources/writers.
         """
+        if sort_by and bucket_by is None:
+            # Spark's sortBy requires bucketBy; silently dropping the sort
+            # would let callers believe per-file order (and the pruning it
+            # buys) is in place when it is not
+            raise ValueError("sort_by requires bucket_by (Spark sortBy rule)")
         writer = df.write.format(format).mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -30,12 +30,31 @@ def salted_join(
     big gains a uniform random-ish salt derived from a stable row hash (no
     rand(): deterministic across retries — a task retry with rand() would
     change row placement and can duplicate/lose rows under speculative
-    execution); small is replicated to every salt value.
+    execution); small is replicated to every salt value. Only
+    hash-eligible columns feed the salt (``F.hash`` rejects MapType —
+    hashing every column blindly crashes on tables with map columns, e.g.
+    the bronze listing schema's ``attrs``).
+
+    Correct ONLY for inner/left joins (the documented restriction is now
+    enforced): a right/full join would emit ``salt`` copies of unmatched
+    small rows, and semi/anti joins drop the small columns the final
+    select needs.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}"
+        )
+    from pyspark.sql import types as T
+
     big_cols = big.columns
     small_cols = [c for c in small.columns if c != on]
+    hashable = [
+        f.name
+        for f in big.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
     b = big.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in big_cols]), F.lit(salt))
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(salt))
     )
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -46,12 +65,14 @@ def salted_join(
 
 def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     """Top-N heaviest keys with their share — the diagnosis step before
-    choosing a salt factor."""
-    total = df.count()
+    choosing a salt factor. ONE scan: the total comes from an all-rows
+    window over the (tiny) grouped result, not a second full count()."""
+    from pyspark.sql import Window
+
+    grouped = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy(F.lit(1)))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.round(F.col("n") / F.lit(float(total)), 6))
+        grouped.withColumn("share", F.round(F.col("n") / total.cast("double"), 6))
         .orderBy(F.col("n").desc())
         .limit(top)
     )

@@ -59,8 +59,17 @@ def read_bronze_csv(
     path: str,
     schema: T.StructType | None = None,
 ) -> DataFrame:
-    """CSV fallback (DAG drop-file path, realestate_pipeline.py:133-137)."""
+    """CSV fallback (DAG drop-file path, realestate_pipeline.py:133-137).
+
+    With a schema, malformed lines quarantine into ``_corrupt_record``
+    (the same bronze contract as the JSON reader — PERMISSIVE without a
+    user schema is a no-op, so inference mode cannot quarantine; pass a
+    schema for untrusted drops)."""
     reader = spark.read.option("header", True).option("mode", "PERMISSIVE")
     if schema is not None:
-        reader = reader.schema(schema)
+        if "_corrupt_record" not in [f.name for f in schema.fields]:
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema).option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
     return reader.csv(path).withColumn("_ingest_file", F.input_file_name())

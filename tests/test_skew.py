@@ -30,3 +30,19 @@ def test_key_histogram(spark):
     df = spark.createDataFrame([(0,)] * 80 + [(1,)] * 20, "k int")
     hist = {r["k"]: (r["n"], r["share"]) for r in key_histogram(df, "k").collect()}
     assert hist[0] == (80, 0.8) and hist[1] == (20, 0.2)
+
+
+def test_salted_join_tolerates_map_columns_and_rejects_bad_how(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [(1, {"a": "b"}), (1, {"c": "d"}), (2, {})], "k int, attrs map<string,string>"
+    )
+    small = spark.createDataFrame([(1, "x")], "k int, v string")
+    # map columns must not feed F.hash (it rejects MapType)
+    out = salted_join(big, small, on="k", salt=4).collect()
+    assert sorted((r["k"], r["v"]) for r in out) == [(1, "x"), (1, "x")]
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, on="k", how="right")

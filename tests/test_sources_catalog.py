@@ -157,3 +157,31 @@ def test_bucketed_tables_join_without_shuffle(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "BUCKETED_JOIN_SHUFFLE_FREE" in r.stdout
+
+
+def test_read_bronze_csv_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from lakehouse_architecture_spark.sources.readers import read_bronze_csv
+
+    p = tmp_path / "drop.csv"
+    p.write_text("id,price\n1,100\nnot_an_int,oops,extra_field\n2,200\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("price", T.IntegerType())]
+    )
+    df = read_bronze_csv(spark, str(p), schema=schema).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 1  # malformed line quarantined, not silently parsed
+
+
+def test_save_as_table_sort_without_bucket_raises(spark, tmp_path):
+    import pytest
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="sort_by requires bucket_by"):
+        cat.save_as_table(df, "t_sorted_nobucket", sort_by=("k",))
