@@ -99,7 +99,12 @@ class SyntheticListingsStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         s = int(start["index"])
-        e = min(s + self.rows_per_batch, self.max_rows)
+        # clamp below at the start offset: a restart whose maxRows is
+        # SMALLER than the checkpointed index would otherwise produce a
+        # backwards end offset (e < s), which violates Structured
+        # Streaming's offset monotonicity — idle (s == e) is the correct
+        # degradation
+        e = max(s, min(s + self.rows_per_batch, self.max_rows))
         return iter([_row(i) for i in range(s, e)]), {"index": e}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -44,9 +44,22 @@ def _accumulate(
         )
         return
     n, total = state.get if state.exists else (0, 0.0)
+    # decimal-exact accumulation quantized to 6dp, then back to float for
+    # the state/output schema: plain float += across micro-batches is
+    # order-dependent and drifts from the batch branch's decimal(38,6)
+    # sum in the last ulp, breaking the exact-equality parity oracle
+    from decimal import ROUND_HALF_UP, Decimal
+
+    acc = Decimal(repr(total))
     for pdf in pdfs:
+        vals = pdf["value"].dropna()
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        for v in vals:
+            # HALF_UP to match Spark's decimal(38,6) cast rounding
+            acc += Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+    total = float(acc)
     state.update((n, total))
     state.setTimeoutDuration(30_000)  # flush after 30s idle
     yield pd.DataFrame(
@@ -107,9 +120,18 @@ try:  # Spark 4.x only, and its state-server protocol needs protobuf;
             self.state = handle.getValueState("topk", "vals array<double>")
 
         def handleInputRows(self, key, rows, timer_values):
+            import math
+
             cur = list(self.state.get()[0]) if self.state.exists() else []
             for pdf in rows:
-                cur.extend(float(v) for v in pdf["value"])
+                # drop nulls/NaN like the batch branch's collect_list: a
+                # NaN in the sort corrupts top-k order (all comparisons
+                # False) and would then persist in state forever
+                cur.extend(
+                    fv
+                    for v in pdf["value"]
+                    if not math.isnan(fv := float(v))
+                )
             cur = sorted(cur, reverse=True)[: self.k]
             self.state.update((cur,))
             yield pd.DataFrame({"user_id": [key[0]], "topk": [cur]})
@@ -131,7 +153,12 @@ def streaming_top_k(events: DataFrame, k: int = 3) -> DataFrame:
     """
     if events.isStreaming:
         if not HAS_TWS:
-            raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+            raise RuntimeError(
+                "transformWithStateInPandas unavailable: needs Spark >= 4.0 "
+                "AND the protobuf package (its state-server protocol); on "
+                "Spark 4.x the fix is `pip install protobuf`, not a Spark "
+                "upgrade"
+            )
         return events.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_TopKProcessor(k),
             outputStructType="user_id bigint, topk array<double>",
