@@ -32,6 +32,18 @@ META_SCHEMA_SUFFIX = (
 IMAGE_SCHEMA_SUFFIX = "width int, height int, channels int, decode_error string"
 
 
+def _schema_with(df: DataFrame, payload_col: str, suffix: str) -> tuple[list[str], str]:
+    """(passthrough columns, output DDL): every operator here drops the
+    payload and appends its own columns — one implementation so a fix
+    (quoting, null semantics) lands everywhere at once."""
+    passthrough = [c for c in df.columns if c != payload_col]
+    ddl = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + [suffix]
+    )
+    return passthrough, ddl
+
+
 def decode_binary_meta(df: DataFrame, payload_col: str) -> DataFrame:
     """Byte-level metadata for a binary payload column, via mapInPandas.
 
@@ -41,17 +53,16 @@ def decode_binary_meta(df: DataFrame, payload_col: str) -> DataFrame:
     dropped from output to keep shuffles lean) is exactly what a real image
     resize / audio feature job uses.
     """
-    passthrough = [c for c in df.columns if c != payload_col]
-    out_schema = ", ".join(
-        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
-        + [META_SCHEMA_SUFFIX]
-    )
+    passthrough, out_schema = _schema_with(df, payload_col, META_SCHEMA_SUFFIX)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payload = pdf[payload_col]
             out = pdf[passthrough].copy()
-            out["n_bytes"] = payload.map(lambda b: len(b) if b is not None else 0).astype("int64")
+            # NULL payload -> NULL (octet_length semantics); empty -> 0
+            out["n_bytes"] = payload.map(
+                lambda b: len(b) if b is not None else None
+            ).astype("Int64")
             out["head_byte"] = payload.map(lambda b: b[0] if b else None).astype("Int32")
             out["tail_byte"] = payload.map(lambda b: b[-1] if b else None).astype("Int32")
             out["byte_sum_mod"] = payload.map(
@@ -78,10 +89,9 @@ def sample_frames(
     frame_len/frame_head. Partition-parallel; the payload never crosses a
     shuffle (stats are computed in the same task that read the blob).
     """
-    passthrough = [c for c in df.columns if c != payload_col]
-    out_schema = ", ".join(
-        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
-        + ["frame_index int, frame_offset bigint, frame_len int, frame_head int"]
+    passthrough, out_schema = _schema_with(
+        df, payload_col,
+        "frame_index int, frame_offset bigint, frame_len int, frame_head int",
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,10 +133,9 @@ def resize_image_fake(
     real resize job shape: schema contract, Arrow batches, per-row scale
     factors, payload pruned from the output.
     """
-    passthrough = [c for c in df.columns if c != payload_col]
-    out_schema = ", ".join(
-        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
-        + ["src_w int, src_h int, out_w int, out_h int, scale_x double, scale_y double"]
+    passthrough, out_schema = _schema_with(
+        df, payload_col,
+        "src_w int, src_h int, out_w int, out_h int, scale_x double, scale_y double",
     )
 
     def _fake_decode(blob: bytes) -> tuple[int, int]:
@@ -165,11 +174,7 @@ def audio_features_fake(
     over PCM samples; swap ``_window_energy``). The Spark-side contract is
     the real one: array column output, batch iterator, payload pruned.
     """
-    passthrough = [c for c in df.columns if c != payload_col]
-    out_schema = ", ".join(
-        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
-        + ["features array<double>"]
-    )
+    passthrough, out_schema = _schema_with(df, payload_col, "features array<double>")
 
     def _window_energy(blob: bytes) -> list[float]:
         # FAKE feature (no audio codec here): mean byte value per window.
@@ -201,11 +206,7 @@ def decode_image_stub(df: DataFrame, payload_col: str) -> DataFrame:
     (captured into ``decode_error`` so one bad blob cannot fail a 100 TB
     job). Swap ``_decode_one`` for PIL/torchvision in a real deployment.
     """
-    passthrough = [c for c in df.columns if c != payload_col]
-    out_schema = ", ".join(
-        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
-        + [IMAGE_SCHEMA_SUFFIX]
-    )
+    passthrough, out_schema = _schema_with(df, payload_col, IMAGE_SCHEMA_SUFFIX)
 
     def _decode_one(blob: bytes) -> tuple[int, int, int]:
         # STUB: no image codec in this environment.
@@ -218,7 +219,10 @@ def decode_image_stub(df: DataFrame, payload_col: str) -> DataFrame:
                 try:
                     w, h, c = _decode_one(blob)
                     rows.append((w, h, c, None))
-                except NotImplementedError as e:
+                except Exception as e:  # noqa: BLE001 — the per-row error
+                    # channel is the contract: a real decoder raises
+                    # UnidentifiedImageError/OSError on corrupt blobs, and
+                    # one bad blob must not fail a 100 TB job
                     rows.append((None, None, None, str(e)))
             meta = pd.DataFrame(
                 rows, columns=["width", "height", "channels", "decode_error"]

@@ -46,7 +46,12 @@ def train_price_model(
     df = gold.select(*feature_cols, label_col).na.fill(0, subset=list(feature_cols))
     df = df.filter(F.col(label_col).isNotNull())
     assembler = VectorAssembler(inputCols=list(feature_cols), outputCol="features")
-    vec = assembler.transform(df)
+    # cache before the split: randomSplit samples per-partition over the
+    # lineage, so without a stable snapshot the fit, transform, and both
+    # counts below could each re-evaluate a nondeterministic upstream
+    # (e.g. dropDuplicates) and see DIFFERENT splits — test rows leaking
+    # into training. Also saves recomputing the pipeline 4x.
+    vec = assembler.transform(df).cache()
     train, test = vec.randomSplit([0.8, 0.2], seed=seed)
     rf = RandomForestRegressor(
         featuresCol="features", labelCol=label_col, numTrees=n_trees, seed=seed
@@ -56,7 +61,9 @@ def train_price_model(
     r2 = RegressionEvaluator(
         labelCol=label_col, predictionCol="prediction", metricName="r2"
     ).evaluate(pred)
-    return TrainResult(model=model, r2=r2, n_train=train.count(), n_test=test.count())
+    out = TrainResult(model=model, r2=r2, n_train=train.count(), n_test=test.count())
+    vec.unpersist()
+    return out
 
 
 def log_to_mlflow(result: TrainResult, params: dict | None = None) -> bool:
