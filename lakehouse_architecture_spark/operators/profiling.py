@@ -1,0 +1,363 @@
+"""Corpus- and workload-profiling operators.
+
+The reference pipeline (``app/bronze.py``, ``app/sliver.py``) ingests and
+cleans row-at-a-time; before training on the result at 100 TB you profile
+it: which phrases are real collocations (PMI), how much one source's text
+overlaps another's (shingle containment), whether a segment's value
+distribution drifted (binned KS), a reproducible per-group audit sample, how
+large a tokenizer vocabulary must be for a coverage target, and whether a
+join key is skewed enough to need salting. Each operator is one or two
+hash-aggregate shuffles over the full data followed by window/driver work on
+a *small* derivative (bins, frequency classes, top-k) — never a global sort
+or window over raw rows — so every plan survives a 1000-executor scale-up.
+
+All outputs follow the determinism rules in queries/base.py (portable md5
+hashing, identical IEEE expression order to the DuckDB oracles, rounded
+doubles, total-order tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.hashing import md5_hash64
+from lakehouse_architecture_spark.operators.dedup import ngram_array
+from lakehouse_architecture_spark.operators.text import tokens
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k word bigrams by pointwise mutual information.
+
+    PMI(x,y) = log2( p(xy) / (p(x)·p(y)) ) with p(xy) over the corpus bigram
+    count and p(x) over the corpus unigram count. ``min_count`` drops
+    hapax-ish bigrams whose PMI is all noise. Two hash-agg shuffles (bigram
+    counts, unigram counts) + two small joins; the unigram side of the join
+    is a vocabulary-sized table joined by key, and the totals are broadcast
+    scalars — no all-pairs anywhere.
+    """
+    tk = df.select(tokens(text_col).alias("tk"))
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigc = (
+        tk.filter(F.size("tk") >= 2)
+        .select(F.explode(ngram_array(F.col("tk"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    # p(xy) is normalized by the count of ALL bigrams, not just the ones
+    # surviving min_count — the filter prunes output rows, not the model
+    big = bigc.filter(F.col("c_xy") >= min_count).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c_xy",
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_uni"), F.count(F.lit(1)).alias("n_types")
+    ).crossJoin(bigc.agg(F.sum("c_xy").alias("n_bi")))
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log2(
+                    (F.col("c_xy").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("n_uni"))
+                        * (F.col("c_y").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # order by the ROUNDED column: sub-round PMI differences must not decide
+    # rank or the oracle's top-k can diverge at the cut line
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise shingle overlap between groups (sources): Jaccard +
+    containment over each group's distinct word ``n``-gram set.
+
+    Cross-source contamination / mirror detection: a high containment of a
+    small source inside a big one means the small source is substantially
+    re-crawled content. One distinct-aggregate on (group, shingle-hash), a
+    self-equi-join on the 60-bit hash (≤ |groups| rows per hash value, so
+    never quadratic in rows), and a broadcast of the per-group set sizes.
+    """
+    sh = (
+        df.select(
+            F.col(group_col).alias("g"), tokens(text_col).alias("tk")
+        )
+        .select("g", F.explode(ngram_array(F.col("tk"), n)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .select("g", md5_hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.select(F.col("g").alias("ga"), "h")
+        .join(sh.select(F.col("g").alias("gb"), "h"), "h")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("g").alias("ga"), F.col("n_sh").alias("na"))),
+            "ga",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("gb"), F.col("n_sh").alias("nb"))),
+            "gb",
+        )
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "inter",
+            "na",
+            "nb",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("inter").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    nbins: int = 100,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov distance of each group's value
+    distribution against the pooled (overall) distribution.
+
+    Distribution-drift screen for segment monitoring. Values are bucketed
+    onto a fixed equi-width grid (one groupBy shuffle); the CDFs and the
+    sup-distance run on the dense ``groups × nbins`` grid — thousands of
+    rows however large the input, so the window work never scales with
+    data. The exact (unbinned) KS needs a global sort; the binned statistic
+    differs from it by at most the max per-bin mass and is the standard
+    scale-out compromise.
+    """
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    scal = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = (
+        vals.crossJoin(F.broadcast(scal))
+        .select(
+            "g",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * nbins
+                    ).cast("int"),
+                    F.lit(nbins - 1),
+                )
+            )
+            .alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spark = df.sparkSession
+    grid = (
+        binned.select("g")
+        .distinct()
+        .crossJoin(
+            spark.range(nbins).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    dense = grid.join(binned, ["g", "bin"], "left").select(
+        "g", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wg = Window.partitionBy("g").orderBy("bin")
+    cum = dense.withColumn("cum", F.sum("c").over(wg))
+    totals = dense.groupBy("g").agg(F.sum("c").alias("n_g"))
+    overall = (
+        dense.groupBy("bin")
+        .agg(F.sum("c").alias("c_all"))
+        .withColumn("cum_all", F.sum("c_all").over(Window.orderBy("bin")))
+        .crossJoin(F.broadcast(dense.agg(F.sum("c").alias("n_all"))))
+    )
+    return (
+        cum.join(F.broadcast(totals), "g")
+        .join(F.broadcast(overall.select("bin", "cum_all", "n_all")), "bin")
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("n_g").alias("n_events"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum").cast("double") / F.col("n_g")
+                        - F.col("cum_all").cast("double") / F.col("n_all")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def sample_k_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: the ``k`` rows whose
+    md5-hash of the id sorts lowest within the group (a seedless analogue of
+    reservoir sampling that any engine reproduces bit-for-bit).
+
+    One window shuffle partitioned BY GROUP — each group's rows sort
+    locally, so the plan is skew-safe as long as single groups fit an
+    executor; for pathological mega-groups compose with a pre-filter such as
+    ``stratified_hash_sample`` (operators/curation.py) to cut the window
+    input first.
+    """
+    h = md5_hash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.select(group_col, id_col)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    targets: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95),
+) -> DataFrame:
+    """Minimal vocabulary size reaching each token-coverage target.
+
+    Tokenizer budget planning: "how many types cover 95 % of running
+    tokens?". Computed from the *frequency-of-frequencies* table, not a
+    global rank: token counts (shuffle 1) collapse to (count, n_types)
+    classes (shuffle 2, thousands of rows at any corpus size), a window over
+    descending count accumulates coverage, and the partial class at the
+    boundary is closed exactly with a ceil — so there is no vocabulary-sized
+    global sort/window anywhere in the plan.
+    """
+    tc = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    classes = tc.groupBy("f").agg(F.count(F.lit(1)).alias("n_types"))
+    w = Window.orderBy(F.col("f").desc())
+    cum = (
+        classes.select(
+            "f",
+            "n_types",
+            (F.col("f") * F.col("n_types")).alias("toks"),
+        )
+        .withColumn("cum_toks", F.sum("toks").over(w))
+        .withColumn("cum_types", F.sum("n_types").over(w))
+    )
+    totals = cum.agg(
+        F.sum("toks").alias("n_tokens"), F.sum("n_types").alias("n_types_total")
+    )
+    tgt = df.sparkSession.createDataFrame(
+        [(float(t),) for t in targets], "target double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(tgt))
+        .filter(
+            (F.col("cum_toks").cast("double") >= F.col("target") * F.col("n_tokens"))
+            & (
+                (F.col("cum_toks") - F.col("toks")).cast("double")
+                < F.col("target") * F.col("n_tokens")
+            )
+        )
+    )
+    return hit.select(
+        "target",
+        (
+            (F.col("cum_types") - F.col("n_types"))
+            + F.ceil(
+                (
+                    F.col("target") * F.col("n_tokens")
+                    - (F.col("cum_toks") - F.col("toks")).cast("double")
+                )
+                / F.col("f")
+            )
+        ).alias("vocab_needed"),
+        F.col("n_types_total").alias("total_types"),
+        F.col("n_tokens").alias("total_tokens"),
+    ).orderBy("target")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Heavy-hitter diagnostics for a prospective join/aggregation key: the
+    ``top`` heaviest keys with row share and cumulative share, plus the
+    global skew factor max(key count) / mean(key count).
+
+    The decision input for salting (operators/skew.py): skew_factor ≈ how
+    many times slower the hottest shuffle partition runs than the average.
+    One groupBy on the key; the top-k is a TakeOrdered (no global sort) and
+    the window runs over just ``top`` rows on the driver-sized side.
+    """
+    kc = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = kc.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    topk = kc.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            F.col("key").alias(key_col),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cum_cnt").cast("double") / F.col("n_rows"), 6
+            ).alias("cum_share"),
+            "n_keys",
+            F.round(
+                F.col("max_cnt").cast("double")
+                / (F.col("n_rows").cast("double") / F.col("n_keys")),
+                6,
+            ).alias("skew_factor"),
+        )
+        .orderBy("rank")
+    )

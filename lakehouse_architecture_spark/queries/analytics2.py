@@ -1,0 +1,236 @@
+"""Round-3 profiling additions: collocation mining, cross-source overlap,
+distribution drift, audit sampling, tokenizer vocabulary planning, and
+join-key skew diagnostics — the pre-flight profiling passes a training-data
+pipeline runs before committing 100 TB to a clean/dedup/train recipe.
+
+Registered after ANALYTICS_QUERIES (queries/registry.py ordering note) so
+earlier still-unverified queries keep their place at the head of the
+driver's 50-entry correctness window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.hashing import md5_hash64_sql
+from lakehouse_architecture_spark.operators.profiling import (
+    key_skew_profile,
+    ks_drift,
+    pmi_collocations,
+    sample_k_per_group,
+    source_overlap,
+    vocab_coverage,
+)
+from lakehouse_architecture_spark.queries.analytics import _TOKS_CTE
+from lakehouse_architecture_spark.queries.base import QuerySpec, tables
+
+
+# --- PMI collocations: top-30 bigram phrases -----------------------------
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return pmi_collocations(t["documents"], "text", min_count=3, k=30)
+
+
+_Q_PMI_SQL = f"""
+WITH {_TOKS_CTE},
+uni AS (SELECT unnest(tk) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+bg AS (
+  SELECT tk[i.i + 1] AS w1, tk[i.i + 2] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(tk) - 2)) AS i) i
+  WHERE len(tk) >= 2
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uc) AS n_uni,
+         (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bc) AS n_bi
+)
+SELECT w1, w2, c_xy,
+       ROUND(LOG2((CAST(c_xy AS DOUBLE) / n_bi)
+                  / ((CAST(cx.c AS DOUBLE) / n_uni)
+                     * (CAST(cy.c AS DOUBLE) / n_uni))), 6) AS pmi
+FROM bc JOIN uc cx ON bc.w1 = cx.w JOIN uc cy ON bc.w2 = cy.w, tot
+WHERE c_xy >= 3
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 30
+"""
+
+
+# --- cross-source shingle overlap matrix ---------------------------------
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return source_overlap(t["documents"], "source", "text", n=5)
+
+
+_SH5 = "array_to_string(list_slice(tk, i.i + 1, i.i + 5), ' ')"
+_Q_SOURCE_OVERLAP_SQL = f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT DISTINCT source AS g, {md5_hash64_sql(_SH5)} AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(tk) - 5)) AS i) i
+  WHERE len(tk) >= 5 AND length({_SH5}) > 0
+),
+sizes AS (SELECT g, COUNT(*) AS n_sh FROM sh GROUP BY g),
+pairs AS (
+  SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, inter, sa.n_sh AS na, sb.n_sh AS nb,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard,
+       ROUND(CAST(inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM pairs
+JOIN sizes sa ON source_a = sa.g
+JOIN sizes sb ON source_b = sb.g
+ORDER BY source_a, source_b
+"""
+
+
+# --- binned KS drift of each event type vs the pooled distribution -------
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return ks_drift(t["events"], "event_type", "value", nbins=100)
+
+
+_Q_KS_DRIFT_SQL = """
+WITH vals AS (
+  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+),
+scal AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+binned AS (
+  SELECT g,
+         CASE WHEN hi = lo THEN 0
+              ELSE LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 100) AS INTEGER), 99)
+         END AS bin,
+         COUNT(*) AS c
+  FROM vals, scal GROUP BY 1, 2
+),
+grid AS (
+  SELECT gs.g, bs.bin
+  FROM (SELECT DISTINCT g FROM binned) gs,
+       (SELECT unnest(generate_series(0, 99)) AS bin) bs
+),
+dense AS (
+  SELECT grid.g, grid.bin, COALESCE(binned.c, 0) AS c
+  FROM grid LEFT JOIN binned ON grid.g = binned.g AND grid.bin = binned.bin
+),
+cum AS (
+  SELECT g, bin, SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum FROM dense
+),
+tot AS (SELECT g, SUM(c) AS n_g FROM dense GROUP BY g),
+ocum AS (
+  SELECT bin, SUM(c_all) OVER (ORDER BY bin) AS cum_all
+  FROM (SELECT bin, SUM(c) AS c_all FROM dense GROUP BY bin)
+),
+nall AS (SELECT SUM(c) AS n_all FROM dense)
+SELECT cum.g AS event_type,
+       CAST(MAX(n_g) AS BIGINT) AS n_events,
+       ROUND(MAX(ABS(CAST(cum AS DOUBLE) / n_g
+                     - CAST(cum_all AS DOUBLE) / n_all)), 6) AS ks_stat
+FROM cum JOIN tot ON cum.g = tot.g JOIN ocum ON cum.bin = ocum.bin, nall
+GROUP BY cum.g
+ORDER BY event_type
+"""
+
+
+# --- deterministic fixed-k audit sample per source -----------------------
+def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return sample_k_per_group(t["documents"], "source", "doc_id", k=5).orderBy(
+        "source", "rk"
+    )
+
+
+_Q_GROUP_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= 5 ORDER BY source, rk
+"""
+
+
+# --- tokenizer vocabulary size for coverage targets ----------------------
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return vocab_coverage(t["documents"], "text", targets=(0.5, 0.8, 0.9, 0.95))
+
+
+_Q_VOCAB_COVERAGE_SQL = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(tk) AS tok FROM toks),
+tc AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+classes AS (SELECT f, COUNT(*) AS n_types FROM tc GROUP BY f),
+cum AS (
+  SELECT f, n_types, f * n_types AS toks,
+         SUM(f * n_types) OVER (ORDER BY f DESC) AS cum_toks,
+         SUM(n_types) OVER (ORDER BY f DESC) AS cum_types
+  FROM classes
+),
+tot AS (
+  SELECT CAST(SUM(f * n_types) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_types) AS BIGINT) AS total_types
+  FROM classes
+),
+tgt AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                       CAST(0.9 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS target)
+SELECT target,
+       CAST(cum_types - n_types AS BIGINT)
+         + CAST(CEIL((target * n_tokens
+                      - CAST(cum_toks - toks AS DOUBLE)) / f) AS BIGINT)
+         AS vocab_needed,
+       total_types,
+       n_tokens AS total_tokens
+FROM cum, tot, tgt
+WHERE CAST(cum_toks AS DOUBLE) >= target * n_tokens
+  AND CAST(cum_toks - toks AS DOUBLE) < target * n_tokens
+ORDER BY target
+"""
+
+
+# --- join-key skew diagnostics (salting decision input) ------------------
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return key_skew_profile(t["events"], "user_id", top=10)
+
+
+_Q_KEY_SKEW_SQL = """
+WITH kc AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         MAX(cnt) AS max_cnt
+  FROM kc
+),
+r AS (
+  SELECT key, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS "rank",
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS cum_cnt
+  FROM kc
+)
+SELECT "rank", key AS user_id, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+       ROUND(CAST(cum_cnt AS DOUBLE) / n_rows, 6) AS cum_share,
+       n_keys,
+       ROUND(CAST(max_cnt AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_factor
+FROM r, tot
+WHERE "rank" <= 10
+ORDER BY "rank"
+"""
+
+
+ANALYTICS2_QUERIES: list[QuerySpec] = [
+    QuerySpec("q_pmi_collocations", "top-PMI bigram phrases (collocation mining)", _q_pmi, _Q_PMI_SQL),
+    QuerySpec("q_source_overlap", "pairwise source shingle Jaccard/containment", _q_source_overlap, _Q_SOURCE_OVERLAP_SQL),
+    QuerySpec("q_ks_drift", "binned KS drift per event type vs pooled", _q_ks_drift, _Q_KS_DRIFT_SQL),
+    QuerySpec("q_group_sample", "deterministic fixed-k audit sample per source", _q_group_sample, _Q_GROUP_SAMPLE_SQL),
+    QuerySpec("q_vocab_coverage", "vocab size for token-coverage targets", _q_vocab_coverage, _Q_VOCAB_COVERAGE_SQL),
+    QuerySpec("q_key_skew", "heavy-key skew profile (salting decision)", _q_key_skew, _Q_KEY_SKEW_SQL),
+]
