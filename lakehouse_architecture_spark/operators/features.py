@@ -1,0 +1,136 @@
+"""ML feature-engineering operators (training-prep on raw tables).
+
+The reference's ML step (``mlflow_/train_model.py``) consumes hand-built
+numeric columns; these operators produce such features from raw
+tables at 100 TB scale — each a pure Catalyst plan (no UDFs) following the
+determinism rules in queries/base.py, so every transform is reproducible
+bit-for-bit across engines and re-runs (a training-data requirement, not a
+nicety: silent feature drift between pipeline versions poisons model
+comparisons).
+
+* :func:`feature_hashing` — the hashing trick: token -> signed bucket via
+  the portable md5 hash; one explode + hash-agg, dimensionality fixed at
+  plan time, no vocabulary state to ship (the point of the trick at scale).
+* :func:`loo_target_encode` — leave-one-out target encoding of a
+  categorical key: (group_sum - own_target) / (group_n - 1). One
+  hash-aggregate + a key join (broadcast when the key cardinality is
+  small); excluding the row's own label prevents the classic target-leak.
+* :func:`mutual_information` — MI (bits) between two categorical columns
+  from the joint-count table: three hash-aggs whose outputs are
+  cardinality-sized, then arithmetic on the tiny joint table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.aggregates import dsum
+from lakehouse_architecture_spark.functions.hashing import md5_hash64
+from lakehouse_architecture_spark.operators.text import tokens
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 64,
+) -> DataFrame:
+    """Hashing-trick bag-of-words: long-form ``(id, bucket, weight)``.
+
+    bucket = md5_64(token) mod n_features; sign = +-1 from the next hash
+    bit (the signed variant keeps collision noise zero-mean, Weinberger et
+    al. 2009). Weight sums token multiplicity. Long form, not a wide
+    vector: downstream Spark ML assemblers or a pivot can widen it, while
+    the shuffle stays |docs x distinct buckets| bounded.
+    """
+    h = md5_hash64(F.col("tok"))
+    sign = F.when((h % (2 * n_features)) >= n_features, F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .select("id", (h % n_features).cast("int").alias("bucket"), sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").alias("weight"))
+    )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    key_col: str,
+    target_col: str,
+    prior_weight: float = 0.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with optional prior smoothing.
+
+    encode(row) = (sum(target over key) - target(row) + prior_weight * global_mean)
+                  / (n(key) - 1 + prior_weight)
+
+    Rows in singleton groups (n == 1, denominator 0 when unsmoothed) get
+    the global mean — the only defensible value with no peers. Sums go
+    through decimal (functions/aggregates.py) so the encoding is
+    partition-order independent.
+    """
+    stats = df.groupBy(key_col).agg(
+        dsum(target_col, "__sum"), F.count(target_col).alias("__n")
+    )
+    gmean = df.agg(
+        (dsum(target_col) / F.count(target_col)).alias("__gmean")
+    )
+    joined = df.join(stats, key_col).crossJoin(F.broadcast(gmean))
+    denom = F.col("__n") - 1 + F.lit(float(prior_weight))
+    enc = (
+        F.col("__sum")
+        - F.col(target_col)
+        + F.lit(float(prior_weight)) * F.col("__gmean")
+    ) / denom
+    return joined.select(
+        *df.columns,
+        F.round(
+            F.when(denom > 0, enc).otherwise(F.col("__gmean")), 6
+        ).alias("loo_encoding"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information I(X;Y) in bits between two categorical columns.
+
+    One row out: ``(n, n_x, n_y, mi_bits)``. Joint counts are one
+    hash-aggregate; marginals derive from the joint table (cardinality
+    |X|x|Y| — small), so raw data is scanned exactly once.
+    """
+    joint = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log2(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+            ).alias("term"),
+            "x",
+            "y",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.count_distinct("x").alias("n_x"),
+        F.count_distinct("y").alias("n_y"),
+        F.round(F.sum(F.col("term").cast("decimal(38,18)")).cast("double"), 6).alias(
+            "mi_bits"
+        ),
+    ).select("n", "n_x", "n_y", "mi_bits")
