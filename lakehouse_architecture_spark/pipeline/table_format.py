@@ -281,8 +281,50 @@ class VersionedTable:
             ) from None
         return v
 
+    # -- CHECK constraints (Delta `delta.constraints` parity) ---------------
+    def set_check_constraints(self, constraints: dict[str, str]) -> None:
+        """Persist named CHECK constraints (name -> boolean SQL over the
+        row). Enforced on every subsequent :meth:`write`/:meth:`merge`
+        against the INCOMING rows — one suite-wide aggregate fused over the
+        batch (pipeline/expectations.py), the same cost shape as Delta's
+        write-time CHECK. Incoming-only on merge, matching Delta: already
+        committed snapshots were checked by their own writes, and a
+        schema-evolving merge must not fail because old rows null-fill a
+        new constrained column."""
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_constraints.json"), "w") as f:
+            json.dump(constraints, f, indent=1, sort_keys=True)
+
+    def check_constraints(self) -> dict[str, str]:
+        import json
+        import os
+
+        p = os.path.join(self.path, "_constraints.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _enforce_constraints(self, incoming: DataFrame) -> None:
+        cons = self.check_constraints()
+        if not cons:
+            return
+        from lakehouse_architecture_spark.pipeline.expectations import (
+            Expectation,
+            validate,
+        )
+
+        validate(
+            incoming,
+            [Expectation(n, pred, "fail") for n, pred in sorted(cons.items())],
+        )  # raises ExpectationsViolated with per-constraint counts
+
     def write(self, df: DataFrame, epoch: int | str | None = None) -> int:
         """Append a new full-snapshot version; returns its number."""
+        self._enforce_constraints(df)
         latest = self.latest_version()
         return self._commit(df, 0 if latest is None else latest + 1, epoch=epoch)
 
@@ -314,6 +356,9 @@ class VersionedTable:
         surviving = updates
         if delete_condition is not None:
             surviving = updates.filter(f"NOT coalesce({delete_condition}, false)")
+        # CHECK constraints see the rows this merge will actually commit:
+        # delete-marked update rows never land, so they are exempt
+        self._enforce_constraints(surviving)
         if latest is None:
             changes = (
                 (surviving.limit(0), surviving) if log_changes else None

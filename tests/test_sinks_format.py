@@ -281,3 +281,47 @@ def test_versioned_table_compact_zorder_tightens_stats(spark, tmp_path):
         pre_avg = sum(b[c] for b in pre) / len(pre)
         post_avg = sum(b[c] for b in post) / len(post)
         assert post_avg < pre_avg * 0.7, (c, pre_avg, post_avg)
+
+
+def test_versioned_table_check_constraints(spark, tmp_path):
+    import pytest
+
+    from lakehouse_architecture_spark.pipeline.expectations import (
+        ExpectationsViolated,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), keys=["k"])
+    t.set_check_constraints({"amount_nonneg": "amount >= 0"})
+
+    good = spark.createDataFrame([(1, 5.0), (2, 0.0)], "k long, amount double")
+    assert t.write(good) == 0
+
+    bad = spark.createDataFrame([(3, -1.0)], "k long, amount double")
+    with pytest.raises(ExpectationsViolated) as ei:
+        t.write(bad)
+    assert ei.value.counts == {"amount_nonneg": 1}
+    # the failed write committed nothing
+    assert t.versions() == [0]
+
+    # merge enforces on incoming rows too
+    with pytest.raises(ExpectationsViolated):
+        t.merge(bad)
+    # but delete-marked rows are exempt: they never land in the snapshot
+    marked = spark.createDataFrame(
+        [(1, -9.0, True), (4, 2.0, False)], "k long, amount double, del boolean"
+    )
+    v = t.merge(marked.select("k", "amount", "del"), delete_condition="del")
+    keys = {r["k"] for r in t.read(v).select("k").collect()}
+    assert keys == {2, 4}
+
+
+def test_check_constraints_survive_reopen(spark, tmp_path):
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    path = str(tmp_path / "vt")
+    VersionedTable(spark, path, keys=["k"]).set_check_constraints(
+        {"k_positive": "k > 0"}
+    )
+    reopened = VersionedTable(spark, path, keys=["k"])
+    assert reopened.check_constraints() == {"k_positive": "k > 0"}
