@@ -90,8 +90,96 @@ FROM terms GROUP BY n
 """
 
 
+def _q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.pq import (
+        pq_adc_knn,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=0)
+    codes = pq_encode(emb, cb)
+    # query = the lowest-id vector (driver-side scalar fetch: model input)
+    q = emb.orderBy("vec_id").select("embedding").first()["embedding"]
+    return pq_adc_knn(codes, cb, list(q), k=10).select(
+        "vec_id", F.round("pq_dist", 6).alias("pq_dist")
+    )
+
+
+def _l2_chain(a: str, b: str, n: int = 8) -> str:
+    """Left-associative squared-L2 chain — the exact IEEE addition order of
+    operators/pq._sqdist's sequential fold."""
+    expr = "0.0"
+    for i in range(1, n + 1):
+        expr = f"({expr} + ({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}]))"
+    return expr
+
+
+def _adc_chain(m: int = 8) -> str:
+    expr = "0.0"
+    for j in range(m):
+        expr = f"({expr} + t{j}.d)"
+    return expr
+
+
+_Q_PQ_KNN_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE len(embedding) % 8 = 0
+),
+subs AS (
+  SELECT vec_id, j.j AS sub, v[j.j*8+1 : j.j*8+8] AS sv
+  FROM vecs, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+seed AS (
+  SELECT vec_id, rn - 1 AS code FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+    FROM (SELECT DISTINCT vec_id FROM subs)
+  ) WHERE rn <= 16
+),
+cb AS (
+  SELECT s.sub, seed.code, s.sv AS cvec
+  FROM subs s JOIN seed ON s.vec_id = seed.vec_id
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.sub
+             ORDER BY {_l2_chain('s.sv', 'cb.cvec')} ASC, cb.code ASC
+           ) AS rn
+    FROM subs s JOIN cb ON s.sub = cb.sub
+  ) WHERE rn = 1
+),
+q AS (SELECT v FROM vecs ORDER BY vec_id LIMIT 1),
+qsubs AS (
+  SELECT j.j AS sub, v[j.j*8+1 : j.j*8+8] AS qv
+  FROM q, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+dtable AS (
+  SELECT cb.sub, cb.code, {_l2_chain('qs.qv', 'cb.cvec')} AS d
+  FROM cb JOIN qsubs qs ON cb.sub = qs.sub
+),
+code_cols AS (
+  SELECT vec_id,
+         {', '.join(f'MAX(CASE WHEN sub = {j} THEN code END) AS c{j}' for j in range(8))}
+  FROM enc GROUP BY vec_id
+),
+adc AS (
+  SELECT cc.vec_id, {_adc_chain()} AS pq_dist
+  FROM code_cols cc
+  {' '.join(f'JOIN dtable t{j} ON t{j}.sub = {j} AND t{j}.code = cc.c{j}' for j in range(8))}
+)
+SELECT vec_id, ROUND(pq_dist, 6) AS pq_dist
+FROM adc ORDER BY adc.pq_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
 FEATURES_QUERIES: list[QuerySpec] = [
     QuerySpec("q_feature_hashing", "signed hashing-trick bag-of-words (long form)", _q_feature_hashing, _Q_FEATURE_HASHING_SQL),
     QuerySpec("q_target_encode", "leave-one-out target encoding (leak-free)", _q_target_encode, _Q_TARGET_ENCODE_SQL),
     QuerySpec("q_mutual_info", "MI(event_type; user bucket) in bits", _q_mutual_info, _Q_MUTUAL_INFO_SQL),
+    QuerySpec("q_pq_knn", "product-quantization ADC top-k (PQ ANN)", _q_pq_knn, _Q_PQ_KNN_SQL),
 ]
