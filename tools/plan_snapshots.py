@@ -34,6 +34,12 @@ QUERIES = [
     "q_funnel",
     "q_corpus_curation",
     "q_equidepth_bins",
+    "q_pmi_collocations",
+    "q_source_overlap",
+    "q_ks_drift",
+    "q_vocab_coverage",
+    "q_dq_summary",
+    "q_pq_knn",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
