@@ -1,0 +1,107 @@
+"""Property-based checks for the profiling/feature operators: invariants a
+Python reimplementation can assert on hypothesis-generated corpora."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_architecture_spark.operators.features import mutual_information
+from lakehouse_architecture_spark.operators.profiling import (
+    ks_drift,
+    sample_k_per_group,
+    vocab_coverage,
+)
+
+_word = st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_vocab_coverage_matches_python_reimplementation(spark, docs):
+    toks = [t for d in docs for t in d.split()]
+    if not toks:
+        return  # empty corpus: no coverage to plan
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = {
+        r["target"]: (r["vocab_needed"], r["total_types"], r["total_tokens"])
+        for r in vocab_coverage(df, "text", targets=(0.5, 0.9, 1.0)).collect()
+    }
+    # python oracle: greedy by descending frequency
+    from collections import Counter
+
+    counts = sorted(Counter(toks).values(), reverse=True)
+    n = len(toks)
+    for target in (0.5, 0.9, 1.0):
+        need = target * n
+        acc = 0
+        v = 0
+        for c in counts:
+            if acc >= need:
+                break
+            acc += c
+            v += 1
+        assert got[target][0] == v, (docs, target)
+        assert got[target][1] == len(counts) and got[target][2] == n
+    # monotone in target
+    assert got[0.5][0] <= got[0.9][0] <= got[1.0][0] == len(counts) or got[1.0][0] <= len(counts)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.floats(-5, 5)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ks_drift_bounded_and_zero_on_identical(spark, rows):
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = ks_drift(df, nbins=20).collect()
+    for r in out:
+        assert 0.0 <= r["ks_stat"] <= 1.0
+    # a group equal to the whole population has zero drift
+    only = {g for g, _ in rows}
+    if len(only) == 1:
+        assert out[0]["ks_stat"] == 0.0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t,
+    )
+)
+def test_sample_k_is_a_deterministic_subset(spark, rows):
+    df = spark.createDataFrame(rows, "source string, doc_id long").distinct()
+    out = sample_k_per_group(df, "source", "doc_id", k=3).collect()
+    base = {}
+    for g, i in rows:
+        base.setdefault(g, set()).add(i)
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    for g, ids in per.items():
+        assert set(ids) <= base[g]
+        assert len(ids) == min(3, len(base[g]))
+        assert len(set(ids)) == len(ids)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 2)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_mutual_information_nonneg_and_bounded(spark, rows):
+    df = spark.createDataFrame(rows, "x string, y int")
+    r = mutual_information(df, "x", "y").collect()[0]
+    # MI >= 0 (up to fp noise) and <= min(H(X), H(Y)) <= log2(min card)
+    assert r["mi_bits"] >= -1e-9
+    assert r["mi_bits"] <= math.log2(min(r["n_x"], r["n_y"])) + 1e-9
