@@ -94,7 +94,71 @@ WHERE len(v) > 0
 ORDER BY doc_id
 """
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.privacy import (
+        k_anonymity_violations,
+    )
+
+    t = tables(spark, sf_dir)
+    return k_anonymity_violations(
+        t["customer"], ["c_nationkey", "c_mktsegment"], k=5
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_Q_K_ANONYMITY_SQL = """
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) < 5
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def _q_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.privacy import anonymity_summary
+
+    t = tables(spark, sf_dir)
+    # sensitive attribute: the account-balance sign band
+    cust = t["customer"].withColumn(
+        "bal_band",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("pos")),
+    )
+    return anonymity_summary(cust, ["c_nationkey", "c_mktsegment"], "bal_band")
+
+
+_Q_ANONYMITY_SUMMARY_SQL = """
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_band
+  FROM customer
+),
+groups AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+  FROM cust GROUP BY 1, 2
+),
+lgroups AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_sens
+  FROM (SELECT DISTINCT c_nationkey, c_mktsegment, bal_band FROM cust)
+  GROUP BY 1, 2
+),
+gstats AS (
+  SELECT COUNT(*) AS n_groups, MIN(n_rows) AS achieved_k,
+         CAST(SUM(n_rows) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN n_rows = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+           AS n_singleton_rows
+  FROM groups
+),
+lstats AS (SELECT MIN(n_sens) AS achieved_l FROM lgroups)
+SELECT n_groups, achieved_k, achieved_l, n_total,
+       ROUND(CAST(n_singleton_rows AS DOUBLE) / n_total, 6)
+         AS singleton_row_share
+FROM gstats, lstats
+"""
+
+
 QUALITY_QUERIES: list[QuerySpec] = [
     QuerySpec("q_dq_summary", "single-pass expectation audit over lineitem", _q_dq_summary, _Q_DQ_SUMMARY_SQL),
     QuerySpec("q_dq_quarantine", "quarantined docs with violated-rule list", _q_dq_quarantine, _Q_DQ_QUARANTINE_SQL),
+    QuerySpec("q_k_anonymity", "QI groups below the k-anonymity threshold", _q_k_anonymity, _Q_K_ANONYMITY_SQL),
+    QuerySpec("q_anonymity_summary", "achieved k/l + singleton-row share", _q_anonymity_summary, _Q_ANONYMITY_SUMMARY_SQL),
 ]

@@ -1,0 +1,58 @@
+"""Tests for operators/privacy.py."""
+
+from lakehouse_architecture_spark.operators.privacy import (
+    anonymity_summary,
+    k_anonymity_violations,
+    l_diversity_violations,
+)
+
+
+def _df(spark):
+    # QI (zip, age): (10, 30) x3 rows, (10, 40) x1, (20, 30) x2
+    rows = [
+        (1, 10, 30, "flu"),
+        (2, 10, 30, "flu"),
+        (3, 10, 30, "cold"),
+        (4, 10, 40, "flu"),
+        (5, 20, 30, "flu"),
+        (6, 20, 30, "flu"),
+    ]
+    return spark.createDataFrame(rows, "id long, zip int, age int, dx string")
+
+
+def test_k_anonymity_violations(spark):
+    out = k_anonymity_violations(_df(spark), ["zip", "age"], k=3).collect()
+    got = {(r["zip"], r["age"]): r["n_rows"] for r in out}
+    assert got == {(10, 40): 1, (20, 30): 2}
+
+
+def test_l_diversity_violations(spark):
+    out = l_diversity_violations(_df(spark), ["zip", "age"], "dx", l_required=2)
+    got = {(r["zip"], r["age"]): r["n_distinct_sensitive"] for r in out.collect()}
+    # (10,30) has {flu, cold} -> diverse; the others are single-secret groups
+    assert got == {(10, 40): 1, (20, 30): 1}
+
+
+def test_anonymity_summary(spark):
+    r = anonymity_summary(_df(spark), ["zip", "age"], "dx").collect()[0]
+    assert r["n_groups"] == 3
+    assert r["achieved_k"] == 1
+    assert r["achieved_l"] == 1
+    assert r["n_total"] == 6
+    assert abs(r["singleton_row_share"] - round(1 / 6, 6)) < 1e-12
+
+
+def test_summary_gates_with_expectations(spark):
+    """anonymity_summary composes with the expectations engine as a
+    publish gate."""
+    import pytest
+
+    from lakehouse_architecture_spark.pipeline.expectations import (
+        ExpectationsViolated,
+        expect,
+        validate,
+    )
+
+    summary = anonymity_summary(_df(spark), ["zip", "age"], "dx")
+    with pytest.raises(ExpectationsViolated):
+        validate(summary, [expect("k_at_least_3", "achieved_k >= 3", "fail")])
