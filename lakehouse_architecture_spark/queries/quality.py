@@ -100,17 +100,26 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = tables(spark, sf_dir)
-    return k_anonymity_violations(
-        t["customer"], ["c_nationkey", "c_mktsegment"], k=5
-    ).orderBy("c_nationkey", "c_mktsegment")
+    # fine-grained QI (nation x balance band of 100) so violating groups
+    # exist at every fixture scale — a 0-row result proves nothing
+    cust = t["customer"].withColumn(
+        "bal_100", F.floor(F.col("c_acctbal") / 100)
+    )
+    return k_anonymity_violations(cust, ["c_nationkey", "bal_100"], k=5).orderBy(
+        "c_nationkey", "bal_100"
+    )
 
 
 _Q_K_ANONYMITY_SQL = """
-SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
-FROM customer
-GROUP BY c_nationkey, c_mktsegment
+WITH cust AS (
+  SELECT c_nationkey, CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_100
+  FROM customer
+)
+SELECT c_nationkey, bal_100, COUNT(*) AS n_rows
+FROM cust
+GROUP BY c_nationkey, bal_100
 HAVING COUNT(*) < 5
-ORDER BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, bal_100
 """
 
 
