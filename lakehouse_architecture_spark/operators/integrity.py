@@ -1,0 +1,80 @@
+"""Dataset integrity fingerprints — cheap content equality across runs.
+
+"Did rerunning the pipeline produce the SAME table?" at 100 TB cannot be
+answered by sorting and diffing. An order-insensitive fingerprint can:
+hash every row portably (md5 — functions/hashing.py), reduce the hashes
+with modular addition (commutative, so partitioning and row order cannot
+change the result), and compare two 16-byte verdicts. Replica divergence,
+nondeterministic UDFs, and silent reader drift all surface as a
+fingerprint mismatch; the per-column variant localizes WHICH column
+drifted. One scan, one scalar aggregate — the cheapest full-content check
+possible.
+
+Caller contract: row strings must be built deterministically. Integer,
+string, date and decimal columns cast to string identically across
+engines; raw DOUBLE→string does NOT (scientific-notation thresholds
+differ) — route doubles through ``CAST(x AS DECIMAL(38,6))`` first, as
+queries/quality.q_dataset_fingerprint demonstrates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+#: Mersenne prime 2^31 - 1: per-row terms stay small, the exact decimal
+#: sum never overflows, and the final residue fits any engine's int64.
+FP_MOD = 2_147_483_647
+
+_SEP = "\x1f"
+_NULL = "<<NULL>>"
+
+
+def _row_hash(cols: list[Column]) -> Column:
+    canon = F.concat_ws(
+        _SEP, *[F.coalesce(c.cast("string"), F.lit(_NULL)) for c in cols]
+    )
+    return md5_hash64(canon) % FP_MOD
+
+
+def dataset_fingerprint(df: DataFrame, cols: list[Column] | None = None) -> DataFrame:
+    """One row ``(n_rows, fingerprint)``: modular sum of per-row md5
+    hashes over the given columns (default: all, in schema order).
+    Order- and partitioning-insensitive; identical content ⇒ identical
+    fingerprint on any engine that follows the same canonicalization."""
+    cols = [F.col(c) for c in df.columns] if cols is None else cols
+    h = _row_hash(cols)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(h.cast("decimal(38,0)")) % FP_MOD).cast("bigint").alias("fingerprint"),
+    )
+
+
+def column_fingerprints(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Long-form ``(column, n_nonnull, fingerprint)`` — per-column content
+    hashes from ONE aggregate pass (column count is plan-time fixed; the
+    unpivot of the single result row happens driver-side)."""
+    names = list(df.columns) if cols is None else cols
+    aggs = []
+    for c in names:
+        h = md5_hash64(F.coalesce(F.col(c).cast("string"), F.lit(_NULL))) % FP_MOD
+        aggs.append(
+            (F.sum(h.cast("decimal(38,0)")) % FP_MOD).cast("bigint").alias(f"__fp_{c}")
+        )
+        aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [(c, int(row[f"__n_{c}"]), int(row[f"__fp_{c}"] or 0)) for c in names]
+    return spark.createDataFrame(
+        out, "column string, n_nonnull long, fingerprint long"
+    )
+
+
+def fingerprints_match(a: DataFrame, b: DataFrame) -> bool:
+    """Content equality of two frames over their common canonicalization —
+    two tiny scalar aggregates, no join, no sort."""
+    ra = dataset_fingerprint(a).collect()[0]
+    rb = dataset_fingerprint(b).collect()[0]
+    return (ra["n_rows"], ra["fingerprint"]) == (rb["n_rows"], rb["fingerprint"])

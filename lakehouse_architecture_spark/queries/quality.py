@@ -165,9 +165,57 @@ FROM gstats, lstats
 """
 
 
+def _q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.integrity import (
+        dataset_fingerprint,
+    )
+
+    t = tables(spark, sf_dir)
+    # doubles routed through DECIMAL(38,6): raw double->string formatting
+    # is not engine-portable (operators/integrity.py caller contract)
+    cols = [
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("decimal(38,6)"),
+        F.col("l_extendedprice").cast("decimal(38,6)"),
+        F.col("l_discount").cast("decimal(38,6)"),
+        F.col("l_tax").cast("decimal(38,6)"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.col("l_shipdate"),
+    ]
+    return dataset_fingerprint(t["lineitem"], cols)
+
+
+def _fp_canon_sql() -> str:
+    from lakehouse_architecture_spark.functions.hashing import md5_hash64_sql
+
+    ints = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    decs = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    strs = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    parts = [f"coalesce(CAST({c} AS VARCHAR), '<<NULL>>')" for c in ints]
+    parts += [
+        f"coalesce(CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR), '<<NULL>>')"
+        for c in decs
+    ]
+    parts += [f"coalesce(CAST({c} AS VARCHAR), '<<NULL>>')" for c in strs]
+    canon = f"concat_ws(chr(31), {', '.join(parts)})"
+    return md5_hash64_sql(canon)
+
+
+_Q_DATASET_FINGERPRINT_SQL = f"""
+WITH rh AS (SELECT ({_fp_canon_sql()}) % 2147483647 AS h FROM lineitem)
+SELECT COUNT(*) AS n_rows, CAST(SUM(h) % 2147483647 AS BIGINT) AS fingerprint
+FROM rh
+"""
+
+
 QUALITY_QUERIES: list[QuerySpec] = [
     QuerySpec("q_dq_summary", "single-pass expectation audit over lineitem", _q_dq_summary, _Q_DQ_SUMMARY_SQL),
     QuerySpec("q_dq_quarantine", "quarantined docs with violated-rule list", _q_dq_quarantine, _Q_DQ_QUARANTINE_SQL),
     QuerySpec("q_k_anonymity", "QI groups below the k-anonymity threshold", _q_k_anonymity, _Q_K_ANONYMITY_SQL),
     QuerySpec("q_anonymity_summary", "achieved k/l + singleton-row share", _q_anonymity_summary, _Q_ANONYMITY_SUMMARY_SQL),
+    QuerySpec("q_dataset_fingerprint", "order-insensitive content hash of lineitem", _q_dataset_fingerprint, _Q_DATASET_FINGERPRINT_SQL),
 ]
