@@ -367,3 +367,46 @@ def dsir_scores(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    test_frac: float = 0.2,
+    embargo_us: int = 0,
+) -> DataFrame:
+    """Leakage-free time-based train/test split with an embargo gap.
+
+    The cutoff is the exact interpolated ``1 - test_frac`` quantile of the
+    timestamp (as epoch micros): rows at or after it are ``test``; rows
+    more than ``embargo_us`` BEFORE it are ``train``; rows inside the gap
+    are ``embargo`` and should be dropped — the purge window that keeps
+    features whose labels look into the test period out of training (the
+    purged/embargoed split of de Prado 2018, standard for autocorrelated
+    data where a hash split silently leaks).
+
+    One quantile aggregate broadcast back over a narrow map — no shuffle
+    of the data itself, and the assignment is a pure function of the
+    timestamp, so it is stable under repartitioning and engine choice.
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError(f"test_frac must be in (0,1): {test_frac}")
+    # cast: the parquet fixtures load as TIMESTAMP_NTZ and unix_micros
+    # takes TIMESTAMP; the session pins UTC so the cast shifts nothing
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cut = df.agg(
+        F.expr(
+            f"percentile(unix_micros(cast({ts_col} as timestamp)),"
+            f" {1.0 - test_frac!r})"
+        ).alias("__cut")
+    )
+    return (
+        df.crossJoin(F.broadcast(cut))
+        .withColumn(
+            "split",
+            F.when(us >= F.col("__cut"), F.lit("test"))
+            .when(us < F.col("__cut") - F.lit(int(embargo_us)), F.lit("train"))
+            .otherwise(F.lit("embargo")),
+        )
+        .drop("__cut")
+    )

@@ -212,10 +212,50 @@ FROM rh
 """
 
 
+def _q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.curation import temporal_split
+
+    t = tables(spark, sf_dir)
+    s = temporal_split(t["events"], "ts", test_frac=0.2, embargo_us=3_600_000_000)
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(
+                F.timestamp_micros(F.min(F.unix_micros(F.col("ts").cast("timestamp")))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("first_ts"),
+            F.date_format(
+                F.timestamp_micros(F.max(F.unix_micros(F.col("ts").cast("timestamp")))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("last_ts"),
+        )
+        .orderBy("split")
+    )
+
+
+_Q_TEMPORAL_SPLIT_SQL = """
+WITH us AS (SELECT epoch_ns(ts) // 1000 AS u FROM events),
+cut AS (SELECT quantile_cont(u, 0.8) AS c FROM us),
+lab AS (
+  SELECT u,
+         CASE WHEN u >= c THEN 'test'
+              WHEN u < c - 3600000000 THEN 'train'
+              ELSE 'embargo' END AS split
+  FROM us, cut
+)
+SELECT split, COUNT(*) AS n,
+       strftime(make_timestamp(MIN(u)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(make_timestamp(MAX(u)), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM lab GROUP BY split ORDER BY split
+"""
+
+
 QUALITY_QUERIES: list[QuerySpec] = [
     QuerySpec("q_dq_summary", "single-pass expectation audit over lineitem", _q_dq_summary, _Q_DQ_SUMMARY_SQL),
     QuerySpec("q_dq_quarantine", "quarantined docs with violated-rule list", _q_dq_quarantine, _Q_DQ_QUARANTINE_SQL),
     QuerySpec("q_k_anonymity", "QI groups below the k-anonymity threshold", _q_k_anonymity, _Q_K_ANONYMITY_SQL),
     QuerySpec("q_anonymity_summary", "achieved k/l + singleton-row share", _q_anonymity_summary, _Q_ANONYMITY_SUMMARY_SQL),
     QuerySpec("q_dataset_fingerprint", "order-insensitive content hash of lineitem", _q_dataset_fingerprint, _Q_DATASET_FINGERPRINT_SQL),
+    QuerySpec("q_temporal_split", "purged/embargoed time split summary", _q_temporal_split, _Q_TEMPORAL_SPLIT_SQL),
 ]

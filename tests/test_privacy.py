@@ -56,3 +56,30 @@ def test_summary_gates_with_expectations(spark):
     summary = anonymity_summary(_df(spark), ["zip", "age"], "dx")
     with pytest.raises(ExpectationsViolated):
         validate(summary, [expect("k_at_least_3", "achieved_k >= 3", "fail")])
+
+
+def test_temporal_split_purges_embargo_window(spark):
+    import datetime as dt
+
+    from lakehouse_architecture_spark.operators.curation import temporal_split
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = temporal_split(df, "ts", test_frac=0.2, embargo_us=3_600_000_000)
+    got = {r["id"]: r["split"] for r in out.collect()}
+    # cutoff = 80th pct of hours 0..9 -> hour 7.2; test = hours >= 7.2
+    assert {i for i, s in got.items() if s == "test"} == {8, 9}
+    # embargo = 1h before the cutoff: hour 7 falls inside (7.2-1 <= 7 < 7.2)
+    assert {i for i, s in got.items() if s == "embargo"} == {7}
+    assert {i for i, s in got.items() if s == "train"} == set(range(7))
+
+
+def test_temporal_split_rejects_bad_frac(spark):
+    import pytest
+
+    from lakehouse_architecture_spark.operators.curation import temporal_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        temporal_split(df, "id", test_frac=1.5)
