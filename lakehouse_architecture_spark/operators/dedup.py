@@ -311,14 +311,32 @@ def simhash_neardup_pairs(
     as MinHash LSH — and only candidates pay the exact ``bit_count(xor)``
     check. Returns (id_a < id_b, hamming).
     """
+    sig = simhash(df, id_col, text_col, bits)
+    return banded_hamming_pairs(sig, "id", "simhash", bits, bands, max_hamming)
+
+
+def banded_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic banded near-neighbor pairs over ANY integer fingerprint
+    column (SimHash, perceptual image hash, audio fingerprint...): the
+    pigeonhole band equi-join + exact ``bit_count(xor)`` verify of
+    :func:`simhash_neardup_pairs`, factored so every fingerprint family
+    shares one scale-safe candidate generator. Returns
+    (id_a < id_b, hamming)."""
     r = bits // bands
     mask = (1 << r) - 1
-    sig = simhash(df, id_col, text_col, bits)
+    sig = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * r)
+                F.shiftright(F.col("__h"), b * r)
                 .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
@@ -326,8 +344,8 @@ def simhash_neardup_pairs(
         ]
     )
     band_rows = sig.select(
-        "id", "simhash", F.explode(band_arr).alias("bk")
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "id", "__h", F.explode(band_arr).alias("bk")
+    ).select("id", "__h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -336,8 +354,8 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.__h").alias("ha"),
+            F.col("b.__h").alias("hb"),
         )
         .distinct()  # a pair sharing several bands must count once
     )

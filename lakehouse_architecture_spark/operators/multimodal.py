@@ -231,3 +231,47 @@ def decode_image_stub(df: DataFrame, payload_col: str) -> DataFrame:
             yield pd.concat([out, meta], axis=1)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def perceptual_hash_fake(df: DataFrame, payload_col: str) -> DataFrame:
+    """dHash perceptual fingerprint with a deterministic fake decoder.
+
+    Real dHash: downscale to an 8x9 grayscale grid, emit one bit per
+    horizontal gradient (g[r][c] > g[r][c+1]); near-identical images flip
+    few bits. The FAKE "downscale" here strides 72 evenly-spaced bytes
+    from the payload (no codec in this environment — swap ``_fake_grid``
+    for a PIL resize in deployment); everything else — the Arrow batch
+    shape, the 60-bit fingerprint domain (matching the SimHash bit ops),
+    and the downstream banded pairing — is the production path. Compose
+    with ``operators/dedup.banded_hamming_pairs`` for sub-quadratic
+    near-duplicate detection over the fingerprints.
+    """
+    passthrough, out_schema = _schema_with(df, payload_col, "phash long")
+
+    def _fake_grid(blob: bytes) -> list[int]:
+        # FAKE 8x9 grid: evenly strided byte samples stand in for pixels
+        n = len(blob)
+        return [blob[(i * n) // 72] for i in range(72)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for blob in pdf[payload_col]:
+                if not blob:
+                    hashes.append(None)
+                    continue
+                g = _fake_grid(blob)
+                h = 0
+                for r in range(8):
+                    for c in range(8):
+                        bit = r * 8 + c
+                        if bit >= 60:  # stay in the 60-bit bitops domain
+                            break
+                        if g[r * 9 + c] > g[r * 9 + c + 1]:
+                            h |= 1 << bit
+                hashes.append(h)
+            out = pdf[passthrough].reset_index(drop=True)
+            out["phash"] = pd.Series(hashes, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -297,3 +297,30 @@ def test_chunk_documents_windows_and_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_perceptual_hash_neardup_pairs(spark):
+    from lakehouse_architecture_spark.operators.dedup import banded_hamming_pairs
+    from lakehouse_architecture_spark.operators.multimodal import (
+        perceptual_hash_fake,
+    )
+
+    blob = bytes(range(200))
+    near = bytes([b if i != 100 else 250 for i, b in enumerate(blob)])
+    df = spark.createDataFrame(
+        [(1, blob), (2, blob), (3, near), (4, bytes(reversed(blob))), (5, b"")],
+        "img_id long, payload binary",
+    )
+    ph = perceptual_hash_fake(df, "payload")
+    got = {r["img_id"]: r["phash"] for r in ph.collect()}
+    assert got[1] == got[2] and got[5] is None
+    assert got[1] != got[4]
+    # payload pruned from the output (shuffle hygiene)
+    assert "payload" not in ph.columns
+
+    pairs = banded_hamming_pairs(
+        ph.filter("phash is not null"), "img_id", "phash", 60, 4, 3
+    )
+    got_pairs = sorted((r.id_a, r.id_b, r.hamming) for r in pairs.collect())
+    # identical -> 0; one flipped byte -> 1 gradient bit; reversed -> no pair
+    assert got_pairs == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
