@@ -77,3 +77,66 @@ def log_to_mlflow(result: TrainResult, params: dict | None = None) -> bool:
         mlflow.log_params(params or {})
         mlflow.log_metric("r2", result.r2)
     return True
+
+
+@dataclass
+class ClassifierResult:
+    model: object
+    accuracy: float
+    majority_baseline: float
+    n_train: int
+    n_test: int
+
+
+def train_text_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = 1 << 10,
+    seed: int = 42,
+) -> ClassifierResult:
+    """Distributed text classification on hashed bag-of-words features:
+    Tokenizer → HashingTF (the JVM-side hashing trick — the spark.ml twin
+    of operators/features.feature_hashing) → LogisticRegression, with the
+    same cached-snapshot 80/20 split discipline as train_price_model.
+
+    ``label_col`` must be a numeric 0/1 column (build it with an expression
+    upstream, e.g. ``(lang = 'en')::int``). Returns held-out accuracy next
+    to the majority-class baseline so callers can assert the model actually
+    learned something, not just echoed the prior.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    df = docs.select(text_col, F.col(label_col).cast("double").alias("label"))
+    df = df.filter(F.col("label").isNotNull() & F.col(text_col).isNotNull()).cache()
+    train, test = df.randomSplit([0.8, 0.2], seed=seed)
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol=text_col, outputCol="__toks"),
+            HashingTF(inputCol="__toks", outputCol="features", numFeatures=n_features),
+            LogisticRegression(featuresCol="features", labelCol="label"),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(pred)
+    n_test = test.count()
+    majority = (
+        test.groupBy("label").count().agg(F.max("count")).first()[0] / n_test
+        if n_test
+        else 0.0
+    )
+    out = ClassifierResult(
+        model=model,
+        accuracy=acc,
+        majority_baseline=majority,
+        n_train=train.count(),
+        n_test=n_test,
+    )
+    df.unpersist()
+    return out

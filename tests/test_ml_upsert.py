@@ -1,5 +1,6 @@
 """spark.ml training bridge (M1-M4) + MERGE-style upsert semantics."""
 
+from pyspark.sql import functions as F
 from lakehouse_architecture_spark.operators.upsert import merge_upsert, touched_partitions
 from lakehouse_architecture_spark.pipeline.medallion import silver_to_gold
 from lakehouse_architecture_spark.pipeline.ml import train_price_model
@@ -49,3 +50,25 @@ def test_merge_upsert(spark):
     assert ledger == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
 
     assert sorted(touched_partitions(updates, "dt")) == ["2024-01-01", "2024-01-03"]
+
+
+def test_text_classifier_learns_separable_vocab(spark):
+    import random
+
+    from lakehouse_architecture_spark.pipeline.ml import train_text_classifier
+
+    rnd = random.Random(3)
+    pos_vocab = ["alpha", "beta", "gamma", "delta"]
+    neg_vocab = ["omega", "sigma", "kappa", "theta"]
+    rows = []
+    for i in range(200):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        text = " ".join(rnd.choice(vocab) for _ in range(8))
+        rows.append((text, i % 2 == 0))
+    df = spark.createDataFrame(rows, "text string, is_pos boolean").withColumn(
+        "label", F.col("is_pos").cast("int")
+    )
+    r = train_text_classifier(df, "text", "label", n_features=64)
+    # disjoint vocabularies: the hashed-BoW model must beat the prior big
+    assert r.accuracy > max(r.majority_baseline, 0.9)
+    assert r.n_train + r.n_test == 200
