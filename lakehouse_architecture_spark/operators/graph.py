@@ -151,3 +151,80 @@ def pagerank(
             )
         )
     return ranks.select(F.col("nid").alias(id_col), "rank")
+
+
+def triangle_stats(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Triangle count + global clustering coefficient of an undirected
+    graph, one row: (n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering = 3·triangles / wedges).
+
+    Degree-ordered orientation (the standard distributed-triangle trick):
+    each edge points from its (degree, id)-smaller endpoint to the larger,
+    so every node's out-neighborhood is O(√m) even on power-law graphs —
+    the wedge self-join that would explode on a hub's full neighborhood is
+    bounded by its out-degree instead. Wedges join back to the oriented
+    edge list to close triangles; each triangle is produced exactly once
+    (its orientation is a total order). No global rank/sort anywhere:
+    endpoint comparison uses (degree, id) struct ordering directly.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = F.struct("da", "a") < F.struct("db", "b")
+    orient = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = orient.alias("o1")
+    o2 = orient.alias("o2")
+    wedge = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            F.struct(F.col("o1.dv"), F.col("o1.v"))
+            < F.struct(F.col("o2.dv"), F.col("o2.v"))
+        ),
+    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
+    tri = wedge.join(
+        orient.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -226,6 +226,77 @@ ORDER BY "rank"
 """
 
 
+# --- triangle census of the near-dup graph -------------------------------
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.dedup import ngram_jaccard_pairs
+    from lakehouse_architecture_spark.operators.graph import triangle_stats
+
+    t = tables(spark, sf_dir)
+    edges = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.2
+    )
+    return triangle_stats(edges)
+
+
+_Q_TRIANGLES_SQL = f"""
+WITH {{shingles}},
+shh AS (SELECT doc_id, {{hash64}} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.2
+),
+nodes AS (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges),
+deg AS (SELECT v, COUNT(*) AS d FROM nodes GROUP BY v),
+orient AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+  FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+),
+wedge AS (
+  SELECT o1.v AS x, o2.v AS y
+  FROM orient o1 JOIN orient o2
+    ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedge JOIN orient o ON o.u = wedge.x AND o.v = wedge.y
+),
+stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ecnt AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       ROUND(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+         AS global_clustering
+FROM stats, ecnt, tri
+"""
+
+
+def _triangles_sql() -> str:
+    from lakehouse_architecture_spark.queries.textops import (
+        _HASH64,
+        _SHINGLES_CTE,
+    )
+
+    return _Q_TRIANGLES_SQL.format(
+        shingles=_SHINGLES_CTE.strip().removeprefix("\n"),
+        hash64=_HASH64.format(expr="shingle"),
+    )
+
+
 ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_pmi_collocations", "top-PMI bigram phrases (collocation mining)", _q_pmi, _Q_PMI_SQL),
     QuerySpec("q_source_overlap", "pairwise source shingle Jaccard/containment", _q_source_overlap, _Q_SOURCE_OVERLAP_SQL),
@@ -233,4 +304,5 @@ ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_group_sample", "deterministic fixed-k audit sample per source", _q_group_sample, _Q_GROUP_SAMPLE_SQL),
     QuerySpec("q_vocab_coverage", "vocab size for token-coverage targets", _q_vocab_coverage, _Q_VOCAB_COVERAGE_SQL),
     QuerySpec("q_key_skew", "heavy-key skew profile (salting decision)", _q_key_skew, _Q_KEY_SKEW_SQL),
+    QuerySpec("q_triangles", "triangle census of the near-dup graph", _q_triangles, _triangles_sql()),
 ]

@@ -283,3 +283,25 @@ def test_hapax_vanishes_when_corpus_duplicated(spark):
     # and the single copy has hapaxes everywhere
     single = hapax_stats(docs, "source", "text").collect()
     assert all(r["n_hapax"] == r["n_distinct"] for r in single)
+
+
+def test_triangle_stats_known_graph(spark):
+    from lakehouse_architecture_spark.operators.graph import triangle_stats
+
+    # K4 plus a pendant: 4 triangles, wedges = sum C(d,2) = 3*C(3,2)+C(4,2)+0
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = triangle_stats(df).collect()[0]
+    assert r["n_nodes"] == 5 and r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    assert r["n_wedges"] == 3 * 3 + 6 + 0
+    assert abs(r["global_clustering"] - round(12 / 15, 6)) < 1e-12
+
+
+def test_triangle_stats_dedupes_and_ignores_direction(spark):
+    from lakehouse_architecture_spark.operators.graph import triangle_stats
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)]  # dup edge + self loop
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = triangle_stats(df).collect()[0]
+    assert r["n_edges"] == 3 and r["n_triangles"] == 1
