@@ -117,3 +117,65 @@ def out_of_order_stats(
         ).alias("late_ratio"),
         F.max("__late_s").alias("max_lateness"),
     )
+
+
+def multi_touch_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_type: str,
+    max_lag_seconds: int,
+    model: str = "linear",
+    half_life_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Fractional conversion credit across ALL touches in the lookback
+    window — ``linear`` (equal split) or ``time_decay`` (half-life
+    exponential, normalized per conversion). Output: one row per
+    (conversion, touch) with lag and weight; weights per conversion sum
+    to ~1.
+
+    Unlike last-touch (a pure window), multi-touch must enumerate the
+    (touch, conversion) pairs — a per-user equi-join with a range filter,
+    bounded by touches-per-user-per-window; for hot users compose with
+    the bucketed range-join pattern (operators/relational.range_join).
+    Timestamps compare as exact epoch-micros integers; the decay
+    normalizer sums through decimal so weights are partition-order
+    independent.
+    """
+    if model not in ("linear", "time_decay"):
+        raise ValueError(f"model must be linear|time_decay: {model}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("conversion_id"),
+        us.alias("cus"),
+    )
+    touch = df.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("touch_id"),
+        us.alias("tus"),
+    )
+    lag_us = F.col("cus") - F.col("tus")
+    pairs = conv.join(touch, "u").filter(
+        (F.col("tus") < F.col("cus"))
+        & (lag_us <= int(max_lag_seconds) * 1_000_000)
+    )
+    if model == "linear":
+        w_raw = F.lit(1.0)
+    else:
+        w_raw = F.pow(
+            F.lit(0.5),
+            lag_us.cast("double") / (int(half_life_seconds) * 1_000_000),
+        )
+    wnorm = Window.partitionBy("conversion_id")
+    norm = F.sum(w_raw.cast("decimal(38,18)")).over(wnorm).cast("double")
+    return pairs.select(
+        "conversion_id",
+        F.col("u").alias(user_col),
+        "touch_id",
+        F.expr("(cus - tus) div 1000000").alias("lag_seconds"),
+        F.round(w_raw / norm, 6).alias("weight"),
+    )

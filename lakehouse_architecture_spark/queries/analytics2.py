@@ -297,6 +297,51 @@ def _triangles_sql() -> str:
     )
 
 
+# --- multi-touch attribution (time-decay) --------------------------------
+def _q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_architecture_spark.operators.analytics import (
+        multi_touch_attribution,
+    )
+
+    t = tables(spark, sf_dir)
+    return multi_touch_attribution(
+        t["events"],
+        conversion_type="purchase",
+        touch_type="click",
+        max_lag_seconds=86_400,
+        model="time_decay",
+        half_life_seconds=21_600,
+    ).orderBy("conversion_id", "touch_id")
+
+
+_Q_MULTI_TOUCH_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+),
+conv AS (
+  SELECT user_id AS u, event_id AS conversion_id, us AS cus
+  FROM ev WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS u, event_id AS touch_id, us AS tus
+  FROM ev WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT conversion_id, conv.u AS user_id, touch_id, cus, tus,
+         POWER(0.5, CAST(cus - tus AS DOUBLE) / 21600000000) AS w_raw
+  FROM conv JOIN touch ON conv.u = touch.u
+  WHERE tus < cus AND cus - tus <= 86400000000
+)
+SELECT conversion_id, user_id, touch_id,
+       (cus - tus) // 1000000 AS lag_seconds,
+       ROUND(w_raw / CAST(SUM(CAST(w_raw AS DECIMAL(38,18)))
+                          OVER (PARTITION BY conversion_id) AS DOUBLE), 6)
+         AS weight
+FROM pairs
+ORDER BY conversion_id, touch_id
+"""
+
+
 ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_pmi_collocations", "top-PMI bigram phrases (collocation mining)", _q_pmi, _Q_PMI_SQL),
     QuerySpec("q_source_overlap", "pairwise source shingle Jaccard/containment", _q_source_overlap, _Q_SOURCE_OVERLAP_SQL),
@@ -305,4 +350,5 @@ ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_vocab_coverage", "vocab size for token-coverage targets", _q_vocab_coverage, _Q_VOCAB_COVERAGE_SQL),
     QuerySpec("q_key_skew", "heavy-key skew profile (salting decision)", _q_key_skew, _Q_KEY_SKEW_SQL),
     QuerySpec("q_triangles", "triangle census of the near-dup graph", _q_triangles, _triangles_sql()),
+    QuerySpec("q_multi_touch", "time-decay multi-touch attribution weights", _q_multi_touch, _Q_MULTI_TOUCH_SQL),
 ]

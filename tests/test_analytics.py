@@ -305,3 +305,37 @@ def test_triangle_stats_dedupes_and_ignores_direction(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     r = triangle_stats(df).collect()[0]
     assert r["n_edges"] == 3 and r["n_triangles"] == 1
+
+
+def test_multi_touch_linear_and_decay(spark):
+    import datetime as dt
+
+    from lakehouse_architecture_spark.operators.analytics import (
+        multi_touch_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, "click", base),
+        (2, 100, "click", base + dt.timedelta(hours=1)),
+        (3, 100, "purchase", base + dt.timedelta(hours=2)),
+        (4, 100, "click", base + dt.timedelta(days=30)),  # outside window
+        (5, 200, "purchase", base),  # organic: no touches at all
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    lin = multi_touch_attribution(df, "purchase", "click", 86_400, model="linear")
+    got = {(r["conversion_id"], r["touch_id"]): r["weight"] for r in lin.collect()}
+    assert got == {(3, 1): 0.5, (3, 2): 0.5}
+
+    dec = multi_touch_attribution(
+        df, "purchase", "click", 86_400, model="time_decay", half_life_seconds=3600
+    )
+    w = {r["touch_id"]: r["weight"] for r in dec.collect()}
+    # touch 2 is one half-life closer -> exactly twice the credit: 2/3 vs 1/3
+    assert abs(w[2] - round(2 / 3, 6)) < 1e-9
+    assert abs(w[1] - round(1 / 3, 6)) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        multi_touch_attribution(df, "purchase", "click", 1, model="u_shaped")
