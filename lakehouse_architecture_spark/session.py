@@ -79,6 +79,16 @@ class SessionFactory:
             "spark.sql.execution.arrow.pyspark.enabled": "true",
             # Bound scan-task size so a 100 TB table yields sane task counts.
             "spark.sql.files.maxPartitionBytes": "128m",
+            # Runtime bloom-filter join reduction: when one side of a
+            # shuffle join is selective, inject a bloom filter into the
+            # other side's scan so filtered-out rows never enter the
+            # shuffle — a major lever on fact-fact joins at 100 TB. Off by
+            # default in OSS Spark. Size thresholds stay at their defaults,
+            # so the filter only fires where it pays (tests opt in with
+            # lowered thresholds to pin the injection path;
+            # runtimeFilter.semiJoinReduction is NOT enabled — it deadlocks
+            # this Spark build on any action, verified on 4.1.2).
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
             # Don't let a single output file explode on partitioned writes.
             "spark.sql.files.maxRecordsPerFile": "5000000",
             "spark.ui.enabled": "false",

@@ -307,3 +307,28 @@ def test_equidepth_bins_single_pass_no_sort(spark):
     body = plan.split("== Physical Plan ==")[-1]
     sorts = [m for m in re.finditer(r"\bSort\b", body)]
     assert len(sorts) <= 2, f"unexpected sorts in plan:\n{body[:3000]}"
+
+
+def test_runtime_bloom_filter_injects_when_thresholds_allow(spark):
+    """SessionFactory enables runtime bloom-filter join reduction; size
+    thresholds keep it dormant at fixture scale (bench plans unchanged).
+    This opts in via runtime confs to pin that the injection path WORKS —
+    the scan side gets a bloom_filter_agg-fed filter — then restores."""
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        plan = formatted_plan(_q(spark, "q03_top_revenue_orders"))
+        assert "bloom_filter_agg" in plan
+        # and the engine default leaves fixture-scale plans untouched
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        assert "bloom_filter_agg" not in formatted_plan(_q(spark, "q03_top_revenue_orders"))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
