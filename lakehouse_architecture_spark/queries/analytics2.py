@@ -342,6 +342,39 @@ ORDER BY conversion_id, touch_id
 """
 
 
+# --- rolling exact percentiles (robust smoothing) ------------------------
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-row rolling exact median and p90 of the event value —
+    the robust (outlier-immune) counterpart of q_ewma's mean smoothing.
+    Spark evaluates `percentile` as a window aggregate: one shuffle on the
+    user key, per-frame exact interpolation, no UDF and no self-join."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("roll_med"),
+        F.round(F.expr("percentile(value, 0.9)").over(w), 6).alias("roll_p90"),
+    )
+
+
+_Q_ROLLING_MEDIAN_SQL = """
+SELECT user_id, event_id, ROUND(value, 6) AS value,
+       ROUND(quantile_cont(value, 0.5) OVER w, 6) AS roll_med,
+       ROUND(quantile_cont(value, 0.9) OVER w, 6) AS roll_p90
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_pmi_collocations", "top-PMI bigram phrases (collocation mining)", _q_pmi, _Q_PMI_SQL),
     QuerySpec("q_source_overlap", "pairwise source shingle Jaccard/containment", _q_source_overlap, _Q_SOURCE_OVERLAP_SQL),
@@ -351,4 +384,5 @@ ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_key_skew", "heavy-key skew profile (salting decision)", _q_key_skew, _Q_KEY_SKEW_SQL),
     QuerySpec("q_triangles", "triangle census of the near-dup graph", _q_triangles, _triangles_sql()),
     QuerySpec("q_multi_touch", "time-decay multi-touch attribution weights", _q_multi_touch, _Q_MULTI_TOUCH_SQL),
+    QuerySpec("q_rolling_median", "5-row rolling exact median + p90 per user", _q_rolling_median, _Q_ROLLING_MEDIAN_SQL),
 ]
