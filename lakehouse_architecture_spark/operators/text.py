@@ -707,3 +707,64 @@ def hapax_stats(df: DataFrame, source_col: str, text_col: str) -> DataFrame:
         n_hapax.alias("n_hapax"),
         F.round(n_hapax / F.col("n_distinct"), 6).alias("hapax_ratio"),
     )
+
+
+def build_search_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable inverted index: ``postings (term, id, tf)`` over the
+    FULL vocabulary plus ``docstats (id, dl)``. Build once per corpus
+    (two hash aggregates); persist with ``Catalog.save_as_table(...,
+    bucket_by=(n, ["term"]))`` so query-time term lookups prune to the
+    term's buckets (Spark bucket pruning on IN/= — set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` for
+    filter-only lookups; the auto heuristic doesn't credit pruning)
+    instead of scanning the corpus — the difference between search cost ~ O(postings of the query
+    terms) and ~ O(corpus text).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    postings = tok.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    docstats = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, docstats
+
+
+def search_index(
+    postings: DataFrame,
+    docstats: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k over a prebuilt index — identical scoring to
+    :func:`bm25_scores` (parity-tested) but touching ONLY the index
+    tables: the corpus text is never re-tokenized at query time. Returns
+    the ``k`` best (id, score, n_hit), ties broken by id.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import dsum
+
+    dl = docstats.select("id", "dl")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = postings.filter(F.col("term").isin(*terms)).select("term", "id", "tf")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("t_score", F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6))
+    )
+    scored = per_term.groupBy("id").agg(
+        F.round(dsum("t_score"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
