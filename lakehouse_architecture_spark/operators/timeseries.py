@@ -346,3 +346,52 @@ def ewma(
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
     return df.withColumn("ewma", F.round(num / den, 6))
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring: one row per
+    distinct duration where an event occurred — ``(t, n_risk, d,
+    survival)`` with S(t) = Π_{t'<=t} (1 - d_{t'}/n_{t'}).
+
+    ``event_col`` is 1 for an observed event (churned, failed), 0 for
+    censored (still alive at observation end) — censored rows leave the
+    risk set without registering an event, which is the whole point of KM
+    over a naive CDF. The input collapses to its distinct-duration
+    counts first, so both windows (the reverse-cumulative risk set and
+    the running product, computed as exp of a running log-sum) run over a
+    duration-cardinality table, never the raw rows.
+    """
+    counts = (
+        df.select(
+            F.col(duration_col).alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .groupBy("t")
+        .agg(F.sum("e").alias("d"), F.count(F.lit(1)).alias("c"))
+    )
+    w_risk = Window.orderBy(F.col("t").desc())
+    w_surv = Window.orderBy(F.col("t").asc())
+    with_risk = counts.withColumn("n_risk", F.sum("c").over(w_risk))
+    # ratio 0 (risk set exhausted by events) needs explicit handling:
+    # Spark's non-ANSI log(0) is NULL while other engines say -inf — so
+    # survival is forced to 0 from the first exhausted step onward and
+    # only strictly-positive ratios enter the log-sum (identical rule in
+    # the oracle SQL keeps both engines bit-aligned).
+    ratio = (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+    zero_seen = F.max((ratio == 0).cast("int")).over(w_surv)
+    logsum = F.sum(F.when(ratio > 0, F.log(ratio))).over(w_surv)
+    return (
+        with_risk.filter(F.col("d") > 0)
+        .withColumn(
+            "survival",
+            F.when(zero_seen == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(logsum), 6)
+            ),
+        )
+        .select("t", "n_risk", "d", "survival")
+        .orderBy("t")
+    )

@@ -365,3 +365,81 @@ TIMESERIES_QUERIES: list[QuerySpec] = [
     QuerySpec("q_zscore_outliers", "rolling z-score anomaly screen (exact sums)", _q_zscore_outliers, _Q_ZSCORE_SQL),
     QuerySpec("q_ewma", "finite-window EWMA smoothing per key", _q_ewma, _Q_EWMA_SQL),
 ]
+
+
+# --- Kaplan-Meier time-to-conversion survival -----------------------------
+def _q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of click->next-purchase latency in hours, right-
+    censoring clicks with no later purchase at the user's last observed
+    event — the churn/conversion-analysis staple, built on
+    operators/timeseries.kaplan_meier over a duration-cardinality table."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_spark.operators.timeseries import kaplan_meier
+
+    t = tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = t["events"].select(
+        "user_id", "event_type", "event_id", us.alias("us")
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_all = Window.partitionBy("user_id")
+    enriched = ev.withColumn(
+        "next_p",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).over(w_next),
+    ).withColumn("l_user", F.max("us").over(w_all))
+    clicks = enriched.filter(F.col("event_type") == "click").select(
+        F.expr("(coalesce(next_p, l_user) - us) div 3600000000").alias("t"),
+        F.col("next_p").isNotNull().cast("int").alias("e"),
+    )
+    return kaplan_meier(clicks, "t", "e")
+
+
+_Q_KAPLAN_MEIER_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+enriched AS (
+  SELECT user_id, event_type, us,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p,
+         MAX(us) OVER (PARTITION BY user_id) AS l_user
+  FROM ev
+),
+life AS (
+  SELECT (COALESCE(next_p, l_user) - us) // 3600000000 AS t,
+         CASE WHEN next_p IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM enriched WHERE event_type = 'click'
+),
+counts AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) AS d, COUNT(*) AS c FROM life GROUP BY t
+),
+wr AS (
+  SELECT t, d, c, CAST(SUM(c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+  FROM counts
+),
+ev2 AS (
+  SELECT t, d, n_risk,
+         MAX(CASE WHEN CAST(n_risk - d AS DOUBLE) / n_risk = 0
+                  THEN 1 ELSE 0 END) OVER (ORDER BY t ASC) AS zs,
+         SUM(CASE WHEN CAST(n_risk - d AS DOUBLE) / n_risk > 0
+                  THEN LN(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+           OVER (ORDER BY t ASC) AS ls
+  FROM wr WHERE d > 0
+)
+SELECT t, n_risk, d,
+       CASE WHEN zs = 1 THEN 0.0 ELSE ROUND(EXP(ls), 6) END AS survival
+FROM ev2 ORDER BY t
+"""
+
+
+# defined below the list it joins: appended at import, keeping the family
+# declaration in one file without reordering the module
+TIMESERIES_QUERIES.append(
+    QuerySpec("q_kaplan_meier", "right-censored user-lifetime survival curve", _q_kaplan_meier, _Q_KAPLAN_MEIER_SQL)
+)

@@ -339,3 +339,27 @@ def test_multi_touch_linear_and_decay(spark):
 
     with pytest.raises(ValueError):
         multi_touch_attribution(df, "purchase", "click", 1, model="u_shaped")
+
+
+def test_kaplan_meier_textbook_case(spark):
+    from lakehouse_architecture_spark.operators.timeseries import kaplan_meier
+
+    # durations: events at t=1 (2 of 5), t=3 (1 of 3 remaining after a
+    # censor at t=2); classic KM: S(1)=3/5, S(3)=3/5 * 1/2
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "t int, e int")
+    out = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_risk"] == 5 and out[1]["d"] == 2
+    assert abs(out[1]["survival"] - 0.6) < 1e-9
+    assert out[3]["n_risk"] == 2 and out[3]["d"] == 1
+    assert abs(out[3]["survival"] - 0.3) < 1e-9
+
+
+def test_kaplan_meier_exhausted_risk_set_hits_zero(spark):
+    from lakehouse_architecture_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "t int, e int")
+    out = {r["t"]: r["survival"] for r in kaplan_meier(df, "t", "e").collect()}
+    # final step: n_risk == d -> survival exactly 0 (log(0) guarded)
+    assert out[1] == 0.5 and out[2] == 0.0
