@@ -179,3 +179,58 @@ def multi_touch_attribution(
         F.expr("(cus - tus) div 1000000").alias("lag_seconds"),
         F.round(w_raw / norm, 6).alias("weight"),
     )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    control: object = 0,
+    treatment: object = 1,
+) -> DataFrame:
+    """Two-sample experiment readout in ONE aggregate pass: per-arm n,
+    decimal-exact means and variances, the difference, Welch's t statistic
+    and Satterthwaite degrees of freedom.
+
+    All moments come from conditional decimal sums (Σx, Σx² per arm) in a
+    single hash aggregate — no per-arm scans, no collect; the variance
+    uses the (Σx² − n·mean²)/(n−1) identity with the same expression order
+    on both engines. Inference (p-value lookup) stays with the caller —
+    the statistic is the engine's job, the t-distribution table is not.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import DECIMAL
+
+    x = F.col(metric_col)
+    in_a = F.col(arm_col) == F.lit(control)
+    in_b = F.col(arm_col) == F.lit(treatment)
+
+    def arm_aggs(cond, tag):
+        xa = F.when(cond, x)
+        return [
+            F.count(xa).alias(f"n_{tag}"),
+            F.sum(xa.cast(DECIMAL)).cast("double").alias(f"s_{tag}"),
+            F.sum((xa * xa).cast(DECIMAL)).cast("double").alias(f"ss_{tag}"),
+        ]
+
+    agg = df.filter(x.isNotNull()).agg(*arm_aggs(in_a, "a"), *arm_aggs(in_b, "b"))
+    mean = lambda t: F.col(f"s_{t}") / F.col(f"n_{t}")
+    var = lambda t: (
+        F.col(f"ss_{t}") - F.col(f"n_{t}") * mean(t) * mean(t)
+    ) / (F.col(f"n_{t}") - 1)
+    se2 = var("a") / F.col("n_a") + var("b") / F.col("n_b")
+    t_stat = (mean("b") - mean("a")) / F.sqrt(se2)
+    df_welch = (se2 * se2) / (
+        (var("a") / F.col("n_a")) * (var("a") / F.col("n_a")) / (F.col("n_a") - 1)
+        + (var("b") / F.col("n_b")) * (var("b") / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(mean("a"), 6).alias("mean_a"),
+        F.round(mean("b"), 6).alias("mean_b"),
+        F.round(mean("b") - mean("a"), 6).alias("diff"),
+        F.round(var("a"), 6).alias("var_a"),
+        F.round(var("b"), 6).alias("var_b"),
+        F.round(t_stat, 6).alias("welch_t"),
+        F.round(df_welch, 6).alias("df_welch"),
+    )

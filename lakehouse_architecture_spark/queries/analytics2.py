@@ -375,6 +375,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+# --- A/B experiment readout (Welch) --------------------------------------
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arm assignment (user_id parity — the hash-split
+    story) and a one-pass Welch readout of the event value metric."""
+    from lakehouse_architecture_spark.operators.analytics import ab_test_summary
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].withColumn("arm", F.col("user_id") % 2)
+    return ab_test_summary(ev, "arm", "value")
+
+
+_Q_AB_TEST_SQL = """
+WITH base AS (
+  SELECT user_id % 2 AS arm, value FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT
+    COUNT(CASE WHEN arm = 0 THEN value END) AS n_a,
+    CAST(SUM(CAST(CASE WHEN arm = 0 THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS s_a,
+    CAST(SUM(CAST(CASE WHEN arm = 0 THEN value END
+              * CASE WHEN arm = 0 THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS ss_a,
+    COUNT(CASE WHEN arm = 1 THEN value END) AS n_b,
+    CAST(SUM(CAST(CASE WHEN arm = 1 THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS s_b,
+    CAST(SUM(CAST(CASE WHEN arm = 1 THEN value END
+              * CASE WHEN arm = 1 THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS ss_b
+  FROM base
+)
+SELECT n_a, n_b,
+       ROUND(s_a / n_a, 6) AS mean_a,
+       ROUND(s_b / n_b, 6) AS mean_b,
+       ROUND(s_b / n_b - s_a / n_a, 6) AS diff,
+       ROUND((ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1), 6) AS var_a,
+       ROUND((ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1), 6) AS var_b,
+       ROUND((s_b / n_b - s_a / n_a)
+             / SQRT(((ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1)) / n_a
+                    + ((ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1)) / n_b), 6)
+         AS welch_t,
+       ROUND(((((ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1)) / n_a
+               + ((ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1)) / n_b)
+              * (((ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1)) / n_a
+                 + ((ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1)) / n_b))
+             / ((((ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1)) / n_a)
+                * (((ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1)) / n_a)
+                / (n_a - 1)
+                + (((ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1)) / n_b)
+                * (((ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1)) / n_b)
+                / (n_b - 1)), 6)
+         AS df_welch
+FROM agg
+"""
+
+
 ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_pmi_collocations", "top-PMI bigram phrases (collocation mining)", _q_pmi, _Q_PMI_SQL),
     QuerySpec("q_source_overlap", "pairwise source shingle Jaccard/containment", _q_source_overlap, _Q_SOURCE_OVERLAP_SQL),
@@ -385,4 +437,5 @@ ANALYTICS2_QUERIES: list[QuerySpec] = [
     QuerySpec("q_triangles", "triangle census of the near-dup graph", _q_triangles, _triangles_sql()),
     QuerySpec("q_multi_touch", "time-decay multi-touch attribution weights", _q_multi_touch, _Q_MULTI_TOUCH_SQL),
     QuerySpec("q_rolling_median", "5-row rolling exact median + p90 per user", _q_rolling_median, _Q_ROLLING_MEDIAN_SQL),
+    QuerySpec("q_ab_test", "one-pass Welch t-test experiment readout", _q_ab_test, _Q_AB_TEST_SQL),
 ]

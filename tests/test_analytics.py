@@ -363,3 +363,31 @@ def test_kaplan_meier_exhausted_risk_set_hits_zero(spark):
     out = {r["t"]: r["survival"] for r in kaplan_meier(df, "t", "e").collect()}
     # final step: n_risk == d -> survival exactly 0 (log(0) guarded)
     assert out[1] == 0.5 and out[2] == 0.0
+
+
+def test_ab_test_summary_matches_scipy_free_hand_calc(spark):
+    from lakehouse_architecture_spark.operators.analytics import ab_test_summary
+
+    # control: [1,2,3] mean 2 var 1; treatment: [4,6] mean 5 var 2
+    rows = [(0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 6.0)]
+    df = spark.createDataFrame(rows, "arm int, value double")
+    r = ab_test_summary(df, "arm", "value").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["mean_a"] == 2.0 and r["mean_b"] == 5.0 and r["diff"] == 3.0
+    assert r["var_a"] == 1.0 and r["var_b"] == 2.0
+    # se2 = 1/3 + 1 = 4/3; t = 3 / sqrt(4/3)
+    import math
+
+    assert abs(r["welch_t"] - round(3 / math.sqrt(4 / 3), 6)) < 1e-9
+    # df = (4/3)^2 / ((1/3)^2/2 + 1^2/1)
+    expected_df = (4 / 3) ** 2 / ((1 / 3) ** 2 / 2 + 1.0)
+    assert abs(r["df_welch"] - round(expected_df, 6)) < 1e-9
+
+
+def test_ab_test_ignores_null_metric(spark):
+    from lakehouse_architecture_spark.operators.analytics import ab_test_summary
+
+    rows = [(0, 1.0), (0, None), (1, 2.0), (1, 4.0)]
+    df = spark.createDataFrame(rows, "arm int, value double")
+    r = ab_test_summary(df, "arm", "value").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 2)
