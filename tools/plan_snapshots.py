@@ -40,6 +40,10 @@ QUERIES = [
     "q_vocab_coverage",
     "q_dq_summary",
     "q_pq_knn",
+    "q_triangles",
+    "q_kaplan_meier",
+    "q_multi_touch",
+    "q_ab_test",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
