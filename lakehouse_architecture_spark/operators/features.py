@@ -68,17 +68,23 @@ def loo_target_encode(
                   / (n(key) - 1 + prior_weight)
 
     Rows in singleton groups (n == 1, denominator 0 when unsmoothed) get
-    the global mean — the only defensible value with no peers. Sums go
-    through decimal (functions/aggregates.py) so the encoding is
-    partition-order independent.
+    the global mean — the only defensible value with no peers. NULL keys
+    form their own group (null-safe stats join) rather than silently
+    dropping out of the training set. Sums go through decimal
+    (functions/aggregates.py) so the encoding is partition-order
+    independent.
     """
     stats = df.groupBy(key_col).agg(
         dsum(target_col, "__sum"), F.count(target_col).alias("__n")
-    )
+    ).withColumnRenamed(key_col, "__key")
     gmean = df.agg(
         (dsum(target_col) / F.count(target_col)).alias("__gmean")
     )
-    joined = df.join(stats, key_col).crossJoin(F.broadcast(gmean))
+    joined = (
+        df.join(stats, F.col(key_col).eqNullSafe(F.col("__key")))
+        .drop("__key")
+        .crossJoin(F.broadcast(gmean))
+    )
     denom = F.col("__n") - 1 + F.lit(float(prior_weight))
     enc = (
         F.col("__sum")

@@ -50,14 +50,24 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int) -> DataFrame:
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dim: int | None = None
+) -> DataFrame:
     """(vid, sub, sv): each vector split into m equal consecutive slices.
-    Vector length must be divisible by m — ragged vectors are dropped (a
-    wrong-length embedding has no well-defined codes)."""
+
+    With ``dim`` set, only vectors of EXACTLY that length participate —
+    a `% m == 0` check alone is not enough: a half-length vector yields
+    short subvectors whose zip_with distance against full codewords is
+    NULL, and the argmin tiebreak would then silently assign code 0
+    everywhere, corrupting ANN results for mixed-dimension corpora."""
     vecs = spread(df).select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).filter(F.size("v") % m == 0)
+    )
+    if dim is not None:
+        vecs = vecs.filter(F.size("v") == dim)
+    else:
+        vecs = vecs.filter(F.size("v") % m == 0)
     sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
     return vecs.select("vid", sub, "v").select(
         "vid",
@@ -85,8 +95,20 @@ def pq_codebooks(
     one DataFrame per iteration (assignment joins the broadcast codebook
     on ``sub``; means aggregate on (sub, code, pos) — key space
     m × ksub × d_sub, tiny at any corpus size).
+
+    The trained dimension is pinned to the LOWEST-ID vector's length
+    (deterministic); vectors of any other length are excluded from
+    training — mixing dimensions would put unequal-length codewords in
+    one codebook (see ``_subvectors``).
     """
-    subs = _subvectors(df, id_col, vec_col, m)
+    head = df.orderBy(F.col(id_col).asc()).select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()
+    if head is None:
+        raise ValueError("empty corpus — no vectors to train codebooks on")
+    if int(head["d"]) % m != 0:
+        raise ValueError(f"vector dim {head['d']} not divisible by m={m}")
+    subs = _subvectors(df, id_col, vec_col, m, dim=int(head["d"]))
     seed_ids = (
         subs.select("vid")
         .distinct()
@@ -133,8 +155,13 @@ def pq_encode(
 ) -> DataFrame:
     """Compress each vector to ``(id, codes array<int>)`` — argmin code per
     subspace (tiebreak: lowest code). One broadcast join + one groupBy on
-    the id; output is corpus-sized but codes-wide only."""
-    subs = _subvectors(df, id_col, vec_col, m)
+    the id; output is corpus-sized but codes-wide only. Vectors whose
+    length differs from the codebook's trained dimension are dropped (see
+    ``_subvectors`` — they have no well-defined codes)."""
+    first = codebooks.select(F.size("cvec").alias("d")).first()
+    if first is None:
+        raise ValueError("empty codebooks — did every vector fail the dim filter?")
+    subs = _subvectors(df, id_col, vec_col, m, dim=int(first["d"]) * m)
     scored = subs.join(F.broadcast(codebooks), "sub").withColumn(
         "d", _sqdist(F.col("sv"), F.col("cvec"))
     )
@@ -167,7 +194,10 @@ def pq_adc_knn(
     """
     q = [float(x) for x in query_vec]
     spark = codes_df.sparkSession
-    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    max_sub = codebooks.agg(F.max("sub")).first()[0]
+    if max_sub is None:
+        raise ValueError("empty codebooks — nothing to search against")
+    m = max_sub + 1
     if len(q) % m != 0:
         raise ValueError(f"query dim {len(q)} not divisible by m={m}")
     d_sub = len(q) // m

@@ -167,9 +167,14 @@ def ks_drift(
     differs from it by at most the max per-bin mass and is the standard
     scale-out compromise.
     """
-    vals = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    )
+    # NULL groups are excluded UP FRONT: a null segment label can't join
+    # the dense grid, so leaving those rows in would let them widen the
+    # global bin range (skewing every real segment's CDF) while their own
+    # mass silently vanished from the pooled distribution. Callers who
+    # want unlabeled rows monitored should coalesce the label first.
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
     scal = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     binned = (
         vals.crossJoin(F.broadcast(scal))
@@ -246,11 +251,10 @@ def sample_k_per_group(
     """
     h = md5_hash64(F.col(id_col).cast("string"))
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
-    return (
-        df.select(group_col, id_col)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-    )
+    # all payload columns ride along: an audit sample you must re-join
+    # against the corpus to inspect defeats its purpose (and costs a
+    # second scan); the window shuffle carries the rows either way
+    return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def vocab_coverage(

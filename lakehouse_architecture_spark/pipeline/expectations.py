@@ -67,6 +67,14 @@ def expect(name: str, predicate: str, action: str = "warn") -> Expectation:
     return Expectation(name, predicate, action)
 
 
+def violation_aggs(expectations: list[Expectation]):
+    """The one aggregate-column set every enforcement path shares — a
+    violation counter per rule. Single source of truth so batch validate,
+    observe metrics, dq_summary, and the streaming audit can never drift
+    apart on NULL/count semantics."""
+    return [F.sum((~e.holds()).cast("long")).alias(e.name) for e in expectations]
+
+
 def _check_suite(expectations: list[Expectation]) -> None:
     if not expectations:
         raise ValueError("empty expectation suite")
@@ -90,9 +98,9 @@ def apply_expectations(
     from pyspark.sql import Observation
 
     obs = Observation()
-    metrics_cols = [
-        F.sum((~e.holds()).cast("long")).alias(e.name) for e in expectations
-    ] + [F.count(F.lit(1)).alias("__rows_seen")]
+    metrics_cols = violation_aggs(expectations) + [
+        F.count(F.lit(1)).alias("__rows_seen")
+    ]
     observed = df.observe(obs, *metrics_cols)
     enforced = observed
     for e in expectations:
@@ -143,8 +151,7 @@ def validate(
     """
     _check_suite(expectations)
     row = df.agg(
-        *[F.sum((~e.holds()).cast("long")).alias(e.name) for e in expectations],
-        F.count(F.lit(1)).alias("__rows_seen"),
+        *violation_aggs(expectations), F.count(F.lit(1)).alias("__rows_seen")
     ).collect()[0]
     counts = {k: int(v or 0) for k, v in row.asDict().items()}
     bad = {
@@ -194,10 +201,7 @@ def dq_summary(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     (column-per-rule, then unpivoted driver-side since the result is
     suite-sized, not data-sized).
     """
-    agg = df.agg(
-        *[F.sum((~e.holds()).cast("long")).alias(e.name) for e in expectations],
-        F.count(F.lit(1)).alias("__rows"),
-    )
+    agg = df.agg(*violation_aggs(expectations), F.count(F.lit(1)).alias("__rows"))
     spark = df.sparkSession
     row = agg.collect()[0].asDict()
     n_rows = int(row["__rows"])

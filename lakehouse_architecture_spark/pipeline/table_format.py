@@ -243,6 +243,7 @@ class VersionedTable:
         v: int,
         epoch: int | str | None = None,
         changes: tuple[DataFrame, DataFrame] | None = None,
+        enforce_constraints: bool = False,
     ) -> int:
         import os
         import shutil
@@ -252,6 +253,28 @@ class VersionedTable:
         # overwrite each other's staged data before either renames
         tmp = self._vdir(v) + f"__tmp-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(tmp)
+        # CHECK constraints validate the STAGED bytes, not a separate
+        # evaluation of the incoming plan: a non-deterministic input
+        # (rand(), a mutating source) could pass a pre-write check and
+        # still stage violating rows; checking what was actually written
+        # also avoids computing an expensive upstream plan twice. A
+        # violation removes the staging dir before anything commits.
+        cons = self.check_constraints() if enforce_constraints else {}
+        if cons:
+            from lakehouse_architecture_spark.pipeline.expectations import (
+                Expectation,
+                ExpectationsViolated,
+                validate,
+            )
+
+            try:
+                validate(
+                    self.spark.read.parquet(tmp),
+                    [Expectation(n, p, "fail") for n, p in sorted(cons.items())],
+                )
+            except ExpectationsViolated:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         if changes is not None:
             # change feed (Delta CDF shape): the rows this commit replaced
             # (pre-images) and the rows it introduced (post-images), staged
@@ -323,10 +346,15 @@ class VersionedTable:
         )  # raises ExpectationsViolated with per-constraint counts
 
     def write(self, df: DataFrame, epoch: int | str | None = None) -> int:
-        """Append a new full-snapshot version; returns its number."""
-        self._enforce_constraints(df)
+        """Append a new full-snapshot version; returns its number. CHECK
+        constraints are enforced on the staged files inside the commit."""
         latest = self.latest_version()
-        return self._commit(df, 0 if latest is None else latest + 1, epoch=epoch)
+        return self._commit(
+            df,
+            0 if latest is None else latest + 1,
+            epoch=epoch,
+            enforce_constraints=True,
+        )
 
     def merge(
         self,
@@ -356,8 +384,13 @@ class VersionedTable:
         surviving = updates
         if delete_condition is not None:
             surviving = updates.filter(f"NOT coalesce({delete_condition}, false)")
-        # CHECK constraints see the rows this merge will actually commit:
-        # delete-marked update rows never land, so they are exempt
+        # CHECK constraints see the INCOMING rows this merge would land:
+        # delete-marked update rows never commit, so they are exempt, and
+        # already-committed base rows are not re-gated (a schema-evolving
+        # merge must not fail on old null-filled rows). NOTE this is a
+        # pre-write evaluation of `updates` — with a non-deterministic
+        # update source, localCheckpoint it first (write() validates the
+        # staged bytes instead, where all rows are incoming).
         self._enforce_constraints(surviving)
         if latest is None:
             changes = (

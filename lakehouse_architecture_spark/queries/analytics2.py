@@ -95,7 +95,8 @@ def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_KS_DRIFT_SQL = """
 WITH vals AS (
-  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
 ),
 scal AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
 binned AS (
@@ -137,8 +138,10 @@ ORDER BY event_type
 # --- deterministic fixed-k audit sample per source -----------------------
 def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
-    return sample_k_per_group(t["documents"], "source", "doc_id", k=5).orderBy(
-        "source", "rk"
+    return (
+        sample_k_per_group(t["documents"], "source", "doc_id", k=5)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
     )
 
 

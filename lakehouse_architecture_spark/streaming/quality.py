@@ -23,6 +23,7 @@ from pyspark.sql.streaming import StreamingQuery
 from lakehouse_architecture_spark.pipeline.expectations import (
     Expectation,
     quarantine_split,
+    violation_aggs,
 )
 
 
@@ -54,13 +55,10 @@ def foreach_batch_dq_ingest(
             ).write.mode("overwrite").parquet(
                 f"{quarantine_path}/epoch={epoch_id}"
             )
-            # suite-sized audit: one aggregate over the cached batch
+            # suite-sized audit: one aggregate over the cached batch,
+            # sharing the exact counter semantics of pipeline/expectations
             agg = batch.agg(
-                *[
-                    F.sum((~e.holds()).cast("long")).alias(e.name)
-                    for e in expectations
-                ],
-                F.count(F.lit(1)).alias("__rows"),
+                *violation_aggs(expectations), F.count(F.lit(1)).alias("__rows")
             ).collect()[0]
             spark = batch.sparkSession
             rows = [
@@ -130,7 +128,11 @@ def reference_histogram(
 def _bin_expr(v, lo, hi, nbins: int):
     """Shared binning: clamp into [0, nbins-1] with the REFERENCE edges —
     batch values outside the reference range land in the edge bins (where
-    they correctly register as drift mass)."""
+    they correctly register as drift mass). DELIBERATELY different from
+    operators/profiling.ks_drift's binning: that one bins within its own
+    data's [lo, hi] (greatest(..,0) would be a no-op), this one clamps
+    FOREIGN data onto frozen edges, so below-range values need the floor
+    at bin 0."""
     raw = F.floor((v - lo) / (hi - lo) * nbins).cast("int")
     return F.when(hi == lo, F.lit(0)).otherwise(
         F.greatest(F.least(raw, F.lit(nbins - 1)), F.lit(0))

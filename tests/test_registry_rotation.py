@@ -63,7 +63,11 @@ def test_registry_never_green_backlog_drains_within_one_round():
     never_green = [n for n in registry.ALL_QUERIES if n not in hist]
     window = set(list(registry.ALL_QUERIES)[:50])
     overflow = [n for n in never_green if n not in window]
-    assert len(overflow) <= 50, (
+    # cap at HALF a window, not a full one: the relaxation from the
+    # original <=50-total rule is deliberate (additions are locally
+    # oracle-checked before commit), but the budget it grants must stay
+    # small enough that one driver round always clears the entire backlog
+    assert len(overflow) <= 25, (
         f"{len(overflow)} unverified queries overflow the driver's 50-slot "
         f"correctness window by more than one round's capacity; defer new "
         f"registry entries until the backlog drains: {overflow}"
