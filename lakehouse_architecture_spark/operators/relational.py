@@ -45,20 +45,32 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, the latest right row with
-    ``right_time <= left_time`` (``<`` when ``strict``) and equal key.
+    """As-of join: for each left row, the nearest right row with equal key
+    and ``right_time <= left_time`` (``backward``, the default; ``<`` when
+    ``strict``) or ``right_time >= left_time`` (``forward``; ``>`` when
+    ``strict``) — pandas.merge_asof's full direction surface, distributed.
 
-    Implemented with the union + forward-fill-window trick rather than a
-    range cross-join: tag both sides, sort within key by (time, side), and
-    carry the last seen right-side values forward. One shuffle on the key,
-    no cartesian blow-up — the scalable formulation for 100 TB (a per-key
-    merge join in disguise; same shape as pandas.merge_asof but distributed).
+    Implemented with the union + fill-window trick rather than a range
+    cross-join: tag both sides, sort within key by (time, side) — time
+    DESCENDING for forward, so "carry the last seen right row" always
+    means "nearest in the match direction" — and fill right-side values
+    across. One shuffle on the key, no cartesian blow-up (a per-key merge
+    join in disguise; the scalable formulation for 100 TB).
+
+    ``tolerance`` bounds the match distance: a carried match farther than
+    this (in SECONDS for timestamp columns, same units for numerics) is
+    nulled out, exactly like merge_asof's tolerance.
 
     Returns the left rows plus ``value_cols`` (null when no match).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     # side ordering: right rows must sort before left rows at equal time for
-    # non-strict (<=) semantics, after them for strict (<).
+    # non-strict semantics, after them for strict — in TRAVERSAL order
+    # (ascending for backward, descending for forward).
     right_tag = 0 if not strict else 1
     left_tag = 1 - right_tag
 
@@ -76,25 +88,48 @@ def asof_join(
         F.lit(None).cast(l2.schema["__left"].dataType).alias("__left"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
+    if tolerance is not None:
+        # carry the matched right row's TIME so distance can be checked
+        l2 = l2.withColumn("__rt", F.lit(None).cast(r2.schema["__t"].dataType))
+        r2 = r2.withColumn("__rt", F.col("__t"))
     unioned = l2.unionByName(r2)
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "__side",
         "__left",
+        *([F.col("__t")] if tolerance is not None else []),
         *[
             F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
             for c in value_cols
         ],
+        *(
+            [F.last("__rt", ignorenulls=True).over(w).alias("__f_rt")]
+            if tolerance is not None
+            else []
+        ),
     )
-    out = filled.filter(F.col("__side") == left_tag).select(
+    lefts = filled.filter(F.col("__side") == left_tag)
+    if tolerance is not None:
+        dist = F.abs(
+            F.col("__t").cast("double") - F.col("__f_rt").cast("double")
+        )
+        within = F.col("__f_rt").isNotNull() & (dist <= F.lit(float(tolerance)))
+        return lefts.select(
+            *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+            *[
+                F.when(within, F.col(f"__f_{c}")).alias(c)
+                for c in value_cols
+            ],
+        )
+    return lefts.select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
         *[F.col(f"__f_{c}").alias(c) for c in value_cols],
     )
-    return out
 
 
 def range_join_bucketed(

@@ -192,6 +192,50 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- forward as-of: each click ↔ earliest following purchase of that user ---
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="cts",
+        right_time="pts",
+        value_cols=["purchase_id", "pts"],
+        direction="forward",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("cts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+_Q_ASOF_FORWARD_SQL = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.event_id AS purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+"""
+
+
 _Q_ASOF_SQL = """
 SELECT p.event_id AS purchase_id,
        p.user_id,
@@ -251,6 +295,7 @@ EVENTS_QUERIES: list[QuerySpec] = [
     QuerySpec("q_sliding_window", "1h/15min sliding windows", _q_sliding, _Q_SLIDING_SQL),
     QuerySpec("q_session_window", "gap-based session windows", _q_sessions, _Q_SESSIONS_SQL),
     QuerySpec("q_asof_join", "as-of join (union+window formulation)", _q_asof, _Q_ASOF_SQL),
+    QuerySpec("q_asof_forward", "forward as-of join (merge_asof direction surface)", _q_asof_forward, _Q_ASOF_FORWARD_SQL),
     QuerySpec("q_range_join", "point-in-interval join, bucketed", _q_range_join, _Q_RANGE_JOIN_SQL),
 ]
 

@@ -680,3 +680,41 @@ def test_pagerank_star_graph_center_wins(spark):
     # teleport mass and ranks strictly below every connected node
     assert r[0] > r[1] == r[2] == r[3] > r[4]
     assert abs(sum(v for k, v in r.items() if k != 4) + r[4] - 1.0) < 0.2
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from lakehouse_architecture_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10.0), (2, "k", 50.0), (3, "k", 100.0)],
+        "lid long, k string, lt double",
+    )
+    right = spark.createDataFrame(
+        [(7, "k", 12.0), (8, "k", 60.0)], "rid long, k string, rt double"
+    )
+    fwd = asof_join(
+        left, right, "k", "lt", "rt", ["rid"], direction="forward"
+    )
+    got = {r["lid"]: r["rid"] for r in fwd.collect()}
+    # 10 -> nearest following is 12; 50 -> 60; 100 -> none
+    assert got == {1: 7, 2: 8, 3: None}
+
+    tol = asof_join(
+        left, right, "k", "lt", "rt", ["rid"],
+        direction="forward", tolerance=5.0,
+    )
+    got_tol = {r["lid"]: r["rid"] for r in tol.collect()}
+    # 50 -> 60 is 10 units away, beyond tolerance 5 -> nulled
+    assert got_tol == {1: 7, 2: None, 3: None}
+
+    back_tol = asof_join(
+        left, right, "k", "lt", "rt", ["rid"], tolerance=5.0
+    )
+    got_back = {r["lid"]: r["rid"] for r in back_tol.collect()}
+    # 50 matches 12 backward but is 38 away -> nulled; 100 vs 60 -> nulled
+    assert got_back == {1: None, 2: None, 3: None}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "lt", "rt", ["rid"], direction="nearest")
