@@ -107,7 +107,6 @@ def train_text_classifier(
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.feature import HashingTF, Tokenizer
 
     df = docs.select(text_col, F.col(label_col).cast("double").alias("label"))
@@ -121,10 +120,41 @@ def train_text_classifier(
         ]
     )
     model = pipe.fit(train)
-    pred = model.transform(test)
-    acc = MulticlassClassificationEvaluator(
-        labelCol="label", predictionCol="prediction", metricName="accuracy"
-    ).evaluate(pred)
+    # Held-out scoring WITHOUT model.transform(): on Spark 4.1 the fitted
+    # LogisticRegressionModel's trainingSummary holds the SparkSession,
+    # the transform UDF captures the model, and the session's
+    # ObservationManager field is not serializable — so in any session
+    # that has ever run DataFrame.observe (pipeline/expectations.py),
+    # every action on transform() output throws TaskNotSerializable.
+    # Scoring from the coefficients as a Catalyst expression (one
+    # zip_with/aggregate over the hashed features) sidesteps the model
+    # closure entirely and keeps the whole evaluation JVM-side.
+    from pyspark.ml.functions import vector_to_array
+
+    lr_model = model.stages[-1]
+    w = [float(x) for x in lr_model.coefficients.toArray()]
+    b = float(lr_model.intercept)
+    featurized = model.stages[0].transform(test)
+    featurized = model.stages[1].transform(featurized)
+    margin = (
+        F.aggregate(
+            F.zip_with(
+                vector_to_array(F.col("features")),
+                F.lit(w),
+                lambda x, wt: x * wt,
+            ),
+            F.lit(0.0),
+            lambda acc_, v: acc_ + v,
+        )
+        + F.lit(b)
+    )
+    pred = featurized.withColumn(
+        "prediction", (margin > 0).cast("double")
+    )
+    acc_row = pred.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("acc")
+    ).first()
+    acc = float(acc_row["acc"] or 0.0)
     n_test = test.count()
     majority = (
         test.groupBy("label").count().agg(F.max("count")).first()[0] / n_test
