@@ -76,3 +76,27 @@ def test_text_classifier_learns_separable_vocab(spark):
         r.accuracy, r.majority_baseline, r.n_train, r.n_test
     )
     assert r.n_train + r.n_test == 200
+
+
+def test_text_classifier_survives_prior_observation(spark):
+    """Regression: Spark 4.1 fails any action on model.transform() output
+    in a session that ever ran DataFrame.observe (the model's training
+    summary drags the non-serializable ObservationManager into the task
+    closure). The classifier scores via coefficients to avoid that."""
+    from lakehouse_architecture_spark.pipeline.expectations import (
+        apply_expectations,
+        expect,
+    )
+    from lakehouse_architecture_spark.pipeline.ml import train_text_classifier
+
+    df0 = spark.createDataFrame([(1, 5.0), (2, -1.0)], "id long, amount double")
+    enforced, metrics = apply_expectations(
+        df0, [expect("nonneg", "amount >= 0", "drop")]
+    )
+    enforced.collect()
+    metrics.counts()
+
+    rows = [("alpha beta", 1), ("omega sigma", 0)] * 30
+    df = spark.createDataFrame(rows, "text string, label int")
+    r = train_text_classifier(df, "text", "label", n_features=64)
+    assert r.accuracy > 0.9
