@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_architecture_spark.queries.analytics import ANALYTICS_QUERIES
 from lakehouse_architecture_spark.queries.analytics2 import ANALYTICS2_QUERIES
+from lakehouse_architecture_spark.queries.analytics3 import ANALYTICS3_QUERIES
 from lakehouse_architecture_spark.queries.features import FEATURES_QUERIES
 from lakehouse_architecture_spark.queries.quality import QUALITY_QUERIES
 from lakehouse_architecture_spark.queries.base import QuerySpec
@@ -37,6 +38,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *ANALYTICS2_QUERIES,  # round-3 profiling additions, appended last
     *QUALITY_QUERIES,  # expectations engine; after the 50-slot window
     *FEATURES_QUERIES,  # feature engineering; after the 50-slot window
+    *ANALYTICS3_QUERIES,  # batch-analytics tail; after the 50-slot window
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry
