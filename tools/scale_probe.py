@@ -34,6 +34,12 @@ DEFAULT_QUERIES = [
     "q_minhash_lsh",
     "q_dedup_keep_first",
     "q_funnel",
+    # round-3 families, one representative each
+    "q_pmi_collocations",
+    "q_dq_summary",
+    "q_pq_knn",
+    "q_kaplan_meier",
+    "q_multi_touch",
 ]
 
 #: fact table -> integer key columns to shift per replica (PK + the FKs
