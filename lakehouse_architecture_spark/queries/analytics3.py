@@ -256,9 +256,169 @@ ORDER BY cum.cohort_m, age
 """
 
 
+
+
+# --- RFM segmentation -----------------------------------------------------
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quartile segmentation of customers from
+    their order history — the marketing-analytics staple. Per-customer
+    stats are one hash aggregate; the quartile cut points are one exact
+    percentile aggregate broadcast back (the same no-global-sort shape as
+    q_equidepth_bins); output is the 4x4x4 segment census."""
+    t = tables(spark, sf_dir)
+    m = (
+        F.year(F.col("o_orderdate").cast("timestamp")) * 12
+        + F.month(F.col("o_orderdate").cast("timestamp"))
+    )
+    per_cust = (
+        t["orders"]
+        .select("o_custkey", m.alias("m"), "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("m").cast("double").alias("rec"),
+            F.count(F.lit(1)).cast("double").alias("freq"),
+            dsum("o_totalprice", "mon"),
+        )
+    )
+    qs = per_cust.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c}_q{i}")
+            for c in ("rec", "freq", "mon")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(c: str):
+        return (
+            F.when(F.col(c) <= F.col(f"{c}_q1"), F.lit(1))
+            .when(F.col(c) <= F.col(f"{c}_q2"), F.lit(2))
+            .when(F.col(c) <= F.col(f"{c}_q3"), F.lit(3))
+            .otherwise(F.lit(4))
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(qs))
+        .select(
+            score("rec").alias("r_score"),
+            score("freq").alias("f_score"),
+            score("mon").alias("m_score"),
+            "mon",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(dsum("mon") / F.count(F.lit(1)), 6).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_Q_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate)) AS DOUBLE) AS rec,
+         CAST(COUNT(*) AS DOUBLE) AS freq,
+         {dsum_sql('o_totalprice')} AS mon
+  FROM orders GROUP BY o_custkey
+),
+qs AS (
+  SELECT quantile_cont(rec, 0.25) AS rec_q1, quantile_cont(rec, 0.5) AS rec_q2,
+         quantile_cont(rec, 0.75) AS rec_q3,
+         quantile_cont(freq, 0.25) AS freq_q1, quantile_cont(freq, 0.5) AS freq_q2,
+         quantile_cont(freq, 0.75) AS freq_q3,
+         quantile_cont(mon, 0.25) AS mon_q1, quantile_cont(mon, 0.5) AS mon_q2,
+         quantile_cont(mon, 0.75) AS mon_q3
+  FROM per_cust
+),
+scored AS (
+  SELECT CASE WHEN rec <= rec_q1 THEN 1 WHEN rec <= rec_q2 THEN 2
+              WHEN rec <= rec_q3 THEN 3 ELSE 4 END AS r_score,
+         CASE WHEN freq <= freq_q1 THEN 1 WHEN freq <= freq_q2 THEN 2
+              WHEN freq <= freq_q3 THEN 3 ELSE 4 END AS f_score,
+         CASE WHEN mon <= mon_q1 THEN 1 WHEN mon <= mon_q2 THEN 2
+              WHEN mon <= mon_q3 THEN 3 ELSE 4 END AS m_score,
+         mon
+  FROM per_cust, qs
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       ROUND({dsum_sql('mon')} / COUNT(*), 6) AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+# --- event-type co-occurrence lift ---------------------------------------
+def _q_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over users: for each unordered pair of
+    event types, the user co-occurrence count, support, and lift
+    P(a,b)/(P(a)·P(b)) — the set-membership complement of the sequential
+    transition matrix. Distinct (user, type) pairs first, then a self-join
+    bounded by types-per-user; all shares are over the distinct-user
+    universe."""
+    t = tables(spark, sf_dir)
+    ut = t["events"].select("user_id", "event_type").distinct()
+    nu = ut.select("user_id").distinct().count()
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        ut.select(F.col("user_id"), F.col("event_type").alias("ta"))
+        .join(
+            ut.select(F.col("user_id"), F.col("event_type").alias("tb")),
+            "user_id",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("event_type").alias("ta"), F.col("n_t").alias("n_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("tb"), F.col("n_t").alias("n_b"))),
+            "tb",
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "c_ab",
+            F.round(F.col("c_ab").cast("double") / F.lit(nu), 6).alias("support"),
+            F.round(
+                (F.col("c_ab").cast("double") * F.lit(nu))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_Q_LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM ut),
+per_type AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, c_ab,
+       ROUND(CAST(c_ab AS DOUBLE) / n, 6) AS support,
+       ROUND((CAST(c_ab AS DOUBLE) * n)
+             / (CAST(pa.n_t AS DOUBLE) * pb.n_t), 6) AS lift
+FROM pairs
+JOIN per_type pa ON type_a = pa.event_type
+JOIN per_type pb ON type_b = pb.event_type, nu
+ORDER BY type_a, type_b
+"""
+
+
 ANALYTICS3_QUERIES: list[QuerySpec] = [
     QuerySpec("q_benford", "Benford first-digit deviation screen", _q_benford, _Q_BENFORD_SQL),
     QuerySpec("q_gini", "Gini revenue concentration per nation", _q_gini, _Q_GINI_SQL),
     QuerySpec("q_cusum", "CUSUM level-shift changepoint over daily values", _q_cusum, _Q_CUSUM_SQL),
     QuerySpec("q_cohort_ltv", "cohort LTV curve (first-order-month cohorts)", _q_cohort_ltv, _Q_COHORT_LTV_SQL),
+    QuerySpec("q_rfm", "RFM quartile segmentation census", _q_rfm, _Q_RFM_SQL),
+    QuerySpec("q_lift", "event-type co-occurrence support/lift", _q_lift, _Q_LIFT_SQL),
 ]
