@@ -213,6 +213,21 @@ def pq_adc_knn(
     arrs: dict[int, dict[int, float]] = {}
     for r in table:
         arrs.setdefault(r["sub"], {})[r["code"]] = r["d"]
+    # The literal tables are indexed POSITIONALLY (lits[j], element_at at
+    # code+1), so the codebook must be dense: sub ids exactly 0..m-1 and
+    # each sub's codes exactly 0..ksub-1. A hand-built or filtered codebook
+    # with gaps would otherwise raise IndexError or silently return wrong
+    # distances (ADVICE r3) — validate contiguity up front.
+    if sorted(arrs) != list(range(m)):
+        raise ValueError(
+            f"codebook sub ids must be dense 0..{m - 1}, got {sorted(arrs)}"
+        )
+    for j in range(m):
+        codes_j = sorted(arrs[j])
+        if codes_j != list(range(len(codes_j))):
+            raise ValueError(
+                f"codebook codes for sub {j} must be dense 0..k-1, got {codes_j}"
+            )
     lits = [
         F.lit([arrs[j][c] for c in sorted(arrs[j])]) for j in sorted(arrs)
     ]

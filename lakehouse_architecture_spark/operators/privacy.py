@@ -46,13 +46,19 @@ def l_diversity_violations(
     l_required: int = 2,
 ) -> DataFrame:
     """QI groups whose sensitive column shows fewer than ``l_required``
-    distinct values. Two-level aggregate (distinct on (QI, sensitive),
-    then count per QI) keeps the count-distinct a plain hash aggregate —
-    no Expand-based COUNT(DISTINCT) in the shuffle."""
+    distinct NON-NULL values. Two-level aggregate (distinct on (QI,
+    sensitive), then count per QI) keeps the count-distinct a plain hash
+    aggregate — no Expand-based COUNT(DISTINCT) in the shuffle.
+
+    NULL is a missing secret, not a secret: counting it as its own value
+    would let a {flu, NULL} group report l=2 and pass an l>=2 gate even
+    though every disclosed secret is identical (ADVICE r3). The second
+    level counts ``sensitive_col`` itself (NULL-skipping), so an all-NULL
+    group reports n_distinct_sensitive = 0 and is flagged."""
     distinct_pairs = df.select(*quasi_identifiers, sensitive_col).distinct()
     return (
         distinct_pairs.groupBy(*quasi_identifiers)
-        .agg(F.count(F.lit(1)).alias("n_distinct_sensitive"))
+        .agg(F.count(F.col(sensitive_col)).alias("n_distinct_sensitive"))
         .filter(F.col("n_distinct_sensitive") < l_required)
     )
 
@@ -65,11 +71,13 @@ def anonymity_summary(
     groups = df.groupBy(*quasi_identifiers).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+    # NULL-skipping count: achieved_l reflects only real sensitive-value
+    # diversity (see l_diversity_violations).
     lgroups = (
         df.select(*quasi_identifiers, sensitive_col)
         .distinct()
         .groupBy(*quasi_identifiers)
-        .agg(F.count(F.lit(1)).alias("n_sens"))
+        .agg(F.count(F.col(sensitive_col)).alias("n_sens"))
     )
     gstats = groups.agg(
         F.count(F.lit(1)).alias("n_groups"),

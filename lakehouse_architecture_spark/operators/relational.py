@@ -56,9 +56,14 @@ def asof_join(
     Implemented with the union + fill-window trick rather than a range
     cross-join: tag both sides, sort within key by (time, side) — time
     DESCENDING for forward, so "carry the last seen right row" always
-    means "nearest in the match direction" — and fill right-side values
-    across. One shuffle on the key, no cartesian blow-up (a per-key merge
-    join in disguise; the scalable formulation for 100 TB).
+    means "nearest in the match direction" — and fill the right-side ROW
+    across. The whole right row (match time + all value columns) travels as
+    ONE struct filled by a single ``last(ignorenulls=True)``, so the output
+    never mixes value columns from different right rows even when some
+    value columns contain NULLs, and the tolerance check always refers to
+    the same row the values came from — exactly pandas.merge_asof's
+    row-level semantics. One shuffle on the key, no cartesian blow-up (a
+    per-key merge join in disguise; the scalable formulation for 100 TB).
 
     ``tolerance`` bounds the match distance: a carried match farther than
     this (in SECONDS for timestamp columns, same units for numerics) is
@@ -68,30 +73,35 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if "__rt" in value_cols:
+        raise ValueError("value column name '__rt' is reserved by asof_join")
     # side ordering: right rows must sort before left rows at equal time for
     # non-strict semantics, after them for strict — in TRAVERSAL order
     # (ascending for backward, descending for forward).
     right_tag = 0 if not strict else 1
     left_tag = 1 - right_tag
 
-    l2 = left.select(
-        F.col(on).alias("__k"),
-        F.col(left_time).alias("__t"),
-        F.lit(left_tag).alias("__side"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    # One struct per right row: its time plus every value column. Filling
+    # this single struct (not each column independently) is what guarantees
+    # a single-right-row match under NULL-bearing value columns.
+    rrow = F.struct(
+        F.col(right_time).alias("__rt"),
+        *[F.col(c).alias(c) for c in value_cols],
     )
     r2 = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(right_tag).alias("__side"),
-        F.lit(None).cast(l2.schema["__left"].dataType).alias("__left"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        rrow.alias("__rrow"),
     )
-    if tolerance is not None:
-        # carry the matched right row's TIME so distance can be checked
-        l2 = l2.withColumn("__rt", F.lit(None).cast(r2.schema["__t"].dataType))
-        r2 = r2.withColumn("__rt", F.col("__t"))
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(left_tag).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        F.lit(None).cast(r2.schema["__rrow"].dataType).alias("__rrow"),
+    )
+    r2 = r2.withColumn("__left", F.lit(None).cast(l2.schema["__left"].dataType))
     unioned = l2.unionByName(r2)
     t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
@@ -102,33 +112,22 @@ def asof_join(
     filled = unioned.select(
         "__side",
         "__left",
-        *([F.col("__t")] if tolerance is not None else []),
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in value_cols
-        ],
-        *(
-            [F.last("__rt", ignorenulls=True).over(w).alias("__f_rt")]
-            if tolerance is not None
-            else []
-        ),
+        F.col("__t"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__f"),
     )
     lefts = filled.filter(F.col("__side") == left_tag)
+    matched = F.col("__f").isNotNull()
     if tolerance is not None:
         dist = F.abs(
-            F.col("__t").cast("double") - F.col("__f_rt").cast("double")
+            F.col("__t").cast("double") - F.col("__f.__rt").cast("double")
         )
-        within = F.col("__f_rt").isNotNull() & (dist <= F.lit(float(tolerance)))
-        return lefts.select(
-            *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-            *[
-                F.when(within, F.col(f"__f_{c}")).alias(c)
-                for c in value_cols
-            ],
-        )
+        matched = matched & (dist <= F.lit(float(tolerance)))
     return lefts.select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        *[
+            F.when(matched, F.col(f"__f.{c}")).alias(c)
+            for c in value_cols
+        ],
     )
 
 

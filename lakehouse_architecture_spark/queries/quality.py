@@ -146,7 +146,8 @@ groups AS (
   FROM cust GROUP BY 1, 2
 ),
 lgroups AS (
-  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_sens
+  -- COUNT(bal_band), not COUNT(*): NULL secrets carry no diversity
+  SELECT c_nationkey, c_mktsegment, COUNT(bal_band) AS n_sens
   FROM (SELECT DISTINCT c_nationkey, c_mktsegment, bal_band FROM cust)
   GROUP BY 1, 2
 ),

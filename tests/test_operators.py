@@ -718,3 +718,35 @@ def test_asof_join_forward_and_tolerance(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, "k", "lt", "rt", ["rid"], direction="nearest")
+
+
+def test_asof_join_null_value_cols_stay_row_atomic(spark):
+    """ADVICE r3: when a right value column contains NULLs, the match must
+    still be ONE right row — a NULL in the nearest row must NOT be
+    back-filled from a farther row, and tolerance must be judged against
+    the row the values came from."""
+    from lakehouse_architecture_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0)], "lid long, k string, lt double"
+    )
+    # nearest backward row (t=90) has v=NULL, w=7; farther row (t=10) has
+    # v=5. Column-independent fill would wrongly emit (v=5, w=7).
+    right = spark.createDataFrame(
+        [("k", 10.0, 5.0, 3.0), ("k", 90.0, None, 7.0)],
+        "k string, rt double, v double, w double",
+    )
+    out = asof_join(left, right, "k", "lt", "rt", ["v", "w"]).collect()[0]
+    assert out["v"] is None and out["w"] == 7.0
+
+    # tolerance=20: the nearest row (t=90, dist 10) is within tolerance and
+    # is the ONLY row whose values may appear — never t=10's v=5.
+    tol = asof_join(
+        left, right, "k", "lt", "rt", ["v", "w"], tolerance=20.0
+    ).collect()[0]
+    assert tol["v"] is None and tol["w"] == 7.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "lt", "rt", ["__rt"])

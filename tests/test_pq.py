@@ -95,3 +95,23 @@ def test_pq_adc_plan_is_projection_only(spark):
     for op in ("Join", "CartesianProduct", "Exchange hashpartitioning"):
         assert op not in plan, f"{op} leaked into the ADC search plan"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_rejects_gapped_codebook(spark):
+    """ADVICE r3: the ADC literal tables are positional — a codebook with a
+    gap in sub ids or code ids must raise a clear ValueError, not
+    IndexError or silent wrong distances."""
+    import pytest
+
+    df = _synthetic(spark)
+    cb = pq_codebooks(df, m=4, ksub=4, iters=0)
+    codes = pq_encode(df, cb, m=4)
+    q = [0.0] * 8
+
+    no_sub = cb.filter(F.col("sub") != 1)  # gap in sub ids
+    with pytest.raises(ValueError, match="sub ids must be dense"):
+        pq_adc_knn(codes, no_sub, q, k=5)
+
+    no_code = cb.filter(~((F.col("sub") == 2) & (F.col("code") == 0)))
+    with pytest.raises(ValueError, match="codes for sub 2 must be dense"):
+        pq_adc_knn(codes, no_code, q, k=5)

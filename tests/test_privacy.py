@@ -33,6 +33,24 @@ def test_l_diversity_violations(spark):
     assert got == {(10, 40): 1, (20, 30): 1}
 
 
+def test_l_diversity_ignores_null_secrets(spark):
+    """ADVICE r3: a NULL sensitive value is a missing secret, not a secret.
+    A {flu, NULL} group must report l=1 (flagged at l>=2), and an all-NULL
+    group l=0."""
+    rows = [
+        (1, 10, 30, "flu"),
+        (2, 10, 30, None),
+        (3, 20, 30, None),
+        (4, 20, 30, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, zip int, age int, dx string")
+    out = l_diversity_violations(df, ["zip", "age"], "dx", l_required=2)
+    got = {(r["zip"], r["age"]): r["n_distinct_sensitive"] for r in out.collect()}
+    assert got == {(10, 30): 1, (20, 30): 0}
+    summary = anonymity_summary(df, ["zip", "age"], "dx").collect()[0]
+    assert summary["achieved_l"] == 0
+
+
 def test_anonymity_summary(spark):
     r = anonymity_summary(_df(spark), ["zip", "age"], "dx").collect()[0]
     assert r["n_groups"] == 3

@@ -72,6 +72,34 @@ def test_registry_never_green_backlog_drains_within_one_round():
         f"correctness window by more than one round's capacity; defer new "
         f"registry entries until the backlog drains: {overflow}"
     )
+    # ADVICE r3: the "locally oracle-checked before commit" claim must be
+    # auditable — every overflow query needs a green row in the committed
+    # LOCAL_ORACLE.json artifact (written by tools/oracle_check.py --json).
+    if overflow:
+        import json
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "LOCAL_ORACLE.json")
+        assert os.path.exists(path), (
+            f"{len(overflow)} queries wait outside the driver window but no "
+            f"LOCAL_ORACLE.json artifact is committed; run "
+            f"tools/oracle_check.py --json LOCAL_ORACLE.json <sf_dir> {' '.join(overflow)}"
+        )
+        with open(path) as f:
+            local = json.load(f)
+        unproven = [
+            n for n in overflow
+            if n not in local
+            or local[n].get("err")
+            or any(
+                local[n].get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+        ]
+        assert not unproven, (
+            f"overflow queries lack a green LOCAL_ORACLE.json row: {unproven}"
+        )
 
 
 def test_registry_queries_and_oracles_consistent():

@@ -4,11 +4,17 @@ Runs every query in the registry on Spark and its oracle SQL on DuckDB over
 the same parquet tables, canonicalizes both results (columns sorted by name,
 rows sorted, values stringified), and compares row counts + value hashes.
 
-Usage: python tools/oracle_check.py [--plain] [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--plain] [--json PATH] [sf_dir] [query_name ...]
 
 ``--plain`` runs on a bare SparkSession (no engine confs — Spark 4 ANSI
 defaults, like the external driver's) instead of SessionFactory, verifying
 that the query layer pins every conf it depends on (queries/base.py).
+
+``--json PATH`` additionally writes a per-query result artifact (same shape
+as the driver's CORRECTNESS_r*.json rows plus a "local": true marker).
+Committing this artifact (LOCAL_ORACLE.json at the repo root) is what makes
+the registry-rotation guard's "locally oracle-checked before commit" claim
+auditable for queries waiting outside the driver's 50-slot window.
 """
 
 from __future__ import annotations
@@ -49,8 +55,14 @@ def canonical(df: pd.DataFrame) -> tuple[int, str, list[str]]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--plain"]
-    plain = "--plain" in sys.argv[1:]
+    argv = sys.argv[1:]
+    plain = "--plain" in argv
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--plain"]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -72,6 +84,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     failures, passes = [], []
+    records: dict[str, dict] = {}
     for name, spec in ALL_QUERIES.items():
         if only and name not in only:
             continue
@@ -79,19 +92,34 @@ def main() -> int:
         try:
             sdf = spec.build(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
-            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {str(e).splitlines()[0][:200]}"))
+            msg = f"SPARK ERROR: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            failures.append((name, msg))
+            records[name] = {"local": True, "sf_dir": sf_dir, "err": msg}
             continue
         if spec.oracle is None:
             passes.append((name, f"rows-only n={len(sdf)} ({time.time()-t0:.1f}s)"))
+            records[name] = {
+                "local": True, "sf_dir": sf_dir, "spark_rows": len(sdf),
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "err": None,
+            }
             continue
         try:
             odf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
-            failures.append((name, f"DUCKDB ERROR: {type(e).__name__}: {str(e).splitlines()[0][:200]}"))
+            msg = f"DUCKDB ERROR: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            failures.append((name, msg))
+            records[name] = {"local": True, "sf_dir": sf_dir, "err": msg}
             continue
         sn, sh, srows = canonical(sdf)
         on, oh, orows = canonical(odf)
         dt = time.time() - t0
+        records[name] = {
+            "local": True, "sf_dir": sf_dir,
+            "rows_match": sn == on, "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": sh == oh, "spark_rows": sn, "oracle_rows": on,
+            "err": None,
+        }
         if sn != on:
             failures.append((name, f"ROWCOUNT spark={sn} oracle={on}"))
         elif sh != oh:
@@ -108,6 +136,22 @@ def main() -> int:
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")
     print(f"\n{len(passes)} passed, {len(failures)} failed")
+    if json_path:
+        import json
+
+        # merge into an existing artifact so partial runs (query subsets)
+        # refresh only the rows they touched
+        existing: dict[str, dict] = {}
+        if os.path.exists(json_path):
+            try:
+                with open(json_path) as f:
+                    existing = json.load(f)
+            except (OSError, ValueError):
+                existing = {}
+        existing.update(records)
+        with open(json_path, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+        print(f"wrote {len(records)} records -> {json_path}")
     spark.stop()
     return 1 if failures else 0
 
