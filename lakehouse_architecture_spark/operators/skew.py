@@ -76,3 +76,64 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc())
         .limit(top)
     )
+
+
+def two_phase_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    bucket_width: float,
+    rank_col: str = "i",
+) -> DataFrame:
+    """Global per-group ``row_number`` ordered by ``(value_col,
+    *tiebreak_cols)`` WITHOUT a single-task-per-group sort.
+
+    A plain ``row_number() OVER (PARTITION BY part ORDER BY value)`` caps
+    parallelism at the number of groups — fatal when groups are few and
+    huge (e.g. 25 nations over every order ever placed). This is the
+    two-phase bucketed formulation:
+
+    phase 1: bucket every row by ``floor(value / bucket_width)`` (monotone
+      in the value, so bucket order == value order and equal values share
+      a bucket) and count rows per (group, bucket) — one hash aggregate.
+    phase 2: a prefix sum over the tiny (group, bucket) table yields each
+      bucket's starting offset; broadcast-join the offsets back and add an
+      INTRA-bucket ``row_number`` — the sort window now partitions by
+      (group, bucket), so parallelism scales with buckets, not groups.
+
+    ``rank = offset + intra_rank`` is bit-identical to the single-window
+    form because bucketing is monotone and tie-breaking never crosses a
+    bucket boundary (equal values always share one). The offsets table is
+    |groups|·|buckets| rows — broadcastable by construction.
+
+    ``value_col`` must be non-null numeric; rows with NULL values are
+    dropped (a NULL cannot be ranked deterministically).
+    """
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(bucket_width))).cast(
+        "bigint"
+    )
+    with_b = df.filter(F.col(value_col).isNotNull()).withColumn("__bkt", b)
+    counts = with_b.groupBy(*part_cols, "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    from pyspark.sql import Window
+
+    woff = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+    )
+    wint = Window.partitionBy(*part_cols, "__bkt").orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return (
+        with_b.join(F.broadcast(offsets), [*part_cols, "__bkt"])
+        .withColumn(rank_col, (F.col("__off") + F.row_number().over(wint)).cast("int"))
+        .drop("__bkt", "__off")
+    )

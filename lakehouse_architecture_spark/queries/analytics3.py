@@ -70,19 +70,26 @@ ORDER BY digit
 def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order value per customer nation — revenue-
     concentration profiling via the rank formula G = 2·Σ(i·x_i)/(n·Σx)
-    − (n+1)/n over values sorted ascending. The rank window partitions by
-    nation (per-group sort, no global order); both sums are decimal-exact.
-    At extreme per-group cardinality swap the window for a two-phase
-    bucketed rank — the aggregate shape is unchanged."""
+    − (n+1)/n over values sorted ascending; both sums are decimal-exact.
+
+    The rank comes from :func:`two_phase_rank` (operators/skew.py), NOT a
+    window partitioned by nation alone: with only 25 nations a plain
+    ``row_number`` caps parallelism at 25 tasks each sorting a nation's
+    FULL order history — the 100 TB failure mode. The two-phase form
+    buckets by price (width 10k → ~60 buckets/nation), so the sort
+    parallelism scales with nation×bucket while producing bit-identical
+    ranks (parity-tested against the single-window form in
+    tests/test_analytics3.py)."""
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
     t = tables(spark, sf_dir)
     base = t["orders"].join(
         F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(F.col("c_nationkey").alias("nation"), "o_totalprice", "o_orderkey")
-    w = Window.partitionBy("nation").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    ranked = two_phase_rank(
+        base, ["nation"], "o_totalprice", ["o_orderkey"], bucket_width=10000.0
     )
-    ranked = base.withColumn("i", F.row_number().over(w))
     return (
         ranked.groupBy("nation")
         .agg(

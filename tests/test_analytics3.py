@@ -91,3 +91,52 @@ def test_cohort_ltv_monotone_within_cohort(spark):
         ltvs = [v for _, v in curve]
         # cumulative revenue per customer never decreases with age
         assert all(b >= a for a, b in zip(ltvs, ltvs[1:]))
+
+
+def test_two_phase_rank_matches_single_window(spark):
+    """two_phase_rank must be bit-identical to the plain per-group window
+    row_number — including ties (equal values share a bucket, so the
+    tiebreak never crosses a bucket boundary)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
+    rows = [
+        (g, float(v), i)
+        for i, (g, v) in enumerate(
+            [("a", (7 * k * k + 3 * k) % 97) for k in range(200)]
+            + [("b", (5 * k + 11) % 23) for k in range(150)]
+            + [("a", 50)] * 5  # ties at a bucket boundary candidate
+        )
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    fast = two_phase_rank(df, ["g"], "v", ["id"], bucket_width=10.0)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    slow = df.withColumn("i", F.row_number().over(w))
+    got = {(r["g"], r["id"]): r["i"] for r in fast.collect()}
+    want = {(r["g"], r["id"]): r["i"] for r in slow.collect()}
+    assert got == want
+
+
+def test_gini_plan_has_no_group_only_sort(spark):
+    """The 100 TB guard: q_gini's physical plan must not contain a sort
+    whose window/sort key set is ONLY the 25-value nation key — every sort
+    must include the bucket column (parallelism = nation x bucket)."""
+    import re
+
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    df = ALL_QUERIES["q_gini"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the row-level rank window must co-partition by the bucket
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no row_number window found in q_gini plan"
+    for spec in specs:
+        assert "__bkt" in spec, f"row-level rank partitioned by nation alone: {spec}"
+    # the full-data sort (the one ordering o_totalprice) must also key on
+    # the bucket; nation-only sorts may exist only on aggregated subtrees
+    for m in re.finditer(r"Sort \[([^\]]*)\], false", plan):
+        keys = m.group(1)
+        if "o_totalprice" in keys and "nation" in keys:
+            assert "__bkt" in keys, f"full-orders sort without bucket key: {keys}"
