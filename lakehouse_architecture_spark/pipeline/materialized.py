@@ -34,6 +34,13 @@ class MaterializedAggregate:
     group_cols`` over a :class:`VersionedTable`, maintained incrementally.
     """
 
+    # driver-side strategy thresholds (overridable per instance): a view
+    # bigger than BIG_VIEW_BYTES is folded via broadcast touched-groups
+    # joins (never shuffled) as long as the churn is under
+    # SMALL_CHURN_BYTES (delta must broadcast)
+    BIG_VIEW_BYTES = 64 * 1024 * 1024
+    SMALL_CHURN_BYTES = 256 * 1024 * 1024
+
     def __init__(
         self,
         source: VersionedTable,
@@ -69,6 +76,24 @@ class MaterializedAggregate:
         ]
         signed = df.select(*self.group_cols, *cols)
         return signed.groupBy(*self.group_cols).agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+        )
+
+    def _delta_agg(self, pre: DataFrame, post: DataFrame) -> DataFrame:
+        """Per-group (n, sum_*) delta from pre-images (negated) and
+        post-images — ONE row-level signed union and ONE hash aggregate,
+        not two separate aggregates glued by a union (one shuffle over the
+        churn instead of two)."""
+        def signed(df: DataFrame, sign: int) -> DataFrame:
+            return df.select(
+                *self.group_cols,
+                F.lit(sign).cast("bigint").alias("n"),
+                *[(F.col(c) * sign).alias(f"sum_{c}") for c in self.sum_cols],
+            )
+
+        rows = signed(pre, -1).unionByName(signed(post, 1))
+        return rows.groupBy(*self.group_cols).agg(
             F.sum("n").alias("n"),
             *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
         )
@@ -114,9 +139,7 @@ class MaterializedAggregate:
                     out = out.unionByName(f)
                 return out
 
-            delta = self._agg(cat(pres), sign=-1).unionByName(
-                self._agg(cat(posts))
-            )
+            delta = self._delta_agg(cat(pres), cat(posts))
         else:
             # fallback (some commit didn't log changes, or a feed predates
             # a schema evolution): re-derive the delta by hash-diffing the
@@ -148,17 +171,105 @@ class MaterializedAggregate:
                 on=self.source.keys,
                 how="left_semi",
             )
-            delta = self._agg(old_rows, sign=-1).unionByName(self._agg(new_rows))
-        merged = (
-            self.read()
-            .unionByName(delta)
-            .groupBy(*self.group_cols)
-            .agg(
-                F.sum("n").alias("n"),
-                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
-            )
-            .filter(F.col("n") > 0)
+            delta = self._delta_agg(old_rows, new_rows)
+
+        # Fold strategy, decided DRIVER-SIDE from on-disk sizes (zero extra
+        # Spark jobs — an earlier cache+count variant spent more on the
+        # decision than it saved):
+        #
+        # * small view → one-shuffle union+groupBy fold. Re-aggregating a
+        #   broadcast-sized view costs less than any join machinery.
+        # * big view + small churn → TOUCHED-GROUPS broadcast fold: the
+        #   churn-group-sized delta broadcasts into a left join against the
+        #   view, so untouched groups stream through without a shuffle —
+        #   the view (the thing that grows with key cardinality at 100 TB)
+        #   is never exchanged.
+        # * big view + big churn → shuffled fold (delta not broadcastable).
+        view = self.read()
+        view_bytes = self._snapshot_bytes(self.view)
+        churn_bytes = sum(
+            self._feed_bytes(self.source, v) for v in range(done + 1, latest + 1)
         )
+        big_view = view_bytes > self.BIG_VIEW_BYTES
+        small_churn = churn_bytes <= self.SMALL_CHURN_BYTES
+        if big_view and small_churn:
+            d = delta.select(
+                *self.group_cols,
+                F.col("n").alias("__d_n"),
+                *[
+                    F.col(f"sum_{c}").alias(f"__d_sum_{c}")
+                    for c in self.sum_cols
+                ],
+            )
+            folded = (
+                view.join(F.broadcast(d), on=self.group_cols, how="left")
+                .select(
+                    *self.group_cols,
+                    (F.col("n") + F.coalesce(F.col("__d_n"), F.lit(0))).alias("n"),
+                    *[
+                        (
+                            F.col(f"sum_{c}")
+                            + F.coalesce(F.col(f"__d_sum_{c}"), F.lit(0))
+                        ).alias(f"sum_{c}")
+                        for c in self.sum_cols
+                    ],
+                )
+                .filter(F.col("n") > 0)
+            )
+            # delta groups with no view row yet: both sides of this anti
+            # join are churn-sized (matched ≤ |delta|), so it broadcasts too
+            matched = view.join(
+                F.broadcast(d), on=self.group_cols, how="left_semi"
+            ).select(*self.group_cols)
+            new_groups = delta.join(
+                F.broadcast(matched), on=self.group_cols, how="left_anti"
+            ).filter(F.col("n") > 0)
+            merged = folded.unionByName(new_groups.select(*folded.columns))
+        else:
+            merged = (
+                view.unionByName(delta)
+                .groupBy(*self.group_cols)
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+                )
+                .filter(F.col("n") > 0)
+            )
         # full snapshot write, NOT a merge: groups whose count reached zero
         # must disappear, and a merge would keep them (unmatched targets)
         return self.view.write(merged, epoch=latest)
+
+    @staticmethod
+    def _snapshot_bytes(table: VersionedTable) -> int:
+        """On-disk bytes of the latest snapshot (driver-side stat)."""
+        import os
+
+        v = table.latest_version()
+        if v is None:
+            return 0
+        total = 0
+        d = table._vdir(v)
+        for root, _dirs, files in os.walk(d):
+            if "_changes" in root:
+                continue
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return total
+
+    @staticmethod
+    def _feed_bytes(table: VersionedTable, version: int) -> int:
+        """On-disk bytes of a version's change feed (driver-side stat)."""
+        import os
+
+        d = os.path.join(table._vdir(version), "_changes")
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return total

@@ -283,6 +283,15 @@ class VersionedTable:
             pre, post = changes
             pre.write.mode("overwrite").parquet(os.path.join(tmp, "_changes", "pre"))
             post.write.mode("overwrite").parquet(os.path.join(tmp, "_changes", "post"))
+            # stash the schemas so change_feed() readers skip parquet
+            # footer inference (two driver round-trips per refresh)
+            import json as _json
+
+            with open(os.path.join(tmp, "_changes", "_schemas.json"), "w") as f:
+                _json.dump(
+                    {"pre": pre.schema.jsonValue(), "post": post.schema.jsonValue()},
+                    f,
+                )
         if epoch is not None:
             # provenance marker staged INSIDE the tmp dir so the atomic
             # rename commits data + marker together (streaming sinks use
@@ -424,10 +433,27 @@ class VersionedTable:
         d = os.path.join(self._vdir(version), "_changes")
         if not os.path.isdir(os.path.join(d, "pre")):
             return None
-        return (
-            self.spark.read.parquet(os.path.join(d, "pre")),
-            self.spark.read.parquet(os.path.join(d, "post")),
-        )
+        schemas = {}
+        sp = os.path.join(d, "_schemas.json")
+        if os.path.exists(sp):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            try:
+                with open(sp) as f:
+                    raw = json.load(f)
+                schemas = {k: StructType.fromJson(v) for k, v in raw.items()}
+            except (OSError, ValueError, KeyError):
+                schemas = {}  # fall back to footer inference
+
+        def rd(side: str) -> DataFrame:
+            r = self.spark.read
+            if side in schemas:
+                r = r.schema(schemas[side])
+            return r.parquet(os.path.join(d, side))
+
+        return (rd("pre"), rd("post"))
 
     def restore(self, version: int) -> int:
         """Delta RESTORE semantics: re-commit an old snapshot as the NEW

@@ -231,3 +231,61 @@ def test_materialized_refresh_survives_vacuumed_fallback(spark, tmp_path):
     assert view.refresh() == 1  # full rebuild, no error
     got = {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()}
     assert got == {("a", 1, 10), ("b", 1, 5)}
+
+
+def test_materialized_broadcast_fold_path_parity(spark, tmp_path):
+    """The big-view broadcast touched-groups fold (forced via a zero
+    threshold) must produce exactly the same view as the shuffled fold:
+    updates, deletes emptying a group, and brand-new groups."""
+    from lakehouse_architecture_spark.pipeline.materialized import (
+        MaterializedAggregate,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"), keys=["id"])
+    view = MaterializedAggregate(
+        src, str(tmp_path / "view"), group_cols=["g"], sum_cols=["x"]
+    )
+    view.BIG_VIEW_BYTES = 0  # force the broadcast fold on a tiny view
+
+    src.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)], ["id", "g", "x"]
+    ))
+    view.refresh()
+    src.merge(
+        spark.createDataFrame(
+            [(2, "a", 20, False), (3, "b", 0, True), (4, "c", 9, False)],
+            ["id", "g", "x", "del"],
+        ),
+        delete_condition="del",
+        log_changes=True,
+    )
+    assert view.refresh() == 1
+    got = {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()}
+    # a updated (5->20), b emptied and disappears, c is a NEW group
+    assert got == {("a", 2, 30), ("c", 1, 9)}
+
+
+def test_change_feed_schema_cache_roundtrip(spark, tmp_path):
+    """change_feed must return the stored schemas (no footer inference) and
+    survive a missing/corrupt _schemas.json by falling back to inference."""
+    import os
+
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"), keys=["id"])
+    src.write(spark.createDataFrame([(1, "a", 10)], ["id", "g", "x"]))
+    src.merge(
+        spark.createDataFrame([(1, "a", 11), (2, "b", 3)], ["id", "g", "x"]),
+        log_changes=True,
+    )
+    pre, post = src.change_feed(1)
+    assert {f.name for f in pre.schema.fields} == {"id", "g", "x"}
+    assert {r["id"] for r in post.select("id").collect()} == {1, 2}
+
+    # corrupt the schema stash: reader must fall back to inference
+    sp = os.path.join(src._vdir(1), "_changes", "_schemas.json")
+    with open(sp, "w") as f:
+        f.write("{not json")
+    pre2, post2 = src.change_feed(1)
+    assert {r["id"] for r in post2.select("id").collect()} == {1, 2}

@@ -13,7 +13,10 @@ CDC delta — against (b) a full groupBy recompute of the new snapshot.
 Prints one JSON line per phase. The gap widens with table size: the delta
 path's work tracks the churn, the rebuild's tracks the table.
 
-Usage: python tools/ivm_probe.py [sf_dir] [update_fraction]
+Usage: python tools/ivm_probe.py [sf_dir] [update_fraction] [mult]
+
+``mult`` replicates lineitem that many times (distinct keys per replica) to
+probe the refresh-vs-rebuild crossover at 10x/30x the base table size.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ from lakehouse_architecture_spark.session import SessionFactory
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     spark = SessionFactory(app_name="ivm_probe").get_or_create()
     work = tempfile.mkdtemp(prefix="ivm_probe_")
@@ -44,7 +48,17 @@ def main() -> int:
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
             "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
             "l_extendedprice",
-        ).withColumn("rid", F.concat_ws("_", "l_orderkey", "l_linenumber"))
+        )
+        if mult > 1:
+            li = li.crossJoin(
+                F.broadcast(spark.range(mult).select(F.col("id").alias("__rep")))
+            ).withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") * mult + F.col("__rep"),
+            ).drop("__rep")
+        li = li.withColumn(
+            "rid", F.concat_ws("_", "l_orderkey", "l_linenumber")
+        )
 
         src = VersionedTable(spark, os.path.join(work, "src"), keys=["rid"])
         src.write(li)
