@@ -39,6 +39,12 @@ class TableSpec:
     format: str = "parquet"
     partition_by: tuple[str, ...] = ()
     options: dict[str, str] = field(default_factory=dict)
+    #: numeric columns whose per-file min/max stats are maintained in the
+    #: catalog's manifest — range predicates on these prune the file list
+    #: at plan time (sources/manifest.py); typically the z-order clustering
+    #: columns (operators/partitioning.zordered_write keeps their boxes
+    #: tight)
+    stats_cols: tuple[str, ...] = ()
 
 
 class Catalog:
@@ -54,9 +60,11 @@ class Catalog:
         self.spark = spark
         self.root = root
         self._tables: dict[str, TableSpec] = {}
+        self._manifests: dict[str, DataFrame] = {}
 
     def register(self, spec: TableSpec) -> TableSpec:
         self._tables[spec.name] = spec
+        self._manifests.pop(spec.name, None)
         return spec
 
     def table_spec(self, name: str) -> TableSpec:
@@ -68,17 +76,84 @@ class Catalog:
         relpath: str | None = None,
         format: str = "parquet",
         partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
         **options: str,
     ) -> TableSpec:
         path = os.path.join(self.root, relpath or name) if self.root else (relpath or name)
-        return self.register(TableSpec(name, path, format, partition_by, options))
+        return self.register(
+            TableSpec(name, path, format, partition_by, options, stats_cols)
+        )
 
-    def read(self, name: str) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        where: tuple[str, float | None, float | None] | None = None,
+    ) -> DataFrame:
+        """Read a table; with ``where=(col, lo, hi)`` the read is
+        manifest-pruned when ``col`` is one of the table's ``stats_cols``:
+        the catalog's per-file min/max manifest turns the range predicate
+        into an explicit file list BEFORE Spark plans the scan, and the
+        residual predicate still applies (pruning is a superset filter).
+        This makes pruning the DEFAULT read path for range predicates on
+        clustered tables — callers never touch the manifest API. On a
+        non-stats column the same call degrades to scan + filter, so query
+        code is layout-independent.
+        """
         spec = self._tables[name]
+        if where is not None:
+            col, lo, hi = where
+            if spec.format == "parquet" and col in spec.stats_cols:
+                from lakehouse_architecture_spark.sources.manifest import (
+                    pruned_read,
+                )
+
+                return pruned_read(
+                    self.spark, spec.path, self.manifest(name), col, lo, hi
+                )
+        df = self._plain_read(spec)
+        if where is not None:
+            col, lo, hi = where
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def _plain_read(self, spec: TableSpec) -> DataFrame:
         reader = self.spark.read.format(spec.format)
         for k, v in spec.options.items():
             reader = reader.option(k, v)
         return reader.load(spec.path)
+
+    def manifest(self, name: str) -> DataFrame:
+        """The table's per-file stats manifest (built lazily on first use,
+        cached; invalidated by :meth:`write` / :meth:`register`, refreshed
+        incrementally by :meth:`refresh_stats` after out-of-band appends)."""
+        spec = self._tables[name]
+        if not spec.stats_cols:
+            raise ValueError(f"table {name!r} declares no stats_cols")
+        if name not in self._manifests:
+            from lakehouse_architecture_spark.sources.manifest import file_manifest
+
+            self._manifests[name] = file_manifest(
+                self.spark, spec.path, list(spec.stats_cols)
+            ).localCheckpoint(eager=True)
+        return self._manifests[name]
+
+    def refresh_stats(self, name: str) -> DataFrame:
+        """Incrementally refresh the manifest after appends — O(new files),
+        never O(table) (sources/manifest.refresh_manifest)."""
+        spec = self._tables[name]
+        if name in self._manifests:
+            from lakehouse_architecture_spark.sources.manifest import (
+                refresh_manifest,
+            )
+
+            self._manifests[name] = refresh_manifest(
+                self.spark, self._manifests[name], spec.path, list(spec.stats_cols)
+            )
+            return self._manifests[name]
+        return self.manifest(name)
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         spec = self._tables[name]
@@ -88,6 +163,9 @@ class Catalog:
         for k, v in spec.options.items():
             writer = writer.option(k, v)
         writer.save(spec.path)
+        # stats are stale now; next pruned read rebuilds (or caller calls
+        # refresh_stats for the O(new files) path after an append)
+        self._manifests.pop(name, None)
 
     def create_view(self, name: str) -> DataFrame:
         df = self.read(name)

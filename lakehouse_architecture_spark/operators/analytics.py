@@ -234,3 +234,50 @@ def ab_test_summary(
         F.round(t_stat, 6).alias("welch_t"),
         F.round(df_welch, 6).alias("df_welch"),
     )
+
+
+def cooccurrence_cosine(
+    df: DataFrame,
+    entity_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Item-item cosine similarity on entity-incidence vectors:
+    cos(a,b) = |entities with both| / sqrt(|with a| · |with b|).
+
+    Distinct (entity, item) pairs self-join ON THE ENTITY — per-entity
+    fan-out is bounded by that entity's distinct item count (cap upstream
+    for power users), never an all-pairs item join; totals broadcast back
+    onto the |items|² (tiny) pair table.
+    """
+    pairs = df.select(
+        F.col(entity_col).alias("__e"), F.col(item_col).alias("__i")
+    ).distinct()
+    totals = pairs.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    a = pairs.select("__e", F.col("__i").alias("item_a"))
+    b = pairs.select("__e", F.col("__i").alias("item_b"))
+    both = (
+        a.join(b, on="__e")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(totals.select(F.col("__i").alias("item_a"), F.col("__n").alias("__na"))),
+            on="item_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("__i").alias("item_b"), F.col("__n").alias("__nb"))),
+            on="item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / F.sqrt(F.col("__na").cast("double") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -410,3 +410,33 @@ def temporal_split(
         )
         .drop("__cut")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES): each row draws a reproducible uniform u from its id
+    (md5 ticket — stable across partitioning, retries, and engines) and
+    scores key = u^(1/w); the global top-k by key is a weighted sample.
+
+    One scan + a TakeOrdered top-k — no per-row RNG state, no sort of the
+    full table. Rows with non-positive weight are excluded (their key
+    would be 0).
+    """
+    from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+    u = (
+        (md5_hash64(F.col(id_col).cast("string")) % _MOD).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_MOD))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__aes_key", F.round(key, 12))
+        .orderBy(F.col("__aes_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

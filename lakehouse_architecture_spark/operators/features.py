@@ -140,3 +140,78 @@ def mutual_information(
             "mi_bits"
         ),
     ).select("n", "n_x", "n_y", "mi_bits")
+
+
+def standard_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "z",
+) -> DataFrame:
+    """Z-standardize ``value_col`` (optionally within groups): (x - mean) /
+    sample-stddev. Moments come from ONE decimal-exact hash aggregate
+    (sum and sum-of-squares through DECIMAL(38,6) — bit-identical across
+    engines and partitionings) broadcast back onto the rows; no window
+    over the data. Groups with zero variance or a single row get NULL z."""
+    x = F.col(value_col).cast("double")
+    keys = list(group_cols or [])
+    gb = df.groupBy(*keys) if keys else df.groupBy()
+    stats = gb.agg(
+        F.count(x).alias("__n"),
+        dsum(x, "__s"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("__s2"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = (F.col("__s2") - F.col("__s") * F.col("__s") / F.col("__n")) / (
+        F.col("__n") - 1
+    )
+    stats = stats.select(
+        *keys,
+        mean.alias("__mean"),
+        F.when((F.col("__n") > 1) & (var > 0), F.sqrt(var)).alias("__std"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), on=keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    return joined.withColumn(
+        out_col, F.round((x - F.col("__mean")) / F.col("__std"), 6)
+    ).drop("__mean", "__std")
+
+
+def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pearson chi-squared statistic of independence between two
+    categorical columns: sum of (obs - exp)^2 / exp over the contingency
+    table, plus degrees of freedom — the classic feature-screening test
+    (complement of mutual_information: same joint-table shape, different
+    statistic). One hash aggregate builds the joint table; marginals
+    derive from it (no second scan). NULL categories are their own level.
+    """
+    joint = (
+        df.select(
+            F.coalesce(F.col(x_col).cast("string"), F.lit(" null")).alias("__x"),
+            F.coalesce(F.col(y_col).cast("string"), F.lit(" null")).alias("__y"),
+        )
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    mx = joint.groupBy("__x").agg(F.sum("__o").alias("__nx"))
+    my = joint.groupBy("__y").agg(F.sum("__o").alias("__ny"))
+    tot = joint.agg(F.sum("__o").alias("__n"))
+    cells = (
+        joint.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("__nx") * F.col("__ny") / F.col("__n")
+    contrib = (F.col("__o") - exp) * (F.col("__o") - exp) / exp
+    return cells.agg(
+        F.round(
+            F.sum(contrib.cast("decimal(38,18)")).cast("double"), 6
+        ).alias("chi2"),
+        (
+            (F.count_distinct("__x") - 1) * (F.count_distinct("__y") - 1)
+        ).alias("dof"),
+        F.max("__n").alias("n"),
+    )

@@ -214,3 +214,58 @@ def pareto_frontier_2d(
         Window.partitionBy("__p").orderBy(*order),
     ).drop("__p")
     return scan(local, Window.orderBy(*order))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join (inclusive ends) without a
+    cartesian product — the generalization of :func:`range_join_bucketed`
+    to two interval sets.
+
+    Both sides replicate to every bucket their interval covers and meet in
+    a plain equi-join on the bucket id. A pair overlapping several buckets
+    would emit duplicates, so each pair is kept only in its CANONICAL
+    bucket — the one containing max(start_l, start_r) (the first bucket
+    where both intervals are live) — making the join exactly-once without
+    a distinct. Replication is O(length/width) per interval; pick
+    ``bucket_width`` near the typical interval length.
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / F.lit(bucket_width)).cast("bigint"),
+                F.floor(F.col(left_end) / F.lit(bucket_width)).cast("bigint"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / F.lit(bucket_width)).cast("bigint"),
+                F.floor(F.col(right_end) / F.lit(bucket_width)).cast("bigint"),
+            )
+        ),
+    )
+    keys = ["__bucket"] + ([extra_key] if extra_key else [])
+    canon = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / F.lit(bucket_width)
+    ).cast("bigint")
+    return (
+        lb.join(rb, on=keys, how="inner")
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("__bucket") == canon)
+        )
+        .drop("__bucket")
+    )

@@ -768,3 +768,50 @@ def search_index(
         F.count(F.lit(1)).alias("n_hit"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+# --- RAKE keyword extraction (Rose et al. 2010) ----------------------------
+RAKE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on")
+
+
+def rake_keyword_scores(
+    df: DataFrame,
+    text_col: str,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    top_k: int = 30,
+) -> DataFrame:
+    """Rapid Automatic Keyword Extraction word scores over a corpus:
+    candidate phrases are maximal stopword-free runs; each content word
+    scores deg(w)/freq(w), where deg(w) sums the lengths of the phrases
+    containing w (co-occurrence degree incl. self) and freq(w) counts its
+    occurrences. Top-k by score with byte-order tiebreak.
+
+    Pure Catalyst: one regex split to phrases, two explodes, one hash
+    aggregate — corpus-parallel, no Python. At 100 TB the aggregate is
+    vocabulary-sized; cap upstream with a document sample if the
+    vocabulary itself is web-scale."""
+    alt = "|".join(stopwords)
+    phrase_re = rf"\s*\b(?:{alt})\b\s*"
+    phrases = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), phrase_re)
+        ).alias("phrase")
+    ).filter(F.col("phrase") != "")
+    words = phrases.select(
+        F.size(F.split(F.col("phrase"), r"\s+")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    scored = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    return (
+        scored.select(
+            "word",
+            "freq",
+            "degree",
+            F.round(F.col("degree") / F.col("freq"), 6).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("word").asc())
+        .limit(top_k)
+    )

@@ -20,6 +20,9 @@ from lakehouse_architecture_spark.queries.relational2 import RELATIONAL2_QUERIES
 from lakehouse_architecture_spark.queries.relational3 import RELATIONAL3_QUERIES
 from lakehouse_architecture_spark.queries.relational4 import RELATIONAL4_QUERIES
 from lakehouse_architecture_spark.queries.relational5 import RELATIONAL5_QUERIES
+from lakehouse_architecture_spark.queries.analytics4 import ANALYTICS4_QUERIES
+from lakehouse_architecture_spark.queries.storage import STORAGE_QUERIES
+from lakehouse_architecture_spark.queries.textops2 import TEXTOPS2_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
 from lakehouse_architecture_spark.queries.timeseries import TIMESERIES_QUERIES
 
@@ -39,6 +42,9 @@ _SPECS: tuple[QuerySpec, ...] = (
     *QUALITY_QUERIES,  # expectations engine; after the 50-slot window
     *FEATURES_QUERIES,  # feature engineering; after the 50-slot window
     *ANALYTICS3_QUERIES,  # batch-analytics tail; after the 50-slot window
+    *STORAGE_QUERIES,  # round-4 storage layer; appended last, same rationale
+    *ANALYTICS4_QUERIES,  # round-4 analytics tail
+    *TEXTOPS2_QUERIES,  # round-4 text tail
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry

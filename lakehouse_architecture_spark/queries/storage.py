@@ -1,0 +1,159 @@
+"""Round-4 storage-layer queries: the catalog's manifest-pruned read path,
+bloom-filter file skipping, and the distributed global rank — each declared
+so the driver's oracle gate proves the pruned/two-phase plans return
+exactly what a plain scan+filter (or a single global window) would.
+
+Registered last (after the 50-slot window; queries/registry.py ordering
+note). The pruning queries WRITE a clustered copy of `part` to a temp dir
+first — that write is part of the operator under test (z-order layout +
+manifest build), the returned rows are layout-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.queries.base import QuerySpec, tables
+
+
+def _clustered_copy(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Write `part` z-ordered by (p_size, p_retailprice) into 8 files under
+    a per-(session, sf) temp dir, once — reruns reuse the layout (the
+    rows are identical either way; only file boundaries matter)."""
+    from lakehouse_architecture_spark.operators.partitioning import zordered_write
+
+    key = f"lhas_{tag}_{abs(hash((spark.sparkContext.applicationId, sf_dir)))}"
+    path = os.path.join(tempfile.gettempdir(), key)
+    if not os.path.isdir(path) or not os.listdir(path):
+        t = tables(spark, sf_dir)
+        zordered_write(
+            t["part"].select("p_partkey", "p_name", "p_size", "p_retailprice"),
+            path,
+            ["p_size", "p_retailprice"],
+            n_files=8,
+            bits=8,
+        )
+    return path
+
+
+def _q_catalog_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range read through Catalog.read(..., where=): the catalog's per-file
+    min/max manifest (sources/manifest.py) turns `p_size BETWEEN 10 AND 15`
+    into an explicit file list before Spark plans the scan — the default
+    read path for range predicates on clustered tables. The result must be
+    exactly the plain filter's rows (pruning is a superset + residual)."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    path = _clustered_copy(spark, sf_dir, "zpart")
+    cat = Catalog(spark)
+    cat.define("zpart", relpath=path, stats_cols=("p_size", "p_retailprice"))
+    return (
+        cat.read("zpart", where=("p_size", 10.0, 15.0))
+        .select("p_partkey", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+_Q_CATALOG_PRUNED_SQL = """
+SELECT p_partkey, p_size
+FROM part
+WHERE p_size BETWEEN 10 AND 15
+ORDER BY p_partkey
+"""
+
+
+def _q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality read through a per-file bloom manifest: a point lookup on
+    p_partkey (high-cardinality — min/max boxes on the z-order columns
+    cannot help) scans only files whose bloom admits the key. Blooms have
+    no false negatives, so result == plain `p_partkey IN (...)` filter."""
+    from lakehouse_architecture_spark.sources.manifest import (
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    path = _clustered_copy(spark, sf_dir, "zpart")
+    bloom = file_bloom_manifest(spark, path, "p_partkey").localCheckpoint(
+        eager=True
+    )
+    hits = [
+        bloom_pruned_read(spark, path, bloom, "p_partkey", k)
+        for k in (17, 42, 123)
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.unionByName(h)
+    return out.select("p_partkey", "p_name", "p_size").orderBy("p_partkey")
+
+
+_Q_BLOOM_SKIP_SQL = """
+SELECT p_partkey, p_name, p_size
+FROM part
+WHERE p_partkey IN (17, 42, 123)
+ORDER BY p_partkey
+"""
+
+
+def _q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number over ALL lineitem rows ordered by
+    (l_extendedprice, l_orderkey, l_linenumber) WITHOUT a single-partition
+    global sort: two_phase_rank (operators/skew.py) with an empty group —
+    bucket counts + prefix-sum offsets + intra-bucket windows, parallelism
+    = number of price buckets. Returns the 100 cheapest items with their
+    exact global rank."""
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
+    t = tables(spark, sf_dir)
+    ranked = two_phase_rank(
+        t["lineitem"].select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        bucket_width=1000.0,
+        rank_col="rn",
+    )
+    return (
+        ranked.filter(F.col("rn") <= 100)
+        .select("rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("rn")
+    )
+
+
+_Q_GLOBAL_RANK_SQL = """
+SELECT rn, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS INTEGER) AS rn,
+         l_orderkey, l_linenumber, l_extendedprice
+  FROM lineitem
+)
+WHERE rn <= 100
+ORDER BY rn
+"""
+
+
+STORAGE_QUERIES = [
+    QuerySpec(
+        "q_catalog_pruned",
+        "catalog manifest-pruned range read over a z-clustered table",
+        _q_catalog_pruned,
+        _Q_CATALOG_PRUNED_SQL,
+    ),
+    QuerySpec(
+        "q_bloom_skip",
+        "bloom-manifest file-skipping point lookups",
+        _q_bloom_skip,
+        _Q_BLOOM_SKIP_SQL,
+    ),
+    QuerySpec(
+        "q_global_rank",
+        "global row_number via two-phase bucketed rank (no global sort)",
+        _q_global_rank,
+        _Q_GLOBAL_RANK_SQL,
+    ),
+]

@@ -179,3 +179,96 @@ def pruned_read(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+# --- bloom-filter file skipping (equality predicates) -----------------------
+#
+# Min/max boxes prune RANGE predicates; for a point lookup on a
+# high-cardinality column (doc_id, user_id) the boxes are useless unless the
+# table is sorted by that column. A tiny per-file bloom filter answers "can
+# file F contain value v?" with no false negatives — the Parquet/Iceberg
+# bloom idea, materialized into the same manifest layer so equality
+# predicates also prune at plan time.
+
+def _bloom_positions(value: object, num_bits: int, num_hashes: int) -> list[int]:
+    """Deterministic bit positions for ``value`` — identical on driver and
+    executors (hashlib, not PYTHONHASHSEED-dependent hash())."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"{i}:{value}".encode()).digest()
+        out.append(int.from_bytes(h[:8], "big") % num_bits)
+    return out
+
+
+def file_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """One row per parquet file: (file, bloom) where ``bloom`` is a
+    ``num_bits``-bit filter over the file's ``col`` values. Executors read
+    ONLY that column (parquet column pruning via pyarrow), so cost is one
+    column's pages per file, embarrassingly parallel over files."""
+    files = _list_files(path)
+    schema = T.StructType(
+        [T.StructField("file", T.StringType()), T.StructField("bloom", T.BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            out = []
+            for f in batch["file"]:
+                try:
+                    tbl = pq.ParquetFile(f).read(columns=[col])
+                except FileNotFoundError:
+                    continue
+                bits = bytearray(num_bits // 8)
+                for v in tbl.column(col).to_pylist():
+                    if v is None:
+                        continue
+                    for p in _bloom_positions(v, num_bits, num_hashes):
+                        bits[p // 8] |= 1 << (p % 8)
+                out.append({"file": f, "bloom": bytes(bits)})
+            yield pd.DataFrame(out, columns=["file", "bloom"])
+
+    flist = spark.createDataFrame([(f,) for f in files], ["file"])
+    return flist.mapInPandas(build, schema=schema)
+
+
+def bloom_pruned_files(
+    bloom_manifest: DataFrame, value: object, num_bits: int = 8192, num_hashes: int = 4
+) -> list[str]:
+    """Files whose bloom admits ``value`` (possible member). The manifest
+    is file-cardinality — collected positions are checked driver-side on
+    the collected (file, bloom) rows, each a few KB."""
+    pos = _bloom_positions(value, num_bits, num_hashes)
+    keep = []
+    for r in bloom_manifest.select("file", "bloom").collect():
+        b = r["bloom"]
+        if all(b[p // 8] & (1 << (p % 8)) for p in pos):
+            keep.append(r["file"])
+    return sorted(keep)
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    path: str,
+    bloom_manifest: DataFrame,
+    col: str,
+    value: object,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Equality read through the bloom manifest: scan only files that can
+    contain ``value``; the residual ``col = value`` filter still applies
+    (blooms have false positives, never false negatives)."""
+    files = bloom_pruned_files(bloom_manifest, value, num_bits, num_hashes)
+    if not files:
+        return spark.read.parquet(path).limit(0).filter(F.col(col) == F.lit(value))
+    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))

@@ -140,3 +140,30 @@ def test_gini_plan_has_no_group_only_sort(spark):
         keys = m.group(1)
         if "o_totalprice" in keys and "nation" in keys:
             assert "__bkt" in keys, f"full-orders sort without bucket key: {keys}"
+
+
+def test_aes_weighted_sample_properties(spark):
+    """A-ES weighted sampling: deterministic under repartitioning, sample
+    size exactly k, non-positive weights excluded, and heavy items
+    overrepresented vs uniform (statistical direction check on a fixed
+    population, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.curation import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1, 1001)]
+    rows += [(2000, -5.0), (2001, 0.0)]  # must be excluded
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = weighted_sample_topk(df, "id", "w", k=100)
+    got = {r["id"] for r in s1.collect()}
+    assert len(got) == 100
+    assert not ({2000, 2001} & got)
+    # determinism under a different physical layout
+    s2 = weighted_sample_topk(df.repartition(13), "id", "w", k=100)
+    assert {r["id"] for r in s2.collect()} == got
+    # 10% of ids carry 100x weight -> should dominate the sample well above
+    # their population share
+    heavy = sum(1 for i in got if i % 10 == 0 and i <= 1000)
+    assert heavy > 50

@@ -108,3 +108,13 @@ def test_registry_queries_and_oracles_consistent():
     assert set(o) <= set(q)
     # every oracle is non-empty SQL
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_registry_has_no_duplicate_names():
+    """A later QuerySpec with a reused name silently SHADOWS the earlier
+    implementation in the dict the driver consumes — caught live in round
+    4 (q_funnel/q_retention/q_weighted_sample re-declared by a new
+    module). Declared specs must be unique by name."""
+    names = [s.name for s in registry._SPECS]
+    dups = sorted({n for n in names if names.count(n) > 1})
+    assert not dups, f"duplicate query names shadow earlier specs: {dups}"

@@ -185,3 +185,42 @@ def test_save_as_table_sort_without_bucket_raises(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "k int, v string")
     with pytest.raises(ValueError, match="sort_by requires bucket_by"):
         cat.save_as_table(df, "t_sorted_nobucket", sort_by=("k",))
+
+
+def test_catalog_pruned_read_shrinks_file_list(spark, tmp_path):
+    """Catalog.read(name, where=(col, lo, hi)) on a stats-col of a
+    z-clustered table must scan FEWER files than the table holds, return
+    exactly the filtered rows, and degrade to scan+filter on a non-stats
+    column."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.catalog import Catalog
+    from lakehouse_architecture_spark.operators.partitioning import zordered_write
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("pts", stats_cols=("x", "y"))
+    df = spark.range(4096).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("double").alias("y"),
+    )
+    zordered_write(df, spec.path, ["x", "y"], n_files=16, bits=6)
+
+    total_files = cat.manifest("pts").count()
+    assert total_files == 16
+
+    got = cat.read("pts", where=("x", 10.0, 12.0))
+    # file list shrinks: the scan's input files are fewer than the table's
+    scanned = got.select(F.input_file_name()).distinct().count()
+    assert scanned < total_files
+    rows = {r["rid"] for r in got.collect()}
+    want = {r["rid"] for r in df.filter("x between 10 and 12").collect()}
+    assert rows == want
+
+    # non-stats column: same answer via plain scan+filter
+    got2 = cat.read("pts", where=("rid", 100.0, 110.0))
+    assert got2.count() == 11
+
+    # write invalidates the manifest; next pruned read rebuilds it
+    cat.write(df.filter("x < 8"), "pts")
+    assert cat.read("pts", where=("x", 10.0, 12.0)).count() == 0

@@ -297,3 +297,28 @@ def test_remove_spans_preserves_untouched_docs_and_id_column(spark):
     assert [out[i].id for i in (1, 2, 3)] == [7, 8, 9]  # user 'id' intact
     assert out[1].text == "alpha beta gamma delta epsilon zeta"
     assert out[2].text == "intro words here first then"
+
+
+def test_bloom_manifest_skips_files(spark, tmp_path):
+    """Per-file blooms admit the files containing a key (no false
+    negatives) and skip most others on a range-clustered layout."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.sources.manifest import (
+        bloom_pruned_files,
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    path = str(tmp_path / "keys")
+    spark.range(4096).select(F.col("id").alias("k")).repartitionByRange(
+        16, "k"
+    ).write.parquet(path)
+    bloom = file_bloom_manifest(spark, path, "k").localCheckpoint(eager=True)
+    assert bloom.count() == 16
+    files = bloom_pruned_files(bloom, 1234)
+    assert 1 <= len(files) < 16  # admits the right file, skips most
+    got = bloom_pruned_read(spark, path, bloom, "k", 1234).collect()
+    assert [r["k"] for r in got] == [1234]
+    # absent key: may admit false-positive files but returns zero rows
+    assert bloom_pruned_read(spark, path, bloom, "k", 999999).count() == 0
