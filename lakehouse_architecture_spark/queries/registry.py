@@ -21,6 +21,7 @@ from lakehouse_architecture_spark.queries.relational3 import RELATIONAL3_QUERIES
 from lakehouse_architecture_spark.queries.relational4 import RELATIONAL4_QUERIES
 from lakehouse_architecture_spark.queries.relational5 import RELATIONAL5_QUERIES
 from lakehouse_architecture_spark.queries.analytics4 import ANALYTICS4_QUERIES
+from lakehouse_architecture_spark.queries.analytics5 import ANALYTICS5_QUERIES
 from lakehouse_architecture_spark.queries.storage import STORAGE_QUERIES
 from lakehouse_architecture_spark.queries.textops2 import TEXTOPS2_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
@@ -45,6 +46,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *STORAGE_QUERIES,  # round-4 storage layer; appended last, same rationale
     *ANALYTICS4_QUERIES,  # round-4 analytics tail
     *TEXTOPS2_QUERIES,  # round-4 text tail
+    *ANALYTICS5_QUERIES,  # round-4 closing batch (fills the 50-slot window)
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry
