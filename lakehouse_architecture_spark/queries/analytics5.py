@@ -270,15 +270,24 @@ def _q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
         .agg(dsum("o_totalprice", "rev"))
     )
-    tot = rev.groupBy("nation").agg(dsum("rev", "__tot"), F.count(F.lit(1)).alias("n_cust"))
+    # totals as UNBOUNDED windows over the same nation partitioning — the
+    # naive tot-aggregate-then-join form scans and aggregates orders twice
+    # (Spark does not share the subtree); these windows reuse the cum
+    # window's exchange+sort for free
     w = (
         Window.partitionBy("nation")
         .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = rev.withColumn(
-        "__cum", F.sum(F.col("rev").cast("decimal(38,6)")).over(w).cast("double")
-    ).join(F.broadcast(tot), on="nation")
+    wall = Window.partitionBy("nation").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = rev.select(
+        "nation",
+        F.sum(F.col("rev").cast("decimal(38,6)")).over(w).cast("double").alias("__cum"),
+        F.sum(F.col("rev").cast("decimal(38,6)")).over(wall).cast("double").alias("__tot"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    )
     # customers strictly below the 80% running mark, +1 for the one that
     # crosses it
     return (
@@ -342,17 +351,21 @@ def _q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_architecture_spark.operators.text import tokens
 
     t = tables(spark, sf_dir)
-    tok = t["documents"].select(
-        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
-        F.col("doc_id"),
-    )
-    nxt = tok.select(
-        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("w").alias("w2")
+    # adjacent pairs via an array zip of the token list against itself
+    # shifted by one — a NARROW map (no positional self-join; the naive
+    # join formulation broadcasts the whole token table)
+    tk = tokens(F.lower(F.col("text")))
+    pairs = t["documents"].select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+            )
+        ).alias("p")
     )
     edges = (
-        tok.join(nxt, on=["doc_id", "pos"])
+        pairs.select(F.col("p.0").alias("w"), F.col("p.1").alias("w2"))
         .filter(F.col("w") != F.col("w2"))
-        .select("w", "w2")
         .distinct()
     )
     und = edges.select("w", "w2").unionByName(
