@@ -199,10 +199,13 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     mx = joint.groupBy("__x").agg(F.sum("__o").alias("__nx"))
     my = joint.groupBy("__y").agg(F.sum("__o").alias("__ny"))
     tot = joint.agg(F.sum("__o").alias("__n"))
-    cells = (
-        joint.join(F.broadcast(mx), "__x")
-        .join(F.broadcast(my), "__y")
-        .crossJoin(F.broadcast(tot))
+    # the FULL |X| x |Y| grid, not just observed cells: a zero cell still
+    # contributes (0 - exp)^2 / exp = exp — summing only the joint table
+    # understates dependence (a perfect 2x2 bijection would report n/2,
+    # not n). The grid is category-cardinality, broadcastable.
+    grid = mx.crossJoin(F.broadcast(my)).crossJoin(F.broadcast(tot))
+    cells = grid.join(joint, on=["__x", "__y"], how="left").withColumn(
+        "__o", F.coalesce(F.col("__o"), F.lit(0))
     )
     exp = F.col("__nx") * F.col("__ny") / F.col("__n")
     contrib = (F.col("__o") - exp) * (F.col("__o") - exp) / exp

@@ -367,13 +367,19 @@ WITH joint AS (
 ),
 mx AS (SELECT x, SUM(o) AS nx FROM joint GROUP BY 1),
 my AS (SELECT y, SUM(o) AS ny FROM joint GROUP BY 1),
-tot AS (SELECT SUM(o) AS n FROM joint)
+tot AS (SELECT SUM(o) AS n FROM joint),
+-- full grid: zero cells still contribute (0-exp)^2/exp = exp
+cells AS (
+  SELECT mx.x, my.y, mx.nx, my.ny, tot.n, COALESCE(j.o, 0) AS o
+  FROM mx CROSS JOIN my CROSS JOIN tot
+  LEFT JOIN joint j ON j.x = mx.x AND j.y = my.y
+)
 SELECT ROUND(CAST(SUM(CAST((o - nx * ny * 1.0 / n) * (o - nx * ny * 1.0 / n)
                            / (nx * ny * 1.0 / n) AS DECIMAL(38,18))) AS DOUBLE), 6)
          AS chi2,
-       (COUNT(DISTINCT j.x) - 1) * (COUNT(DISTINCT j.y) - 1) AS dof,
+       (COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS dof,
        CAST(MAX(n) AS BIGINT) AS n
-FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+FROM cells
 """
 
 
