@@ -44,6 +44,17 @@ QUERIES = [
     "q_kaplan_meier",
     "q_multi_touch",
     "q_ab_test",
+    # round-4 representatives
+    "q_gini",
+    "q_global_rank",
+    "q_catalog_pruned",
+    "q_interval_join",
+    "q_std_scale",
+    "q_cooccur_cosine",
+    "q_pareto_8020",
+    "q_degree_dist",
+    "q_levenshtein_block",
+    "q_sax",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
