@@ -1,0 +1,137 @@
+"""Property-based invariants for the round-4 operators: randomized
+parity with naive reference formulations."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1.0, 3.0, 7.5, 100.0]),
+)
+def test_two_phase_rank_parity_random(spark, rows, width):
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
+    df = spark.createDataFrame(
+        [(g, float(v), i) for i, (g, v) in enumerate(rows)],
+        "g string, v double, id long",
+    )
+    fast = two_phase_rank(df, ["g"], "v", ["id"], bucket_width=width)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    slow = df.withColumn("i", F.row_number().over(w))
+    assert {(r["g"], r["id"], r["i"]) for r in fast.collect()} == {
+        (r["g"], r["id"], r["i"]) for r in slow.collect()
+    }
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([2.0, 5.0, 11.0]),
+)
+def test_interval_overlap_join_parity_random(spark, ls, rs, width):
+    """Bucketed overlap join == naive cross-join filter, exactly once per
+    pair, for random inclusive intervals."""
+    from lakehouse_architecture_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, float(s), float(s + d)) for i, (s, d) in enumerate(ls)],
+        "lid int, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(s), float(s + d)) for i, (s, d) in enumerate(rs)],
+        "rid int, rs double, re double",
+    )
+    fast = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=width
+        ).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    )
+    assert fast == naive
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=200, unique=True))
+def test_bloom_never_false_negative(spark, keys):
+    """Every present key must be admitted by its file's bloom (false
+    positives allowed, false negatives never)."""
+    import tempfile
+
+    from lakehouse_architecture_spark.sources.manifest import (
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        spark.createDataFrame([(k,) for k in keys], "k long").repartition(
+            4
+        ).write.parquet(path)
+        bloom = file_bloom_manifest(spark, path, "k").localCheckpoint(
+            eager=True
+        )
+        for k in keys[:5]:  # spot-check a handful per example
+            got = bloom_pruned_read(spark, path, bloom, "k", k).collect()
+            assert [r["k"] for r in got] == [k]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xy"), st.integers(-100, 100)),
+        min_size=4,
+        max_size=50,
+    )
+)
+def test_standard_scale_moments(spark, rows):
+    """Scaled values within a multi-row group have mean ~0 and |z| finite;
+    NULL only when the group variance is zero or n == 1. Integer-valued
+    inputs: the operator's moments run through DECIMAL(38,6), so variance
+    below ~1e-12 legitimately rounds to zero (documented precision floor)
+    — the invariant is asserted inside the supported domain."""
+    from lakehouse_architecture_spark.operators.features import standard_scale
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    out = standard_scale(df, "v", ["g"]).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    for g, rs in by_g.items():
+        vals = [r["v"] for r in rs]
+        zs = [r["z"] for r in rs]
+        if len(vals) > 1 and len(set(vals)) > 1:
+            assert all(z is not None for z in zs)
+            assert abs(sum(zs) / len(zs)) < 1e-4
+        else:
+            assert all(z is None for z in zs)
