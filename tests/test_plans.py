@@ -332,3 +332,47 @@ def test_runtime_bloom_filter_injects_when_thresholds_allow(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_interval_join_is_equi_join(spark):
+    """The bucketed interval overlap join must plan as a hash equi-join on
+    the bucket id — never a nested-loop theta join."""
+    plan = formatted_plan(_q(spark, "q_interval_join"))
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} leaked into interval-join plan"
+    assert "Join" in plan  # it IS a join, just an equi one
+
+
+def test_global_rank_no_single_partition_sort(spark):
+    """q_global_rank's data-sized sort must key on the bucket (parallel),
+    not a single global ordering."""
+    import re
+
+    df = _q(spark, "q_global_rank")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__bkt" in s for s in specs), specs
+
+
+def test_cooccur_cosine_no_cartesian(spark):
+    df = _q(spark, "q_cooccur_cosine")
+    assert_no_cartesian(df)
+
+
+def test_pareto_single_orders_scan(spark):
+    """Totals come from windows, not a second aggregate of orders — the
+    plan must scan each parquet table exactly once (formatted plans print
+    every node twice: tree line + detail header; count the headers)."""
+    import re
+
+    plan = formatted_plan(_q(spark, "q_pareto_8020"))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 2, scans  # orders + customer, once each
+
+
+def test_degree_dist_no_join(spark):
+    """Adjacent token pairs come from an array zip narrow map — no
+    positional self-join in the plan."""
+    plan = formatted_plan(_q(spark, "q_degree_dist"))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} leaked into degree-dist plan"
