@@ -108,7 +108,13 @@ class Catalog:
                 )
 
                 return pruned_read(
-                    self.spark, spec.path, self.manifest(name), col, lo, hi
+                    self.spark,
+                    spec.path,
+                    self.manifest(name),
+                    col,
+                    lo,
+                    hi,
+                    options=spec.options,
                 )
         df = self._plain_read(spec)
         if where is not None:
@@ -149,9 +155,13 @@ class Catalog:
                 refresh_manifest,
             )
 
+            # materialize eagerly like the build path: the refreshed
+            # manifest unions a LAZY footer-read subtree for the new files,
+            # and caching it unmaterialized would re-run those distributed
+            # footer reads on every subsequent pruned read
             self._manifests[name] = refresh_manifest(
                 self.spark, self._manifests[name], spec.path, list(spec.stats_cols)
-            )
+            ).localCheckpoint(eager=True)
             return self._manifests[name]
         return self.manifest(name)
 

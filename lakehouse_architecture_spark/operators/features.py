@@ -166,18 +166,23 @@ def standard_scale(
         F.col("__n") - 1
     )
     stats = stats.select(
-        *keys,
+        *[F.col(c).alias(f"__k_{c}") for c in keys],
         mean.alias("__mean"),
         F.when((F.col("__n") > 1) & (var > 0), F.sqrt(var)).alias("__std"),
     )
-    joined = (
-        df.join(F.broadcast(stats), on=keys)
-        if keys
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if keys:
+        # NULL-SAFE key equality: a NULL group key is a real group with
+        # real moments — a plain equi-join would silently drop its rows
+        cond = None
+        for c in keys:
+            piece = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = piece if cond is None else (cond & piece)
+        joined = df.join(F.broadcast(stats), on=cond)
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     return joined.withColumn(
         out_col, F.round((x - F.col("__mean")) / F.col("__std"), 6)
-    ).drop("__mean", "__std")
+    ).drop("__mean", "__std", *[f"__k_{c}" for c in keys])
 
 
 def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:

@@ -125,15 +125,26 @@ def two_phase_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        *part_cols,
-        "__bkt",
+        *[F.col(c).alias(f"__k_{c}") for c in part_cols],
+        F.col("__bkt").alias("__obkt"),
         F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
     )
+    # NULL-SAFE key equality: a NULL group key is a valid window partition
+    # for the single-window form this must stay bit-identical to — a plain
+    # equi-join would silently drop those rows
+    cond = F.col("__bkt").eqNullSafe(F.col("__obkt"))
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
     wint = Window.partitionBy(*part_cols, "__bkt").orderBy(
         F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )
     return (
-        with_b.join(F.broadcast(offsets), [*part_cols, "__bkt"])
-        .withColumn(rank_col, (F.col("__off") + F.row_number().over(wint)).cast("int"))
-        .drop("__bkt", "__off")
+        with_b.join(F.broadcast(offsets), on=cond)
+        .withColumn(
+            # bigint, not int: the whole point is exact global ranks on
+            # tables past 2^31 rows
+            rank_col,
+            (F.col("__off") + F.row_number().over(wint)).cast("bigint"),
+        )
+        .drop("__bkt", "__off", "__obkt", *[f"__k_{c}" for c in part_cols])
     )

@@ -790,7 +790,9 @@ def rake_keyword_scores(
     aggregate — corpus-parallel, no Python. At 100 TB the aggregate is
     vocabulary-sized; cap upstream with a document sample if the
     vocabulary itself is web-scale."""
-    alt = "|".join(stopwords)
+    import re as _re
+
+    alt = "|".join(_re.escape(s) for s in stopwords)
     phrase_re = rf"\s*\b(?:{alt})\b\s*"
     phrases = df.select(
         F.explode(

@@ -187,22 +187,33 @@ class MaterializedAggregate:
         # * big view + big churn → shuffled fold (delta not broadcastable).
         view = self.read()
         view_bytes = self._snapshot_bytes(self.view)
+        # the snapshot-diff fallback has no feed on disk, so feed bytes
+        # would read 0 there no matter how big the delta is — never let
+        # that path force a broadcast of a potentially table-sized delta
         churn_bytes = sum(
             self._feed_bytes(self.source, v) for v in range(done + 1, latest + 1)
         )
         big_view = view_bytes > self.BIG_VIEW_BYTES
-        small_churn = churn_bytes <= self.SMALL_CHURN_BYTES
+        small_churn = feeds_usable and churn_bytes <= self.SMALL_CHURN_BYTES
         if big_view and small_churn:
+            # all delta-side joins are NULL-SAFE on the group key: a NULL
+            # group is one real group for the aggregate, and a NULL-unsafe
+            # join would keep its view row stale AND re-add its delta as a
+            # duplicate "new group" row
             d = delta.select(
-                *self.group_cols,
+                *[F.col(c).alias(f"__dk_{c}") for c in self.group_cols],
                 F.col("n").alias("__d_n"),
                 *[
                     F.col(f"sum_{c}").alias(f"__d_sum_{c}")
                     for c in self.sum_cols
                 ],
             )
+            cond = None
+            for c in self.group_cols:
+                piece = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
+                cond = piece if cond is None else (cond & piece)
             folded = (
-                view.join(F.broadcast(d), on=self.group_cols, how="left")
+                view.join(F.broadcast(d), on=cond, how="left")
                 .select(
                     *self.group_cols,
                     (F.col("n") + F.coalesce(F.col("__d_n"), F.lit(0))).alias("n"),
@@ -218,11 +229,14 @@ class MaterializedAggregate:
             )
             # delta groups with no view row yet: both sides of this anti
             # join are churn-sized (matched ≤ |delta|), so it broadcasts too
-            matched = view.join(
-                F.broadcast(d), on=self.group_cols, how="left_semi"
-            ).select(*self.group_cols)
+            matched = view.join(F.broadcast(d), on=cond, how="left_semi").select(
+                *self.group_cols
+            )
+            m = matched.select(
+                *[F.col(c).alias(f"__dk_{c}") for c in self.group_cols]
+            )
             new_groups = delta.join(
-                F.broadcast(matched), on=self.group_cols, how="left_anti"
+                F.broadcast(m), on=cond, how="left_anti"
             ).filter(F.col("n") > 0)
             merged = folded.unionByName(new_groups.select(*folded.columns))
         else:

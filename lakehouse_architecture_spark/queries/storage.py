@@ -118,7 +118,14 @@ def _q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.filter(F.col("rn") <= 100)
-        .select("rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .select(
+            # operator emits bigint (exact past 2^31 rows); the 100-row
+            # output narrows to int to match the declared oracle schema
+            F.col("rn").cast("int").alias("rn"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        )
         .orderBy("rn")
     )
 

@@ -165,15 +165,25 @@ def pruned_read(
     col: str,
     lo: float | None = None,
     hi: float | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
     """Read only the files that can contain ``col`` in [lo, hi], with the
     residual predicate still applied (file pruning is a superset filter,
     not the filter itself). An empty candidate list returns an empty
-    DataFrame with the table's schema."""
+    DataFrame with the table's schema.
+
+    ``basePath`` is always set to the table root so a hive-partitioned
+    layout keeps its partition columns when individual leaf files are
+    opened (without it Spark cannot derive ``dt=...`` columns from a leaf
+    file list and the pruned read would silently change the schema);
+    ``options`` forwards any reader options the plain path would use."""
     files = pruned_files(manifest, col, lo, hi)
+    reader = spark.read.option("basePath", path)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if not files:
-        return spark.read.parquet(path).limit(0)
-    df = spark.read.parquet(*files)
+        return reader.parquet(path).limit(0)
+    df = reader.parquet(*files)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -190,14 +200,36 @@ def pruned_read(
 # bloom idea, materialized into the same manifest layer so equality
 # predicates also prune at plan time.
 
+def _bloom_canon(value: object) -> str:
+    """Canonical text form of a value for bloom hashing — the SAME for the
+    stored cell (pyarrow ``to_pylist``: float/int/numpy scalar) and the
+    query-side literal, so ``5`` and ``5.0`` (or ``np.int64(5)``) hash to
+    the same positions. Without this, a type-representation mismatch
+    silently yields false negatives, breaking the no-false-negative
+    contract."""
+    item = getattr(value, "item", None)
+    if item is not None and type(value).__module__ == "numpy":
+        value = item()
+    if isinstance(value, bool):
+        return f"b:{int(value)}"
+    if isinstance(value, float) and value.is_integer():
+        return f"i:{int(value)}"
+    if isinstance(value, int):
+        return f"i:{value}"
+    if isinstance(value, float):
+        return f"f:{value!r}"
+    return f"s:{value}"
+
+
 def _bloom_positions(value: object, num_bits: int, num_hashes: int) -> list[int]:
     """Deterministic bit positions for ``value`` — identical on driver and
     executors (hashlib, not PYTHONHASHSEED-dependent hash())."""
     import hashlib
 
+    canon = _bloom_canon(value)
     out = []
     for i in range(num_hashes):
-        h = hashlib.md5(f"{i}:{value}".encode()).digest()
+        h = hashlib.md5(f"{i}:{canon}".encode()).digest()
         out.append(int.from_bytes(h[:8], "big") % num_bits)
     return out
 

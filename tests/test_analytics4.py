@@ -112,3 +112,81 @@ def test_two_phase_rank_empty_group_is_global(spark):
     assert {(r["id"], r["i"]) for r in fast.collect()} == {
         (r["id"], r["i"]) for r in slow.collect()
     }
+
+
+def test_two_phase_rank_keeps_null_group(spark):
+    """Code-review r4: a NULL group key is a valid window partition —
+    rows must rank, not vanish (null-safe offsets join)."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
+    df = spark.createDataFrame(
+        [(None, 3.0, 1), (None, 1.0, 2), ("a", 2.0, 3)],
+        "g string, v double, id long",
+    )
+    fast = two_phase_rank(df, ["g"], "v", ["id"], bucket_width=1.0)
+    got = {(r["g"], r["id"], r["i"]) for r in fast.collect()}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r["g"], r["id"], r["i"])
+        for r in df.withColumn("i", F.row_number().over(w)).collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_standard_scale_keeps_null_group(spark):
+    from lakehouse_architecture_spark.operators.features import standard_scale
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 5.0)], "k string, v double"
+    )
+    out = standard_scale(df, "v", ["k"]).collect()
+    assert len(out) == 3  # NULL-key rows are scaled, not dropped
+    nulls = {r["v"]: r["z"] for r in out if r["k"] is None}
+    assert nulls[1.0] is not None and nulls[1.0] < 0 < nulls[3.0]
+
+
+def test_materialized_broadcast_fold_null_group_key(spark, tmp_path):
+    """Code-review r4: a NULL group key must fold into its single view row
+    under the broadcast path — not go stale + duplicate."""
+    from lakehouse_architecture_spark.pipeline.materialized import (
+        MaterializedAggregate,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"), keys=["id"])
+    view = MaterializedAggregate(
+        src, str(tmp_path / "view"), group_cols=["g"], sum_cols=["x"]
+    )
+    view.BIG_VIEW_BYTES = 0
+    src.write(spark.createDataFrame(
+        [(1, None, 10), (2, None, 5), (3, "b", 7)], "id long, g string, x long"
+    ))
+    view.refresh()
+    src.merge(
+        spark.createDataFrame([(2, None, 25)], "id long, g string, x long"),
+        log_changes=True,
+    )
+    view.refresh()
+    rows = {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()}
+    assert rows == {(None, 2, 35), ("b", 1, 7)}
+
+
+def test_catalog_pruned_read_keeps_partition_columns(spark, tmp_path):
+    """Code-review r4: pruned reads of a hive-partitioned table must keep
+    the partition column (basePath) and match the plain path's schema."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("pt", partition_by=("dt",), stats_cols=("x",))
+    df = spark.range(200).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 4).cast("string").alias("dt"),
+        (F.col("id") % 50).cast("double").alias("x"),
+    )
+    cat.write(df, "pt")
+    got = cat.read("pt", where=("x", 10.0, 12.0))
+    assert "dt" in got.columns
+    assert set(got.columns) == set(cat.read("pt").columns)
+    assert got.count() == df.filter("x between 10 and 12").count()

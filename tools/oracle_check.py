@@ -60,6 +60,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            print("usage: oracle_check.py [--plain] [--json PATH] [sf_dir] [query ...]")
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if a != "--plain"]
