@@ -22,6 +22,7 @@ from lakehouse_architecture_spark.queries.relational4 import RELATIONAL4_QUERIES
 from lakehouse_architecture_spark.queries.relational5 import RELATIONAL5_QUERIES
 from lakehouse_architecture_spark.queries.analytics4 import ANALYTICS4_QUERIES
 from lakehouse_architecture_spark.queries.analytics5 import ANALYTICS5_QUERIES
+from lakehouse_architecture_spark.queries.analytics6 import ANALYTICS6_QUERIES
 from lakehouse_architecture_spark.queries.storage import STORAGE_QUERIES
 from lakehouse_architecture_spark.queries.textops2 import TEXTOPS2_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
@@ -47,6 +48,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *ANALYTICS4_QUERIES,  # round-4 analytics tail
     *TEXTOPS2_QUERIES,  # round-4 text tail
     *ANALYTICS5_QUERIES,  # round-4 closing batch (fills the 50-slot window)
+    *ANALYTICS6_QUERIES,  # round-4 audited overflow (LOCAL_ORACLE.json rows)
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry
