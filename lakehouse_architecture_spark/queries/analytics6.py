@@ -25,6 +25,10 @@ _DAY_US = 86400000000
 
 # --- hand-rolled HyperLogLog ------------------------------------------------
 _HLL_M = 256  # registers
+#: the standard bias correction alpha_m = 0.7213/(1 + 1.079/m) for m >= 128
+#: (Flajolet et al. 2007); formatted once so Spark and the oracle use the
+#: bit-identical literal
+_HLL_ALPHA = round(0.7213 / (1 + 1.079 / _HLL_M), 10)
 
 
 def _q_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,8 +37,8 @@ def _q_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes split into (register = h % 256, payload = h >> 8); each
     register keeps max rho (trailing-zero count + 1 of the payload —
     computed as log2(x & -x), EXACT for powers of two in IEEE doubles, so
-    both engines agree bit-for-bit); the raw harmonic estimate
-    m^2 / sum(2^-rho) uses decimal-exact sums. The register table is 256
+    both engines agree bit-for-bit); the bias-corrected estimate
+    alpha_m * m^2 / sum(2^-rho) uses decimal-exact sums. The register table is 256
     rows — the whole sketch is one hash aggregate + a 256-row fold, the
     mergeable-sketch shape that beats exact COUNT(DISTINCT) at 100 TB."""
     t = tables(spark, sf_dir)
@@ -63,7 +67,8 @@ def _q_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").alias("exact_distinct")
     )
     est = (
-        F.lit(float(_HLL_M * _HLL_M))
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
         / (F.col("__z") + (F.lit(_HLL_M) - F.col("n_regs")))
     )
     return (
@@ -97,10 +102,11 @@ filled AS (
 ),
 exact AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
 SELECT n_regs,
-       ROUND({_HLL_M * _HLL_M}.0 / (z + ({_HLL_M} - n_regs)), 4) AS hll_estimate,
+       ROUND({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / (z + ({_HLL_M} - n_regs)), 4)
+         AS hll_estimate,
        exact_distinct,
-       ROUND(({_HLL_M * _HLL_M}.0 / (z + ({_HLL_M} - n_regs))) / exact_distinct, 4)
-         AS ratio
+       ROUND(({_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / (z + ({_HLL_M} - n_regs)))
+             / exact_distinct, 4) AS ratio
 FROM filled, exact
 """
 

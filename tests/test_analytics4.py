@@ -190,3 +190,47 @@ def test_catalog_pruned_read_keeps_partition_columns(spark, tmp_path):
     assert "dt" in got.columns
     assert set(got.columns) == set(cat.read("pt").columns)
     assert got.count() == df.filter("x between 10 and 12").count()
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """The hand-rolled HLL estimate must land within the standard-error
+    envelope (~1.04/sqrt(256) ~ 6.5%; allow 4 sigma) of the exact count."""
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    r = ALL_QUERIES["q_hll_custom"].build(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert 0.74 <= r["ratio"] <= 1.26, r
+
+
+def test_mode_deterministic_tiebreak(spark):
+    """Equal-count modes must resolve to the SMALLEST value."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0), ("g", 2.0), ("g", 2.0), ("g", 9.0)],
+        "k string, v double",
+    )
+    counts = df.groupBy("k", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("k").orderBy(F.col("cnt").desc(), F.col("v").asc())
+    top = counts.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    assert top.collect()[0]["v"] == 2.0
+
+
+def test_runs_test_hand_case(spark):
+    """A strictly alternating series has the MAX possible runs; the query
+    math (runs, expected) is pinned on a tiny alternating frame."""
+    rows = [(d, float(10 if d % 2 == 0 else 1)) for d in range(8)]
+    daily = spark.createDataFrame(rows, "day int, x double")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    signed = (
+        daily.withColumn("prev", F.lag("x", 1).over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("x") != F.col("prev")))
+        .withColumn("up", (F.col("x") > F.col("prev")).cast("int"))
+    )
+    runs = signed.withColumn(
+        "chg", (F.col("up") != F.lag("up", 1).over(w)).cast("int")
+    ).agg((F.coalesce(F.sum("chg"), F.lit(0)) + 1).alias("n_runs")).collect()
+    assert runs[0]["n_runs"] == 7  # 7 deltas, all alternating
