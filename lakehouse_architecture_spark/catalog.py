@@ -45,6 +45,11 @@ class TableSpec:
     #: columns (operators/partitioning.zordered_write keeps their boxes
     #: tight)
     stats_cols: tuple[str, ...] = ()
+    #: high-cardinality columns with a per-file BLOOM manifest — equality
+    #: predicates on these skip files the bloom rejects (no false
+    #: negatives); the min/max boxes can't help a point lookup unless the
+    #: table happens to be sorted by that column
+    bloom_cols: tuple[str, ...] = ()
 
 
 class Catalog:
@@ -64,8 +69,15 @@ class Catalog:
 
     def register(self, spec: TableSpec) -> TableSpec:
         self._tables[spec.name] = spec
-        self._manifests.pop(spec.name, None)
+        self._drop_manifests(spec.name)
         return spec
+
+    def _drop_manifests(self, name: str) -> None:
+        """Invalidate the stats manifest AND every bloom manifest of a
+        table (bloom caches key as ``name#bloom:<col>``)."""
+        self._manifests.pop(name, None)
+        for k in [k for k in self._manifests if k.startswith(f"{name}#bloom:")]:
+            self._manifests.pop(k, None)
 
     def table_spec(self, name: str) -> TableSpec:
         return self._tables[name]
@@ -77,11 +89,14 @@ class Catalog:
         format: str = "parquet",
         partition_by: tuple[str, ...] = (),
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
         **options: str,
     ) -> TableSpec:
         path = os.path.join(self.root, relpath or name) if self.root else (relpath or name)
         return self.register(
-            TableSpec(name, path, format, partition_by, options, stats_cols)
+            TableSpec(
+                name, path, format, partition_by, options, stats_cols, bloom_cols
+            )
         )
 
     def read(
@@ -98,10 +113,27 @@ class Catalog:
         clustered tables — callers never touch the manifest API. On a
         non-stats column the same call degrades to scan + filter, so query
         code is layout-independent.
+
+        An EQUALITY predicate (``lo == hi``) on a ``bloom_cols`` column
+        routes through the per-file bloom manifest instead — the point-
+        lookup path min/max boxes cannot serve on an unsorted column.
         """
         spec = self._tables[name]
         if where is not None:
             col, lo, hi = where
+            if (
+                spec.format == "parquet"
+                and col in spec.bloom_cols
+                and lo is not None
+                and lo == hi
+            ):
+                from lakehouse_architecture_spark.sources.manifest import (
+                    bloom_pruned_read,
+                )
+
+                return bloom_pruned_read(
+                    self.spark, spec.path, self.bloom_manifest(name, col), col, lo
+                )
             if spec.format == "parquet" and col in spec.stats_cols:
                 from lakehouse_architecture_spark.sources.manifest import (
                     pruned_read,
@@ -146,6 +178,23 @@ class Catalog:
             ).localCheckpoint(eager=True)
         return self._manifests[name]
 
+    def bloom_manifest(self, name: str, col: str) -> DataFrame:
+        """The table's per-file bloom for ``col`` (built lazily, cached per
+        (table, column); invalidated by :meth:`write` / :meth:`register`)."""
+        spec = self._tables[name]
+        if col not in spec.bloom_cols:
+            raise ValueError(f"table {name!r} declares no bloom for {col!r}")
+        key = f"{name}#bloom:{col}"
+        if key not in self._manifests:
+            from lakehouse_architecture_spark.sources.manifest import (
+                file_bloom_manifest,
+            )
+
+            self._manifests[key] = file_bloom_manifest(
+                self.spark, spec.path, col
+            ).localCheckpoint(eager=True)
+        return self._manifests[key]
+
     def refresh_stats(self, name: str) -> DataFrame:
         """Incrementally refresh the manifest after appends — O(new files),
         never O(table) (sources/manifest.refresh_manifest)."""
@@ -175,7 +224,7 @@ class Catalog:
         writer.save(spec.path)
         # stats are stale now; next pruned read rebuilds (or caller calls
         # refresh_stats for the O(new files) path after an append)
-        self._manifests.pop(name, None)
+        self._drop_manifests(name)
 
     def create_view(self, name: str) -> DataFrame:
         df = self.read(name)

@@ -67,21 +67,18 @@ ORDER BY p_partkey
 
 
 def _q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equality read through a per-file bloom manifest: a point lookup on
+    """Equality reads through the CATALOG's bloom-manifest path
+    (Catalog.read with lo == hi on a bloom_cols column): point lookups on
     p_partkey (high-cardinality — min/max boxes on the z-order columns
-    cannot help) scans only files whose bloom admits the key. Blooms have
+    cannot help) scan only files whose bloom admits the key. Blooms have
     no false negatives, so result == plain `p_partkey IN (...)` filter."""
-    from lakehouse_architecture_spark.sources.manifest import (
-        bloom_pruned_read,
-        file_bloom_manifest,
-    )
+    from lakehouse_architecture_spark.catalog import Catalog
 
     path = _clustered_copy(spark, sf_dir, "zpart")
-    bloom = file_bloom_manifest(spark, path, "p_partkey").localCheckpoint(
-        eager=True
-    )
+    cat = Catalog(spark)
+    cat.define("zpart_bloom", relpath=path, bloom_cols=("p_partkey",))
     hits = [
-        bloom_pruned_read(spark, path, bloom, "p_partkey", k)
+        cat.read("zpart_bloom", where=("p_partkey", k, k))
         for k in (17, 42, 123)
     ]
     out = hits[0]

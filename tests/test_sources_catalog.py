@@ -224,3 +224,30 @@ def test_catalog_pruned_read_shrinks_file_list(spark, tmp_path):
     # write invalidates the manifest; next pruned read rebuilds it
     cat.write(df.filter("x < 8"), "pts")
     assert cat.read("pts", where=("x", 10.0, 12.0)).count() == 0
+
+
+def test_catalog_bloom_routed_equality_read(spark, tmp_path):
+    """Catalog.read with an equality where on a bloom_cols column routes
+    through the bloom manifest: fewer files scanned, exact rows returned,
+    and write() invalidates the cached bloom."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.define("keys", bloom_cols=("k",))
+    df = spark.range(4096).select(F.col("id").alias("k"))
+    df.repartitionByRange(16, "k").write.parquet(str(tmp_path / "keys"))
+
+    got = cat.read("keys", where=("k", 1234, 1234))
+    scanned = got.select(F.input_file_name()).distinct().count()
+    assert scanned < 16
+    assert [r["k"] for r in got.collect()] == [1234]
+
+    # non-bloom equality degrades to scan+filter with the same answer
+    got2 = cat.read("keys", where=("k", 10, 10))
+    assert got2.count() == 1
+
+    # overwrite invalidates the bloom cache
+    cat.write(df.filter("k < 100"), "keys")
+    assert cat.read("keys", where=("k", 1234, 1234)).count() == 0
