@@ -132,7 +132,12 @@ class Catalog:
                 )
 
                 return bloom_pruned_read(
-                    self.spark, spec.path, self.bloom_manifest(name, col), col, lo
+                    self.spark,
+                    spec.path,
+                    self.bloom_manifest(name, col),
+                    col,
+                    lo,
+                    options=spec.options,
                 )
             if spec.format == "parquet" and col in spec.stats_cols:
                 from lakehouse_architecture_spark.sources.manifest import (
@@ -195,10 +200,21 @@ class Catalog:
             ).localCheckpoint(eager=True)
         return self._manifests[key]
 
-    def refresh_stats(self, name: str) -> DataFrame:
+    def refresh_stats(self, name: str) -> DataFrame | None:
         """Incrementally refresh the manifest after appends — O(new files),
-        never O(table) (sources/manifest.refresh_manifest)."""
+        never O(table) (sources/manifest.refresh_manifest). Cached BLOOM
+        manifests are dropped here too (rebuilt lazily over the new file
+        listing): a stale bloom that omits appended files would silently
+        skip them — a false negative, the one failure mode blooms must
+        never have. Returns None for a table with no ``stats_cols`` (the
+        bloom invalidation still happens)."""
         spec = self._tables[name]
+        for k in [
+            k for k in self._manifests if k.startswith(f"{name}#bloom:")
+        ]:
+            self._manifests.pop(k, None)
+        if not spec.stats_cols:
+            return None
         if name in self._manifests:
             from lakehouse_architecture_spark.sources.manifest import (
                 refresh_manifest,

@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
-from lakehouse_architecture_spark.functions.hashing import md5_hash64
+from lakehouse_architecture_spark.functions.hashing import (
+    md5_hash64,
+    md5_hash64_sql,
+)
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
-_HASH64 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 _US = "unix_micros(cast(ts as timestamp))"
 _DUCK_US = "(epoch_ns(ts) // 1000)"
 _DAY_US = 86400000000
@@ -35,21 +37,28 @@ def _q_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A from-scratch HyperLogLog (Flajolet et al. 2007) distinct-count of
     lineitem order keys, next to the exact answer: md5-derived 60-bit
     hashes split into (register = h % 256, payload = h >> 8); each
-    register keeps max rho (trailing-zero count + 1 of the payload —
-    computed as log2(x & -x), EXACT for powers of two in IEEE doubles, so
-    both engines agree bit-for-bit); the bias-corrected estimate
+    register keeps max rho (trailing-zero count + 1 of the payload,
+    computed as ROUND(log2(x & -x)) — the round absorbs libm's last-ulp
+    error on either engine: Spark's LOG2(2^29) measurably returns
+    29.000000000000004, so a truncating cast would be one off the moment
+    a libm rounds LOW instead); the bias-corrected estimate
     alpha_m * m^2 / sum(2^-rho) uses decimal-exact sums. The register table is 256
     rows — the whole sketch is one hash aggregate + a 256-row fold, the
     mergeable-sketch shape that beats exact COUNT(DISTINCT) at 100 TB."""
     t = tables(spark, sf_dir)
-    h = F.pmod(md5_hash64(F.col("l_orderkey").cast("string")), F.lit(2**60))
+    # md5_hash64 is non-negative 60-bit by construction (15 hex chars) —
+    # no sign wrapping needed
+    h = md5_hash64(F.col("l_orderkey").cast("string"))
     reg = (h % _HLL_M).alias("reg")
     # INTEGER shift, not a double divide: 60-bit payloads exceed 2^53 and
     # float division would corrupt low bits (and the rho derived from them)
     payload = F.shiftright(h, 8)  # h >> 8 for m=256
-    # rho = trailing zeros of payload + 1; log2 of (x & -x) is exact
+    # rho = trailing zeros of payload + 1 via ROUND(log2(x & -x))
     rho = F.when(payload == 0, F.lit(53)).otherwise(
-        (F.log2((payload.bitwiseAND(-payload)).cast("double")) + 1).cast("int")
+        F.round(
+            F.log2((payload.bitwiseAND(-payload)).cast("double"))
+        ).cast("int")
+        + 1
     )
     regs = (
         t["lineitem"]
@@ -84,14 +93,13 @@ def _q_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_HLL_SQL = f"""
 WITH h AS (
-  SELECT (({_HASH64.format(expr='CAST(l_orderkey AS VARCHAR)')}) % 1152921504606846976
-          + 1152921504606846976) % 1152921504606846976 AS hv
+  SELECT {md5_hash64_sql('CAST(l_orderkey AS VARCHAR)')} AS hv
   FROM lineitem
 ),
 regs AS (
   SELECT hv % {_HLL_M} AS reg,
          MAX(CASE WHEN hv // {_HLL_M} = 0 THEN 53
-              ELSE CAST(LOG2(CAST((hv // {_HLL_M}) & (-(hv // {_HLL_M})) AS DOUBLE)) + 1 AS INTEGER)
+              ELSE CAST(ROUND(LOG2(CAST((hv // {_HLL_M}) & (-(hv // {_HLL_M})) AS DOUBLE))) AS INTEGER) + 1
          END) AS max_rho
   FROM h GROUP BY 1
 ),

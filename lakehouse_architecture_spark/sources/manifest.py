@@ -296,11 +296,18 @@ def bloom_pruned_read(
     value: object,
     num_bits: int = 8192,
     num_hashes: int = 4,
+    options: dict | None = None,
 ) -> DataFrame:
     """Equality read through the bloom manifest: scan only files that can
     contain ``value``; the residual ``col = value`` filter still applies
-    (blooms have false positives, never false negatives)."""
+    (blooms have false positives, never false negatives). ``basePath`` is
+    pinned to the table root so hive partition columns survive leaf-file
+    reads, and ``options`` forwards reader options — same contract as
+    :func:`pruned_read`."""
     files = bloom_pruned_files(bloom_manifest, value, num_bits, num_hashes)
+    reader = spark.read.option("basePath", path)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if not files:
-        return spark.read.parquet(path).limit(0).filter(F.col(col) == F.lit(value))
-    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+        return reader.parquet(path).limit(0).filter(F.col(col) == F.lit(value))
+    return reader.parquet(*files).filter(F.col(col) == F.lit(value))

@@ -234,3 +234,45 @@ def test_runs_test_hand_case(spark):
         "chg", (F.col("up") != F.lag("up", 1).over(w)).cast("int")
     ).agg((F.coalesce(F.sum("chg"), F.lit(0)) + 1).alias("n_runs")).collect()
     assert runs[0]["n_runs"] == 7  # 7 deltas, all alternating
+
+
+def test_mode_builder_matches_independent_formulation(spark):
+    """Guard the SHIPPED q_mode builder (not a local copy of its math):
+    its answer must equal an independently-computed per-flag argmax with
+    the same (count desc, value asc) tie rule."""
+    from lakehouse_architecture_spark.queries.base import tables
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: (r["mode_quantity"], r["mode_count"])
+        for r in ALL_QUERIES["q_mode"].build(spark, sf).collect()
+    }
+    counts = (
+        tables(spark, sf)["lineitem"]
+        .groupBy("l_returnflag", "l_quantity")
+        .count()
+        .collect()
+    )
+    best: dict = {}
+    for r in counts:
+        k, v, c = r["l_returnflag"], r["l_quantity"], r["count"]
+        cur = best.get(k)
+        if cur is None or (c, -v) > (cur[1], -cur[0]):
+            best[k] = (v, c)
+    assert got == best
+
+
+def test_runs_test_builder_invariants(spark):
+    """Guard the SHIPPED q_runs_test builder: run count bounds and the
+    Wald-Wolfowitz expectation identity hold on the fixture."""
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    r = ALL_QUERIES["q_runs_test"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    n = r["n_up"] + r["n_down"]
+    assert 1 <= r["n_runs"] <= n
+    want = round(1.0 + 2.0 * r["n_up"] * r["n_down"] / n, 4)
+    assert abs(r["expected_runs"] - want) < 1e-9
+    assert abs(r["runs_ratio"] - round(r["n_runs"] / want, 6)) < 1e-9

@@ -236,7 +236,9 @@ def test_catalog_bloom_routed_equality_read(spark, tmp_path):
 
     cat = Catalog(spark, str(tmp_path))
     cat.define("keys", bloom_cols=("k",))
-    df = spark.range(4096).select(F.col("id").alias("k"))
+    df = spark.range(4096).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("j")
+    )
     df.repartitionByRange(16, "k").write.parquet(str(tmp_path / "keys"))
 
     got = cat.read("keys", where=("k", 1234, 1234))
@@ -244,10 +246,18 @@ def test_catalog_bloom_routed_equality_read(spark, tmp_path):
     assert scanned < 16
     assert [r["k"] for r in got.collect()] == [1234]
 
-    # non-bloom equality degrades to scan+filter with the same answer
-    got2 = cat.read("keys", where=("k", 10, 10))
-    assert got2.count() == 1
+    # equality on a NON-bloom column degrades to scan+filter, same answer
+    got2 = cat.read("keys", where=("j", 20, 20))
+    assert [r["k"] for r in got2.collect()] == [10]
 
-    # overwrite invalidates the bloom cache
+    # overwrite invalidates the bloom cache; a refresh_stats after an
+    # out-of-band append must also drop it (stale bloom = false negative)
     cat.write(df.filter("k < 100"), "keys")
     assert cat.read("keys", where=("k", 1234, 1234)).count() == 0
+    assert cat.read("keys", where=("k", 50, 50)).count() == 1
+    # out-of-band append of k=9000, then the documented refresh call
+    spark.createDataFrame([(9000, 18000)], "k long, j long").write.mode(
+        "append"
+    ).parquet(str(tmp_path / "keys"))
+    assert cat.refresh_stats("keys") is None  # no stats_cols; blooms dropped
+    assert cat.read("keys", where=("k", 9000, 9000)).count() == 1
