@@ -86,8 +86,39 @@ def zorder_cluster(
     are tight on every clustered column at once. The z column itself is
     dropped (it is derivable). Shared by :func:`zordered_write` and
     ``VersionedTable.compact(zorder_by=...)`` so the clustering recipe
-    cannot drift between the two."""
-    z = zorder_value(zorder_cols, bits)
+    cannot drift between the two.
+
+    Each dimension is MIN-MAX SCALED into the ``[0, 2**bits)`` Morton
+    grid first (one stats aggregate over the input): ``zorder_value``
+    bit-masks raw values, so feeding it an unscaled column whose range
+    exceeds the grid silently scrambles the interleave and loosens every
+    file's min/max box — the failure measured in ``tools/prune_probe.py``
+    before this scaling was added. NULLs land in cell 0 (they cluster
+    together at the low end). Scaling changes only the LAYOUT, never row
+    values; constant columns scale to 0."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in zorder_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in zorder_cols],
+    ).first()
+    top = float(2**bits - 1)
+    scaled = []
+    for c in zorder_cols:
+        lo = stats[f"__lo_{c}"]
+        hi = stats[f"__hi_{c}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        scaled.append(
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(hi - lo)
+                    * F.lit(top)
+                ),
+                F.lit(0),
+            ).cast("bigint")
+        )
+    z = zorder_value(scaled, bits)
     return (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))

@@ -30,26 +30,12 @@ def _clustered_copy(spark: SparkSession, sf_dir: str, tag: str) -> str:
     path = os.path.join(tempfile.gettempdir(), key)
     if not os.path.isdir(path) or not os.listdir(path):
         t = tables(spark, sf_dir)
-        # zorder_value's contract: scale each dimension into [0, 2^bits)
-        # first — p_size already fits 8 bits; retailprice is min-max
-        # scaled (raw values would be bit-masked into noise, scrambling
-        # the Morton order and untightening every file's min/max box)
-        part = t["part"].select(
-            "p_partkey", "p_name", "p_size", "p_retailprice"
-        )
-        lo, hi = part.agg(
-            F.min("p_retailprice"), F.max("p_retailprice")
-        ).first()
-        scaled = part.withColumn(
-            "__rp_scaled",
-            F.floor(
-                (F.col("p_retailprice") - lo) / ((hi - lo) or 1.0) * 255
-            ),
-        )
+        # zorder_cluster min-max scales every dimension into the Morton
+        # grid itself, so raw columns are safe here
         zordered_write(
-            scaled,
+            t["part"].select("p_partkey", "p_name", "p_size", "p_retailprice"),
             path,
-            ["p_size", "__rp_scaled"],
+            ["p_size", "p_retailprice"],
             n_files=8,
             bits=8,
         )

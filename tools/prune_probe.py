@@ -73,20 +73,12 @@ def main() -> int:
                 "l_orderkey", F.col("l_orderkey") * mult + F.col("__rep")
             ).drop("__rep")
         path = os.path.join(work, "zli")
-        # zorder_value's contract: scale each dimension into [0, 2^bits)
-        # FIRST (raw values are bit-masked, which would destroy the
-        # clustering) — min-max scale the price, mod-fold the key
-        pmin, pmax = li.agg(
-            F.min("l_extendedprice"), F.max("l_extendedprice")
-        ).first()
-        scaled = li.withColumn(
-            "pscaled",
-            F.floor(
-                (F.col("l_extendedprice") - pmin) / (pmax - pmin) * 1023
-            ),
-        ).withColumn("okmod", F.col("l_orderkey") % 1024)
+        # zorder_cluster min-max scales dimensions into the Morton grid
+        # itself; the key is mod-folded only to give the second dimension
+        # bounded cardinality
+        scaled = li.withColumn("okmod", F.col("l_orderkey") % 1024)
         zordered_write(
-            scaled, path, ["pscaled", "okmod"], n_files=n_files, bits=10
+            scaled, path, ["l_extendedprice", "okmod"], n_files=n_files, bits=10
         )
         man = file_manifest(
             spark, path, ["l_extendedprice"]
