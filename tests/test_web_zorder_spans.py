@@ -322,3 +322,25 @@ def test_bloom_manifest_skips_files(spark, tmp_path):
     assert [r["k"] for r in got] == [1234]
     # absent key: may admit false-positive files but returns zero rows
     assert bloom_pruned_read(spark, path, bloom, "k", 999999).count() == 0
+
+
+def test_zorder_cluster_autoscales_large_ranges(spark, tmp_path):
+    """A dimension whose range exceeds the Morton grid must STILL cluster
+    (zorder_cluster min-max scales it); before the fix, raw values were
+    bit-masked and every file spanned the full range."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.partitioning import zordered_write
+    from lakehouse_architecture_spark.sources.manifest import file_manifest
+
+    df = spark.range(20000).select(
+        (F.col("id") * 37 % 1_000_000).cast("double").alias("big"),
+        (F.col("id") % 64).cast("double").alias("small"),
+    )
+    path = str(tmp_path / "z")
+    zordered_write(df, path, ["big", "small"], n_files=16, bits=6)
+    man = file_manifest(spark, path, ["big"]).collect()
+    widths = sorted(r["max_big"] - r["min_big"] for r in man)
+    # with 16 files over a 1e6-range clustered dimension, the median file
+    # box must be far tighter than the full range
+    assert widths[len(widths) // 2] < 1_000_000 / 2, widths
