@@ -135,3 +135,67 @@ def test_standard_scale_moments(spark, rows):
             assert abs(sum(zs) / len(zs)) < 1e-4
         else:
             assert all(z is None for z in zs)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from("pq")),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),
+            st.sampled_from("pq"),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 5.0]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, ls, rs, direction, tol):
+    """Randomized parity with pandas.merge_asof — the reference semantics
+    the operator documents, including NULL-bearing value columns (the
+    round-3 ADVICE fix: matches must stay row-atomic) and tolerance."""
+    import pandas as pd
+
+    from lakehouse_architecture_spark.operators.relational import asof_join
+
+    lrows = [(i, k, float(t)) for i, (t, k) in enumerate(ls)]
+    rrows = [
+        (k, float(t), None if v is None else float(v))
+        for t, k, v in rs
+    ]
+    # merge_asof requires unique-ish sorted keys per frame; drop duplicate
+    # (key, time) pairs on the right so "nearest" is unambiguous
+    seen = set()
+    runiq = []
+    for k, t, v in rrows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            runiq.append((k, t, v))
+    left = spark.createDataFrame(lrows, "lid long, k string, lt double")
+    right = spark.createDataFrame(runiq, "k string, rt double, v double")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "lt", "rt", ["v"],
+            direction=direction, tolerance=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "lt"]).sort_values("lt", kind="stable")
+    rp = pd.DataFrame(runiq, columns=["k", "rt", "v"]).sort_values("rt", kind="stable")
+    kw = {} if tol is None else {"tolerance": tol}
+    m = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction=direction, **kw,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else float(r.v))
+        for r in m.itertuples()
+    }
+    assert got == want
