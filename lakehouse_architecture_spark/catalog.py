@@ -50,6 +50,12 @@ class TableSpec:
     #: negatives); the min/max boxes can't help a point lookup unless the
     #: table happens to be sorted by that column
     bloom_cols: tuple[str, ...] = ()
+    #: bloom sizing: None = auto-size each file's filter from its own key
+    #: count (~10 bits/key — sources/manifest._auto_bloom_bits; a fixed
+    #: size saturates on big files and the read path silently degrades to
+    #: a full scan + residual filter); set an int to pin the bit count
+    bloom_bits: int | None = None
+    bloom_hashes: int = 4
 
 
 class Catalog:
@@ -90,12 +96,22 @@ class Catalog:
         partition_by: tuple[str, ...] = (),
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int | None = None,
+        bloom_hashes: int = 4,
         **options: str,
     ) -> TableSpec:
         path = os.path.join(self.root, relpath or name) if self.root else (relpath or name)
         return self.register(
             TableSpec(
-                name, path, format, partition_by, options, stats_cols, bloom_cols
+                name,
+                path,
+                format,
+                partition_by,
+                options,
+                stats_cols,
+                bloom_cols,
+                bloom_bits,
+                bloom_hashes,
             )
         )
 
@@ -196,7 +212,11 @@ class Catalog:
             )
 
             self._manifests[key] = file_bloom_manifest(
-                self.spark, spec.path, col
+                self.spark,
+                spec.path,
+                col,
+                num_bits=spec.bloom_bits,
+                num_hashes=spec.bloom_hashes,
             ).localCheckpoint(eager=True)
         return self._manifests[key]
 

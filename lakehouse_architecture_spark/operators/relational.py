@@ -237,7 +237,15 @@ def interval_overlap_join(
     where both intervals are live) — making the join exactly-once without
     a distinct. Replication is O(length/width) per interval; pick
     ``bucket_width`` near the typical interval length.
+
+    Degenerate intervals (``end < start`` — an empty set under inclusive
+    ends) are FILTERED OUT before the explode: ``F.sequence(a, b)``
+    generates a DESCENDING sequence when a > b, so without the guard an
+    empty interval would silently replicate into every bucket back to its
+    end and could match rows it does not overlap.
     """
+    left = left.filter(F.col(left_end) >= F.col(left_start))
+    right = right.filter(F.col(right_end) >= F.col(right_start))
     lb = left.withColumn(
         "__bucket",
         F.explode(

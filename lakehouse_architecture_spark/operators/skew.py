@@ -148,3 +148,199 @@ def two_phase_rank(
         )
         .drop("__bkt", "__off", "__obkt", *[f"__k_{c}" for c in part_cols])
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: dict[str, float],
+    bucket_width: float,
+) -> DataFrame:
+    """Exact interpolated quantiles per group — the scale-safe replacement
+    for ``percentile(value, q)`` over RAW fact rows.
+
+    Spark's ``percentile`` is a TypedImperativeAggregate buffering a
+    value→count map per group: on continuous doubles, distinct ≈ rows, so
+    one task ends up holding a group's entire value multiset — the first
+    thing to OOM at 100 TB. This is the :func:`two_phase_rank` formulation
+    of the same exact answer with BOUNDED state everywhere:
+
+    phase 1: bucket rows by ``floor(value / bucket_width)`` (monotone in
+      the value) and count per (group, bucket) — one hash aggregate with
+      map-side combine; state is one counter per bucket, never values.
+    phase 2: prefix sums over the tiny (group, bucket) table give each
+      bucket's starting offset and the group's total n. The target ranks
+      ``pos = q·(n-1)`` (0-indexed; floor/ceil bracket the interpolation,
+      exactly Spark's ``Percentile`` arithmetic) locate their buckets by
+      ``off ≤ r < off+cnt`` — a broadcast join of two tiny tables.
+    phase 3: ONLY the buckets holding a target rank are sorted — a
+      ``row_number`` window partitioned by (group, bucket), parallelism =
+      number of hit buckets, per-task state = one bucket's rows — and the
+      bracketing values are joined back to compute
+      ``v_lo·(hi-pos) + v_hi·(pos-lo)`` (Spark's exact formula, so results
+      are bit-compatible with the old aggregate at any scale).
+
+    Returns one row per group: ``group_cols`` + one double column per key
+    of ``qs``. Rows with NULL values are ignored (``percentile``
+    semantics); a group with no non-null values simply has no row (the
+    aggregate form would emit NULL — callers joining back see no match
+    either way). ``bucket_width`` trades counts-table size against
+    per-bucket sort size; the counts table is |groups|·|buckets| rows and
+    must stay broadcastable (pick width ≈ range/1000). The tiny
+    phase-2 subplans appear several times in the composed plan; Spark's
+    ReuseExchange collapses the repeated phase-1 aggregate, so the fact
+    table is scanned twice (counts + selection), never per-quantile.
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    for k, v in qs.items():
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"quantile {k}={v} outside [0, 1]")
+    bw = float(bucket_width)
+    if bw <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
+
+    names = list(qs)
+    vals = df.select(
+        *group_cols, F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    wb = vals.withColumn(
+        "__bkt", F.floor(F.col("__v") / F.lit(bw)).cast("bigint")
+    )
+    counts = wb.groupBy(*group_cols, "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    part = [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
+    woff = (
+        Window.partitionBy(*part)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*part)
+    offs = counts.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col("__bkt").alias("__obkt"),
+        F.col("__cnt").alias("__ocnt"),
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(wtot).alias("__n"),
+    )
+
+    def gmatch(left_prefix: str, right_prefix: str):
+        cond = F.lit(True)
+        for c in group_cols:
+            cond = cond & F.col(f"{left_prefix}{c}").eqNullSafe(
+                F.col(f"{right_prefix}{c}")
+            )
+        return cond
+
+    # one row per (group, quantile): 0-indexed position + bracketing ranks
+    qarr = F.array(
+        *[
+            F.struct(F.lit(k).alias("q"), F.lit(float(v)).alias("p"))
+            for k, v in qs.items()
+        ]
+    )
+    groups = offs.select(
+        *[f"__g_{c}" for c in group_cols], "__n"
+    ).distinct()
+    tg = (
+        groups.select(
+            *[f"__g_{c}" for c in group_cols],
+            "__n",
+            F.explode(qarr).alias("__t"),
+        )
+        .select(
+            *[f"__g_{c}" for c in group_cols],
+            F.col("__t.q").alias("__q"),
+            (F.col("__t.p") * (F.col("__n") - F.lit(1)).cast("double")).alias(
+                "__pos"
+            ),
+        )
+        .select(
+            *[f"__g_{c}" for c in group_cols],
+            "__q",
+            "__pos",
+            F.floor(F.col("__pos")).cast("bigint").alias("__lo"),
+            F.ceil(F.col("__pos")).cast("bigint").alias("__hi"),
+        )
+    )
+
+    # distinct ranks each group needs, located in their buckets
+    needed = (
+        tg.select(
+            *[f"__g_{c}" for c in group_cols],
+            F.explode(F.array_distinct(F.array("__lo", "__hi"))).alias("__r0"),
+        )
+        .distinct()
+        .withColumnRenamed("__r0", "__r0")
+    )
+    hit = (
+        needed.join(
+            offs.select(
+                *[F.col(f"__g_{c}").alias(f"__h_{c}") for c in group_cols],
+                "__obkt",
+                "__ocnt",
+                "__off",
+            ),
+            on=gmatch("__g_", "__h_")
+            & (F.col("__r0") >= F.col("__off"))
+            & (F.col("__r0") < F.col("__off") + F.col("__ocnt")),
+        )
+        .select(
+            *[f"__g_{c}" for c in group_cols],
+            F.col("__obkt").alias("__hbkt"),
+            (F.col("__r0") - F.col("__off") + F.lit(1)).alias("__j"),
+            "__r0",
+        )
+    )
+
+    # phase 3: sort ONLY hit buckets, pick the needed intra-bucket ranks
+    sel_keys = hit.select(
+        *[f"__g_{c}" for c in group_cols], F.col("__hbkt").alias("__kbkt")
+    ).distinct()
+    sel_cond = F.col("__bkt").eqNullSafe(F.col("__kbkt"))
+    for c in group_cols:
+        sel_cond = sel_cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    sel = wb.join(F.broadcast(sel_keys), on=sel_cond, how="left_semi")
+    wint = Window.partitionBy(*part, F.col("__bkt")).orderBy(F.col("__v").asc())
+    ranked = sel.withColumn("__j", F.row_number().over(wint))
+    pick_cond = (
+        F.col("__bkt").eqNullSafe(F.col("__hbkt"))
+        & (ranked["__j"] == hit["__j"])
+    )
+    for c in group_cols:
+        pick_cond = pick_cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    vals_at = ranked.join(F.broadcast(hit), on=pick_cond).select(
+        *[f"__g_{c}" for c in group_cols], "__r0", "__v"
+    )
+
+    lo_v = vals_at.select(
+        *[F.col(f"__g_{c}").alias(f"__l_{c}") for c in group_cols],
+        F.col("__r0").alias("__lor"),
+        F.col("__v").alias("__vlo"),
+    )
+    hi_v = vals_at.select(
+        *[F.col(f"__g_{c}").alias(f"__u_{c}") for c in group_cols],
+        F.col("__r0").alias("__hir"),
+        F.col("__v").alias("__vhi"),
+    )
+    joined = tg.join(
+        F.broadcast(lo_v),
+        on=gmatch("__g_", "__l_") & (F.col("__lo") == F.col("__lor")),
+    ).join(
+        F.broadcast(hi_v),
+        on=gmatch("__g_", "__u_") & (F.col("__hi") == F.col("__hir")),
+    )
+    val = F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo")).otherwise(
+        F.col("__vlo") * (F.col("__hi").cast("double") - F.col("__pos"))
+        + F.col("__vhi") * (F.col("__pos") - F.col("__lo").cast("double"))
+    )
+    out = joined.groupBy(
+        *[F.col(f"__g_{c}").alias(c) for c in group_cols]
+    ).agg(
+        *[F.max(F.when(F.col("__q") == F.lit(k), val)).alias(k) for k in names]
+    )
+    return out

@@ -26,9 +26,18 @@ def _clustered_copy(spark: SparkSession, sf_dir: str, tag: str) -> str:
     rows are identical either way; only file boundaries matter)."""
     from lakehouse_architecture_spark.operators.partitioning import zordered_write
 
-    key = f"lhas_{tag}_{abs(hash((spark.sparkContext.applicationId, sf_dir)))}"
+    # stable digest, NOT hash(): the builtin is PYTHONHASHSEED-salted, so
+    # every new process would write (and orphan) a fresh copy under /tmp —
+    # with md5 the layout is reused across oracle/bench runs on the same
+    # sf_dir, and the fixed key space is self-cleaning (overwritten in place)
+    import hashlib
+
+    key = f"lhas_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     path = os.path.join(tempfile.gettempdir(), key)
-    if not os.path.isdir(path) or not os.listdir(path):
+    # cross-process reuse needs a completeness marker: only trust a dir a
+    # previous run finished (Spark writes _SUCCESS last) — a half-written
+    # copy from a crashed run is rewritten, not reused
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         t = tables(spark, sf_dir)
         # zorder_cluster min-max scales every dimension into the Morton
         # grid itself, so raw columns are safe here

@@ -207,11 +207,22 @@ def _bloom_canon(value: object) -> str:
     the same positions. Without this, a type-representation mismatch
     silently yields false negatives, breaking the no-false-negative
     contract."""
+    import decimal
+
     item = getattr(value, "item", None)
     if item is not None and type(value).__module__ == "numpy":
         value = item()
     if isinstance(value, bool):
         return f"b:{int(value)}"
+    if isinstance(value, decimal.Decimal):
+        # pyarrow to_pylist returns Decimal for parquet DECIMAL columns: an
+        # integral 5.00 must hash like the query literal 5/5.0 ('i:5'), and
+        # a fractional 5.50 like the float 5.5 ('f:5.5') — without this the
+        # stored cell hashes as 's:5.00' and every point lookup on a
+        # DECIMAL bloom column is a silent false negative
+        if value == value.to_integral_value():
+            return f"i:{int(value)}"
+        return f"f:{float(value)!r}"
     if isinstance(value, float) and value.is_integer():
         return f"i:{int(value)}"
     if isinstance(value, int):
@@ -234,20 +245,43 @@ def _bloom_positions(value: object, num_bits: int, num_hashes: int) -> list[int]
     return out
 
 
+def _auto_bloom_bits(n_keys: int) -> int:
+    """~10 bits per stored key, rounded up to a power of two, floor 8192.
+    10 bits/key with 4 hashes gives FPR ≈ (1-e^(-4/10))^4 ≈ 1.2%; the
+    old fixed 8192-bit default saturates above ~1k keys/file and silently
+    degrades the read path to a full scan + residual filter."""
+    bits = 8192
+    while bits < 10 * max(1, n_keys):
+        bits *= 2
+    return bits
+
+
 def file_bloom_manifest(
     spark: SparkSession,
     path: str,
     col: str,
-    num_bits: int = 8192,
+    num_bits: int | None = None,
     num_hashes: int = 4,
 ) -> DataFrame:
-    """One row per parquet file: (file, bloom) where ``bloom`` is a
-    ``num_bits``-bit filter over the file's ``col`` values. Executors read
-    ONLY that column (parquet column pruning via pyarrow), so cost is one
-    column's pages per file, embarrassingly parallel over files."""
+    """One row per parquet file: (file, bloom, num_bits, num_hashes) where
+    ``bloom`` is a bit filter over the file's ``col`` values. Executors
+    read ONLY that column (parquet column pruning via pyarrow), so cost is
+    one column's pages per file, embarrassingly parallel over files.
+
+    ``num_bits=None`` (default) sizes each file's filter from its OWN
+    value count (~10 bits/key, power of two, floor 8192) — a fixed size
+    either saturates on big files (FPR → 1, pruning silently lost) or
+    wastes bytes on small ones. The per-file size is stored in the
+    manifest row, so the check side needs no out-of-band sizing contract.
+    """
     files = _list_files(path)
     schema = T.StructType(
-        [T.StructField("file", T.StringType()), T.StructField("bloom", T.BinaryType())]
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("bloom", T.BinaryType()),
+            T.StructField("num_bits", T.IntegerType()),
+            T.StructField("num_hashes", T.IntegerType()),
+        ]
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -260,28 +294,50 @@ def file_bloom_manifest(
                     tbl = pq.ParquetFile(f).read(columns=[col])
                 except FileNotFoundError:
                     continue
-                bits = bytearray(num_bits // 8)
-                for v in tbl.column(col).to_pylist():
-                    if v is None:
-                        continue
-                    for p in _bloom_positions(v, num_bits, num_hashes):
+                vals = [v for v in tbl.column(col).to_pylist() if v is not None]
+                bits_n = num_bits if num_bits else _auto_bloom_bits(len(vals))
+                bits = bytearray(bits_n // 8)
+                for v in vals:
+                    for p in _bloom_positions(v, bits_n, num_hashes):
                         bits[p // 8] |= 1 << (p % 8)
-                out.append({"file": f, "bloom": bytes(bits)})
-            yield pd.DataFrame(out, columns=["file", "bloom"])
+                out.append(
+                    {
+                        "file": f,
+                        "bloom": bytes(bits),
+                        "num_bits": bits_n,
+                        "num_hashes": num_hashes,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["file", "bloom", "num_bits", "num_hashes"]
+            )
 
     flist = spark.createDataFrame([(f,) for f in files], ["file"])
     return flist.mapInPandas(build, schema=schema)
 
 
 def bloom_pruned_files(
-    bloom_manifest: DataFrame, value: object, num_bits: int = 8192, num_hashes: int = 4
+    bloom_manifest: DataFrame,
+    value: object,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
 ) -> list[str]:
     """Files whose bloom admits ``value`` (possible member). The manifest
     is file-cardinality — collected positions are checked driver-side on
-    the collected (file, bloom) rows, each a few KB."""
-    pos = _bloom_positions(value, num_bits, num_hashes)
+    the collected (file, bloom) rows, each a few KB. Sizing comes from the
+    manifest's own (num_bits, num_hashes) columns when present (per-file
+    auto sizing); the arguments are the fallback for legacy two-column
+    manifests."""
+    has_sizing = "num_bits" in bloom_manifest.columns
+    cols = ["file", "bloom"] + (["num_bits", "num_hashes"] if has_sizing else [])
+    pos_cache: dict[tuple[int, int], list[int]] = {}
     keep = []
-    for r in bloom_manifest.select("file", "bloom").collect():
+    for r in bloom_manifest.select(*cols).collect():
+        nb = r["num_bits"] if has_sizing else num_bits
+        nh = r["num_hashes"] if has_sizing else num_hashes
+        pos = pos_cache.get((nb, nh))
+        if pos is None:
+            pos = pos_cache[(nb, nh)] = _bloom_positions(value, nb, nh)
         b = r["bloom"]
         if all(b[p // 8] & (1 << (p % 8)) for p in pos):
             keep.append(r["file"])

@@ -27,6 +27,28 @@ def test_interval_overlap_join_inclusive_and_exactly_once(spark):
     assert got == [(1, 10), (1, 11), (2, 11)]
 
 
+def test_interval_overlap_join_drops_degenerate_intervals(spark):
+    """end < start is an EMPTY interval under inclusive ends: it must
+    match nothing. Without the guard, F.sequence(floor(start/w),
+    floor(end/w)) descends and replicates the row into wrong buckets
+    (ADVICE r4)."""
+    from lakehouse_architecture_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 90.0, 10.0), (2, 20.0, 30.0)], "lid int, ls double, le double"
+    )
+    right = spark.createDataFrame(
+        [(10, 0.0, 100.0), (11, 60.0, 50.0)], "rid int, rs double, re double"
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=10.0
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(2, 10)]
+
+
 def test_chi2_independence_extremes(spark):
     from lakehouse_architecture_spark.operators.features import chi2_independence
 

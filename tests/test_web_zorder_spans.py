@@ -344,3 +344,83 @@ def test_zorder_cluster_autoscales_large_ranges(spark, tmp_path):
     # with 16 files over a 1e6-range clustered dimension, the median file
     # box must be far tighter than the full range
     assert widths[len(widths) // 2] < 1_000_000 / 2, widths
+
+
+def test_bloom_canon_decimal_matches_query_literals():
+    """parquet DECIMAL cells come back from pyarrow as decimal.Decimal;
+    an integral 5.00 must hash like the query literal 5 / 5.0 and a
+    fractional 5.50 like the float 5.5 — otherwise every point lookup on
+    a DECIMAL bloom column is a silent false negative (ADVICE r4)."""
+    from decimal import Decimal
+
+    from lakehouse_architecture_spark.sources.manifest import _bloom_canon
+
+    assert _bloom_canon(Decimal("5.00")) == _bloom_canon(5) == _bloom_canon(5.0)
+    assert _bloom_canon(Decimal("5.50")) == _bloom_canon(5.5)
+    assert _bloom_canon(Decimal("-3")) == _bloom_canon(-3)
+
+
+def test_bloom_decimal_column_end_to_end(spark, tmp_path):
+    """End-to-end no-false-negative check on a DECIMAL(10,2) column."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.sources.manifest import (
+        bloom_pruned_read,
+        file_bloom_manifest,
+    )
+
+    path = str(tmp_path / "dec")
+    spark.range(2000).select(
+        F.col("id").cast("decimal(10,2)").alias("amt")
+    ).repartitionByRange(8, "amt").write.parquet(path)
+    bloom = file_bloom_manifest(spark, path, "amt").localCheckpoint(eager=True)
+    got = bloom_pruned_read(spark, path, bloom, "amt", 777).collect()
+    assert len(got) == 1 and float(got[0]["amt"]) == 777.0
+
+
+def test_bloom_auto_sizing_keeps_fpr_under_2pct(spark, tmp_path):
+    """With num_bits=None each file's filter is sized ~10 bits/key (4
+    hashes → theoretical FPR ≈ 1.2%); probe 2000 absent keys against a
+    5k-key file and pin the measured FPR < 2% — the sizing claim from
+    sources/manifest._auto_bloom_bits, measured rather than asserted."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.sources.manifest import (
+        _bloom_positions,
+        file_bloom_manifest,
+    )
+
+    path = str(tmp_path / "big")
+    spark.range(5000).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(path)
+    row = file_bloom_manifest(spark, path, "k").collect()[0]
+    assert row["num_bits"] >= 10 * 5000  # auto-sized, not the old 8192
+    b, nb, nh = row["bloom"], row["num_bits"], row["num_hashes"]
+
+    def admits(v):
+        return all(
+            b[p // 8] & (1 << (p % 8)) for p in _bloom_positions(v, nb, nh)
+        )
+
+    assert all(admits(k) for k in range(0, 5000, 97))  # no false negatives
+    fp = sum(admits(k) for k in range(1_000_000, 1_002_000))
+    assert fp / 2000 < 0.02, f"measured FPR {fp / 2000:.4f}"
+
+
+def test_bloom_fixed_sizing_fallback_still_honored(spark, tmp_path):
+    """An explicit num_bits pins the size (the manifest stores it and the
+    check side uses the stored value)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.sources.manifest import (
+        bloom_pruned_files,
+        file_bloom_manifest,
+    )
+
+    path = str(tmp_path / "fixed")
+    spark.range(100).select(F.col("id").alias("k")).coalesce(1).write.parquet(path)
+    man = file_bloom_manifest(spark, path, "k", num_bits=4096)
+    rows = man.collect()
+    assert rows[0]["num_bits"] == 4096 and len(rows[0]["bloom"]) == 512
+    assert len(bloom_pruned_files(man, 50)) == 1
