@@ -118,60 +118,119 @@ class Catalog:
     def read(
         self,
         name: str,
-        where: tuple[str, float | None, float | None] | None = None,
+        where: tuple | list[tuple] | None = None,
     ) -> DataFrame:
-        """Read a table; with ``where=(col, lo, hi)`` the read is
-        manifest-pruned when ``col`` is one of the table's ``stats_cols``:
-        the catalog's per-file min/max manifest turns the range predicate
-        into an explicit file list BEFORE Spark plans the scan, and the
-        residual predicate still applies (pruning is a superset filter).
-        This makes pruning the DEFAULT read path for range predicates on
-        clustered tables — callers never touch the manifest API. On a
-        non-stats column the same call degrades to scan + filter, so query
-        code is layout-independent.
+        """Read a table; ``where`` turns into plan-time file pruning on any
+        column the table declares manifests for, with the residual
+        predicate always applied (pruning is a superset filter).
 
-        An EQUALITY predicate (``lo == hi``) on a ``bloom_cols`` column
-        routes through the per-file bloom manifest instead — the point-
-        lookup path min/max boxes cannot serve on an unsorted column.
+        ``where`` is one predicate or a list of predicates ANDed together;
+        each predicate is either
+
+        - ``(col, lo, hi)`` — a range (``None`` bound = open side). Pruned
+          via the per-file min/max stats manifest when ``col`` is in
+          ``stats_cols``; an equality (``lo == hi``) on a ``bloom_cols``
+          column routes through the per-file bloom manifest instead (the
+          point-lookup path min/max boxes cannot serve on an unsorted
+          column).
+        - ``(col, [v1, v2, ...])`` — an IN-list. Each value is probed
+          against the bloom (or, failing that, the min/max box) and the
+          admitted file sets are UNIONed — a file is kept if it can hold
+          ANY listed value.
+
+        With several prunable predicates the file lists are INTERSECTED
+        before Spark plans the scan — compound pruning multiplies the
+        selectivities instead of taking the best single column. On columns
+        with no manifest the same call degrades to scan + filter, so query
+        code stays layout-independent.
         """
         spec = self._tables[name]
-        if where is not None:
-            col, lo, hi = where
-            if (
-                spec.format == "parquet"
-                and col in spec.bloom_cols
-                and lo is not None
-                and lo == hi
+        preds = self._normalize_where(where)
+        file_sets = (
+            [
+                s
+                for s in (self._admitted_files(name, spec, p) for p in preds)
+                if s is not None
+            ]
+            if spec.format == "parquet"
+            else []
+        )
+        if file_sets:
+            files = sorted(set.intersection(*file_sets))
+            reader = self.spark.read.option("basePath", spec.path)
+            for k, v in spec.options.items():
+                reader = reader.option(k, v)
+            df = (
+                reader.parquet(*files)
+                if files
+                else reader.parquet(spec.path).limit(0)
+            )
+        else:
+            df = self._plain_read(spec)
+        return self._apply_residual(df, preds)
+
+    @staticmethod
+    def _normalize_where(where: tuple | list[tuple] | None) -> list[tuple]:
+        if where is None:
+            return []
+        preds = where if isinstance(where, list) else [where]
+        for p in preds:
+            if not (
+                isinstance(p, tuple)
+                and (
+                    (len(p) == 3)
+                    or (len(p) == 2 and isinstance(p[1], (list, tuple, set)))
+                )
             ):
-                from lakehouse_architecture_spark.sources.manifest import (
-                    bloom_pruned_read,
+                raise ValueError(
+                    f"predicate must be (col, lo, hi) or (col, [values]): {p!r}"
                 )
+        return list(preds)
 
-                return bloom_pruned_read(
-                    self.spark,
-                    spec.path,
-                    self.bloom_manifest(name, col),
-                    col,
-                    lo,
-                    options=spec.options,
-                )
-            if spec.format == "parquet" and col in spec.stats_cols:
-                from lakehouse_architecture_spark.sources.manifest import (
-                    pruned_read,
-                )
+    def _admitted_files(self, name: str, spec: TableSpec, pred: tuple):
+        """File set that can satisfy ``pred``, or None when the predicate's
+        column has no usable manifest (no pruning — full candidate set)."""
+        from lakehouse_architecture_spark.sources.manifest import (
+            bloom_pruned_files,
+            pruned_files,
+        )
 
-                return pruned_read(
-                    self.spark,
-                    spec.path,
-                    self.manifest(name),
-                    col,
-                    lo,
-                    hi,
-                    options=spec.options,
-                )
-        df = self._plain_read(spec)
-        if where is not None:
-            col, lo, hi = where
+        col = pred[0]
+        if len(pred) == 2:  # IN-list: union of per-value admissions
+            values = [v for v in pred[1] if v is not None]
+            if not values:
+                return None
+            if col in spec.bloom_cols:
+                bm = self.bloom_manifest(name, col)
+                out: set[str] = set()
+                for v in values:
+                    out.update(bloom_pruned_files(bm, v))
+                return out
+            if col in spec.stats_cols:
+                m = self.manifest(name)
+                out = set()
+                for v in values:
+                    out.update(pruned_files(m, col, v, v))
+                return out
+            return None
+        _, lo, hi = pred
+        if col in spec.bloom_cols and lo is not None and lo == hi:
+            return set(bloom_pruned_files(self.bloom_manifest(name, col), lo))
+        if col in spec.stats_cols and (lo is not None or hi is not None):
+            return set(pruned_files(self.manifest(name), col, lo, hi))
+        return None
+
+    @staticmethod
+    def _apply_residual(df: DataFrame, preds: list[tuple]) -> DataFrame:
+        for p in preds:
+            col = p[0]
+            if len(p) == 2:
+                df = df.filter(F.col(col).isin(list(p[1])))
+                continue
+            _, lo, hi = p
+            if lo is not None and lo == hi:
+                df = df.filter(F.col(col) == F.lit(lo))
+                continue
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
             if hi is not None:

@@ -385,20 +385,25 @@ def temporal_split(
     purged/embargoed split of de Prado 2018, standard for autocorrelated
     data where a hash split silently leaks).
 
-    One quantile aggregate broadcast back over a narrow map — no shuffle
+    The cut comes from :func:`~lakehouse_architecture_spark.operators.skew.
+    exact_quantiles` (bounded-state two-phase rank, bit-compatible with
+    Spark's ``percentile``) broadcast back over a narrow map — no shuffle
     of the data itself, and the assignment is a pure function of the
     timestamp, so it is stable under repartitioning and engine choice.
     """
+    from lakehouse_architecture_spark.operators.skew import exact_quantiles
+
     if not 0.0 < test_frac < 1.0:
         raise ValueError(f"test_frac must be in (0,1): {test_frac}")
     # cast: the parquet fixtures load as TIMESTAMP_NTZ and unix_micros
     # takes TIMESTAMP; the session pins UTC so the cast shifts nothing
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    cut = df.agg(
-        F.expr(
-            f"percentile(unix_micros(cast({ts_col} as timestamp)),"
-            f" {1.0 - test_frac!r})"
-        ).alias("__cut")
+    cut = exact_quantiles(
+        df.select(us.alias("__ts_us")),
+        [],
+        "__ts_us",
+        {"__cut": 1.0 - test_frac},
+        bucket_width=3600e6,  # hour-wide epoch-micro buckets
     )
     return (
         df.crossJoin(F.broadcast(cut))

@@ -19,6 +19,7 @@ from lakehouse_architecture_spark.operators.analytics import (
 )
 from lakehouse_architecture_spark.operators.dedup import ngram_jaccard_pairs
 from lakehouse_architecture_spark.operators.graph import dedup_clusters
+from lakehouse_architecture_spark.operators.skew import exact_quantiles
 from lakehouse_architecture_spark.operators.text import (
     bigram_lm_scores,
     token_entropy,
@@ -826,20 +827,37 @@ def _q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (medians, then deviations against the broadcast medians)."""
     t = tables(spark, sf_dir)
     li = t["lineitem"].select("l_returnflag", "l_extendedprice")
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    med = exact_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"med": 0.5},
+        bucket_width=100.0,
     )
     dev = li.join(F.broadcast(med), on="l_returnflag").select(
         "l_returnflag",
         "med",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
     )
+    mad = exact_quantiles(
+        dev,
+        ["l_returnflag"],
+        "adev",
+        {"__mad": 0.5},
+        bucket_width=100.0,
+    )
     return (
         dev.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.first("med"), 4).alias("median_price"),
-            F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad_price"),
+        )
+        .join(F.broadcast(mad), on="l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "median_price",
+            F.round("__mad", 4).alias("mad_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -928,15 +946,17 @@ SELECT vec_id, cell, pruned FROM sel ORDER BY vec_id
 def _q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth binning via exact quantile cut-points (the q_histogram
     twin: that one is equi-WIDTH). No global sort/ranking anywhere — the
-    cuts are one aggregate, broadcast back, then a single hash agg; at
-    100 TB swap ``percentile`` for ``approx_percentile`` (same plan shape,
-    bounded-error cuts)."""
+    cuts come from :func:`exact_quantiles` (bounded-state two-phase rank,
+    100 TB-safe), broadcast back, then a single hash agg."""
     t = tables(spark, sf_dir)
     li = t["lineitem"]
-    cuts = li.agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("c1"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("c2"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("c3"),
+    # global (no group cols) exact cuts with bounded state everywhere
+    cuts = exact_quantiles(
+        li,
+        [],
+        "l_extendedprice",
+        {"c1": 0.25, "c2": 0.5, "c3": 0.75},
+        bucket_width=100.0,
     )
     price = F.col("l_extendedprice")
     binned = li.crossJoin(F.broadcast(cuts)).select(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
+from lakehouse_architecture_spark.operators.skew import exact_quantiles
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
 _HASH64 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
@@ -262,9 +263,12 @@ def _q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (groups are few; the clip is a narrow map)."""
     t = tables(spark, sf_dir)
     o = t["orders"].select("o_orderpriority", "o_totalprice")
-    bounds = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.05)").alias("__lo"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("__hi"),
+    bounds = exact_quantiles(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        {"__lo": 0.05, "__hi": 0.95},
+        bucket_width=500.0,  # price range ~5e5 -> ~1k counted buckets
     )
     clipped = o.join(F.broadcast(bounds), on="o_orderpriority").select(
         "o_orderpriority",
@@ -407,12 +411,23 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (day + (F.col("o_orderkey") % 5) * 10 + 5).alias("o_end"),
         )
     )
-    win_start = t["orders"].agg(
-        F.expr(f"min(unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US})")
-    ).first()[0]
-    wins = spark.createDataFrame(
-        [(r, int(win_start + 200 * r), int(win_start + 200 * r + 39)) for r in range(5)],
-        "win_id int, w_start bigint, w_end bigint",
+    # the windows anchor (min order day) stays IN the plan as a broadcast
+    # one-row aggregate crossJoined under the 5-row frame — no driver-side
+    # .first() job (the analytics3 CUSUM broadcast-scalar pattern)
+    anchor = t["orders"].agg(
+        F.expr(
+            f"min(unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US})"
+        ).alias("__m")
+    )
+    wins = (
+        spark.range(5)
+        .select(F.col("id").cast("int").alias("win_id"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "win_id",
+            (F.col("__m") + 200 * F.col("win_id")).cast("bigint").alias("w_start"),
+            (F.col("__m") + 200 * F.col("win_id") + 39).cast("bigint").alias("w_end"),
+        )
     )
     return (
         interval_overlap_join(

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
+from lakehouse_architecture_spark.operators.skew import exact_quantiles
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
 _US = "unix_micros(cast(ts as timestamp))"
@@ -22,12 +23,17 @@ def _q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier census per return flag: Q1/Q3 from exact
     percentiles, fences at 1.5 IQR, one pass counts rows outside — the
     rank-free robust complement of q_zscore_outliers (quantile aggregate
-    broadcast back; no sort of the data)."""
+    broadcast back; no sort of the data). Quantiles come from
+    :func:`exact_quantiles` (bounded-state two-phase rank, bit-compatible
+    with Spark's ``percentile``), never a raw-row value-map aggregate."""
     t = tables(spark, sf_dir)
     li = t["lineitem"].select("l_returnflag", "l_extendedprice")
-    q = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("__q1"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("__q3"),
+    q = exact_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"__q1": 0.25, "__q3": 0.75},
+        bucket_width=100.0,  # price range ~1e5 -> ~1k counted buckets
     )
     fenced = li.join(F.broadcast(q), on="l_returnflag").select(
         "l_returnflag",
@@ -225,14 +231,28 @@ def _q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_DAY_US}")
         ).alias("lat_days"),
     )
+    base = lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lat_days").alias("min_days"),
+        F.max("lat_days").alias("max_days"),
+    )
+    # exact median/p90 with bounded state (integer day latencies: width 1)
+    qtl = exact_quantiles(
+        lat,
+        ["o_orderpriority"],
+        "lat_days",
+        {"__med": 0.5, "__p90": 0.9},
+        bucket_width=1.0,
+    )
     return (
-        lat.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lat_days").alias("min_days"),
-            F.round(F.expr("percentile(lat_days, 0.5)"), 4).alias("median_days"),
-            F.round(F.expr("percentile(lat_days, 0.9)"), 4).alias("p90_days"),
-            F.max("lat_days").alias("max_days"),
+        base.join(F.broadcast(qtl), on="o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            "min_days",
+            F.round("__med", 4).alias("median_days"),
+            F.round("__p90", 4).alias("p90_days"),
+            "max_days",
         )
         .orderBy("o_orderpriority")
     )

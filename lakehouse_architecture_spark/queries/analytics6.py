@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
+from lakehouse_architecture_spark.operators.skew import exact_quantiles
 from lakehouse_architecture_spark.functions.hashing import (
     md5_hash64,
     md5_hash64_sql,
@@ -467,12 +468,21 @@ def _q_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gap_s", (F.col("us") - F.lag("us", 1).over(w)) / 1e6)
         .filter(F.col("gap_s").isNotNull())
     )
+    base = gaps.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_gaps"))
+    qtl = exact_quantiles(
+        gaps,
+        ["event_type"],
+        "gap_s",
+        {"__med": 0.5, "__p90": 0.9},
+        bucket_width=3600.0,  # gaps span ~30 days of seconds -> ~720 buckets
+    )
     return (
-        gaps.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("median_gap_s"),
-            F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+        base.join(F.broadcast(qtl), on="event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round("__med", 4).alias("median_gap_s"),
+            F.round("__p90", 4).alias("p90_gap_s"),
         )
         .orderBy("event_type")
     )
@@ -539,19 +549,27 @@ LIMIT 10
 
 # --- percentile bands --------------------------------------------------------
 def _q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p10/p25/p50/p75/p90 of event value per event type in ONE exact
-    quantile aggregate — the distribution-profile belt."""
+    """p10/p25/p50/p75/p90 of event value per event type in ONE
+    :func:`exact_quantiles` pass (bounded-state two-phase rank; all five
+    cut points share the same counts table) — the distribution-profile
+    belt."""
     t = tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("value").isNotNull()).select("event_type", "value")
+    qtl = exact_quantiles(
+        ev,
+        ["event_type"],
+        "value",
+        {f"__p{int(p * 100)}": p for p in (0.1, 0.25, 0.5, 0.75, 0.9)},
+        bucket_width=1.0,  # value range ~[0, 500]
+    )
+    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return (
-        t["events"]
-        .filter(F.col("value").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
+        base.join(F.broadcast(qtl), on="event_type")
+        .select(
+            "event_type",
+            "n",
             *[
-                F.round(F.expr(f"percentile(value, {p})"), 4).alias(
-                    f"p{int(p * 100)}"
-                )
+                F.round(f"__p{int(p * 100)}", 4).alias(f"p{int(p * 100)}")
                 for p in (0.1, 0.25, 0.5, 0.75, 0.9)
             ],
         )

@@ -20,6 +20,7 @@ from lakehouse_architecture_spark.functions.aggregates import (
     dsum,
     dsum_sql,
 )
+from lakehouse_architecture_spark.operators.skew import exact_quantiles
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
 
@@ -425,14 +426,26 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 
 # --- exact percentile / median ---------------------------------------------
 def _q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles via :func:`exact_quantiles` — bounded
+    state everywhere (Spark's ``percentile`` aggregate would buffer one
+    value→count map per group, the first 100 TB OOM)."""
     t = tables(spark, sf_dir)
+    o = t["orders"].select("o_orderstatus", "o_totalprice")
+    qtl = exact_quantiles(
+        o,
+        ["o_orderstatus"],
+        "o_totalprice",
+        {"__med": 0.5, "__p90": 0.9},
+        bucket_width=500.0,  # price range ~5e5 -> ~1k counted buckets
+    )
+    base = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
     return (
-        t["orders"]
-        .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-            F.count(F.lit(1)).alias("n"),
+        base.join(F.broadcast(qtl), on="o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.round("__med", 4).alias("median_price"),
+            F.round("__p90", 4).alias("p90_price"),
+            "n",
         )
         .orderBy("o_orderstatus")
     )
@@ -494,16 +507,29 @@ def _q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def within(approx, exact, tol, name):
         return ((F.abs(approx - exact) / exact) <= F.lit(tol)).alias(name)
 
+    li = t["lineitem"].select("l_returnflag", "l_partkey", "l_orderkey", "l_extendedprice")
     agg = (
-        t["lineitem"]
-        .groupBy("l_returnflag")
+        li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("exact_parts"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_med"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
             F.expr("approx_percentile(l_extendedprice, 0.5)").alias("__am"),
+        )
+        # exact median via bounded-state two-phase rank, not the value-map
+        # percentile aggregate (bit-compatible interpolation)
+        .join(
+            F.broadcast(
+                exact_quantiles(
+                    li,
+                    ["l_returnflag"],
+                    "l_extendedprice",
+                    {"__exact_med": 0.5},
+                    bucket_width=100.0,
+                )
+            ),
+            on="l_returnflag",
         )
     )
     return (

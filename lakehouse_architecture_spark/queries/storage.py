@@ -20,34 +20,69 @@ from pyspark.sql import functions as F
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Digest of the `part` fixture's file names, sizes, and mtimes: if the
+    fixture is regenerated in place, the key changes and a fresh clustered
+    copy is written instead of silently reusing a stale layout."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "part.parquet")
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"part:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
 def _clustered_copy(spark: SparkSession, sf_dir: str, tag: str) -> str:
     """Write `part` z-ordered by (p_size, p_retailprice) into 8 files under
-    a per-(session, sf) temp dir, once — reruns reuse the layout (the
-    rows are identical either way; only file boundaries matter)."""
+    a per-(sf_dir contents) temp dir, once — reruns with the same fixture
+    bytes reuse the layout (the rows are identical either way; only file
+    boundaries matter)."""
     from lakehouse_architecture_spark.operators.partitioning import zordered_write
 
     # stable digest, NOT hash(): the builtin is PYTHONHASHSEED-salted, so
-    # every new process would write (and orphan) a fresh copy under /tmp —
-    # with md5 the layout is reused across oracle/bench runs on the same
-    # sf_dir, and the fixed key space is self-cleaning (overwritten in place)
+    # every new process would write (and orphan) a fresh copy under /tmp.
+    # The source fingerprint is part of the key, so an in-place fixture
+    # regeneration invalidates the copy instead of silently reusing it
+    # (orphans from old fixtures are bounded: one 8-file dir per fixture
+    # generation, under the OS-cleaned temp root).
     import hashlib
 
-    key = f"lhas_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    key = (
+        f"lhas_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{_source_fingerprint(sf_dir)}"
+    )
     path = os.path.join(tempfile.gettempdir(), key)
     # cross-process reuse needs a completeness marker: only trust a dir a
-    # previous run finished (Spark writes _SUCCESS last) — a half-written
-    # copy from a crashed run is rewritten, not reused
+    # previous run finished (Spark writes _SUCCESS last). Writes go to a
+    # per-pid staging dir + atomic rename, so two concurrent first runs
+    # can't interleave output into the shared path — the rename loser
+    # just discards its copy and uses the winner's.
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}.tmp{os.getpid()}"
         t = tables(spark, sf_dir)
         # zorder_cluster min-max scales every dimension into the Morton
         # grid itself, so raw columns are safe here
         zordered_write(
             t["part"].select("p_partkey", "p_name", "p_size", "p_retailprice"),
-            path,
+            staging,
             ["p_size", "p_retailprice"],
             n_files=8,
             bits=8,
         )
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # another process renamed first — keep theirs, drop ours
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     return path
 
 
@@ -102,6 +137,65 @@ _Q_BLOOM_SKIP_SQL = """
 SELECT p_partkey, p_name, p_size
 FROM part
 WHERE p_partkey IN (17, 42, 123)
+ORDER BY p_partkey
+"""
+
+
+def _q_catalog_pruned2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOUND pruned read (catalog.py Catalog.read with a predicate
+    list): `p_size BETWEEN 10 AND 15 AND p_retailprice BETWEEN 900 AND
+    950` intersects the two columns' admitted file lists before Spark
+    plans the scan — compound pruning multiplies selectivities instead of
+    taking the best single column (both columns are z-order dimensions,
+    so each predicate alone admits ~a stripe of files; the intersection
+    is their overlap). Result must equal the plain two-predicate filter."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    path = _clustered_copy(spark, sf_dir, "zpart")
+    cat = Catalog(spark)
+    cat.define("zpart2", relpath=path, stats_cols=("p_size", "p_retailprice"))
+    return (
+        cat.read(
+            "zpart2",
+            where=[("p_size", 10.0, 15.0), ("p_retailprice", 900.0, 950.0)],
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+_Q_CATALOG_PRUNED2_SQL = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part
+WHERE p_size BETWEEN 10 AND 15
+  AND p_retailprice BETWEEN 900 AND 950
+ORDER BY p_partkey
+"""
+
+
+def _q_bloom_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list read through the catalog's bloom manifest: one
+    Catalog.read call with `p_partkey IN (17, 42, 123, 999)` unions the
+    per-value bloom admissions into a single file list (a file is kept if
+    it can hold ANY listed key) — one scan for the whole list, where the
+    old point-lookup path needed one read per key unioned by the caller.
+    Blooms have no false negatives, so result == the plain IN filter."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    path = _clustered_copy(spark, sf_dir, "zpart")
+    cat = Catalog(spark)
+    cat.define("zpart_inlist", relpath=path, bloom_cols=("p_partkey",))
+    return (
+        cat.read("zpart_inlist", where=("p_partkey", [17, 42, 123, 999]))
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+_Q_BLOOM_INLIST_SQL = """
+SELECT p_partkey, p_name, p_size
+FROM part
+WHERE p_partkey IN (17, 42, 123, 999)
 ORDER BY p_partkey
 """
 
@@ -170,5 +264,18 @@ STORAGE_QUERIES = [
         "global row_number via two-phase bucketed rank (no global sort)",
         _q_global_rank,
         _Q_GLOBAL_RANK_SQL,
+    ),
+    # round-6 additions (catalog compound predicates — r4 directive #8)
+    QuerySpec(
+        "q_catalog_pruned2",
+        "compound 2-column manifest-pruned read (file-list intersection)",
+        _q_catalog_pruned2,
+        _Q_CATALOG_PRUNED2_SQL,
+    ),
+    QuerySpec(
+        "q_bloom_inlist",
+        "IN-list bloom-pruned read (per-value admission union)",
+        _q_bloom_inlist,
+        _Q_BLOOM_INLIST_SQL,
     ),
 ]

@@ -245,13 +245,21 @@ def _bloom_positions(value: object, num_bits: int, num_hashes: int) -> list[int]
     return out
 
 
+_BLOOM_BITS_CAP = 1 << 30  # keeps num_bits in int32 and the builder's
+# bytearray ≤128 MiB; ~107M keys/file still get the nominal ~1.2% FPR,
+# beyond that FPR degrades gracefully (doc'd) instead of overflowing
+
+
 def _auto_bloom_bits(n_keys: int) -> int:
-    """~10 bits per stored key, rounded up to a power of two, floor 8192.
-    10 bits/key with 4 hashes gives FPR ≈ (1-e^(-4/10))^4 ≈ 1.2%; the
-    old fixed 8192-bit default saturates above ~1k keys/file and silently
-    degrades the read path to a full scan + residual filter."""
+    """~10 bits per stored key, rounded up to a power of two, floor 8192,
+    capped at 2^30. 10 bits/key with 4 hashes gives FPR ≈
+    (1-e^(-4/10))^4 ≈ 1.2%; the old fixed 8192-bit default saturates above
+    ~1k keys/file and silently degrades the read path to a full scan +
+    residual filter. Above ~107M non-null keys in a single file the cap
+    binds and FPR rises smoothly (e.g. ~5% at 2× the cap's key budget) —
+    never an int32 overflow of the manifest's ``num_bits`` column."""
     bits = 8192
-    while bits < 10 * max(1, n_keys):
+    while bits < 10 * max(1, n_keys) and bits < _BLOOM_BITS_CAP:
         bits *= 2
     return bits
 

@@ -292,21 +292,23 @@ def test_semdedup_cell_join_is_equi_join(spark):
 
 
 def test_equidepth_bins_single_pass_no_sort(spark):
-    # cut-points come from one percentile aggregate broadcast back; the
-    # plan must not contain a global Sort of the fact table (the naive
-    # ntile-over-everything formulation would)
+    # cut-points come from exact_quantiles (bounded-state two-phase rank)
+    # broadcast back; the naive ntile-over-everything formulation would
+    # put a GLOBAL sort of the fact table in the plan. The only
+    # global=true Sort allowed is over the 4-row binned result; every
+    # other Sort must be a local (per-partition) bucket/window sort.
     df = _q(spark, "q_equidepth_bins")
     plan = formatted_plan(df)
-    # lineitem scanned twice (cuts + bins); formatted plans print each
-    # scan node twice (tree + details), so 2 logical scans = 4 mentions
-    assert plan.count("Scan parquet") <= 4
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
     import re
 
-    # the orderBy of the 4-row result is fine (one logical Sort = 2
-    # mentions, tree + details); a second Sort — over the scan — is not
-    body = plan.split("== Physical Plan ==")[-1]
-    sorts = [m for m in re.finditer(r"\bSort\b", body)]
-    assert len(sorts) <= 2, f"unexpected sorts in plan:\n{body[:3000]}"
+    global_sorts = [
+        m.group(1)
+        for m in re.finditer(r"Arguments: \[([^\]]*)\], true, 0", body)
+    ]
+    assert len(global_sorts) <= 1, f"global sorts leaked: {global_sorts}"
+    assert all("bin" in g for g in global_sorts), global_sorts
 
 
 def test_runtime_bloom_filter_injects_when_thresholds_allow(spark):
@@ -336,11 +338,18 @@ def test_runtime_bloom_filter_injects_when_thresholds_allow(spark):
 
 def test_interval_join_is_equi_join(spark):
     """The bucketed interval overlap join must plan as a hash equi-join on
-    the bucket id — never a nested-loop theta join."""
+    the bucket id — never a nested-loop theta join. One broadcast
+    nested-loop node is allowed: the ONE-ROW min-day anchor crossJoined
+    under the 5-row window frame (the in-plan replacement for the old
+    driver-side .first(), r4 directive #3) — bounded by construction."""
+    import re
+
     plan = formatted_plan(_q(spark, "q_interval_join"))
-    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
-        assert bad not in plan, f"{bad} leaked into interval-join plan"
-    assert "Join" in plan  # it IS a join, just an equi one
+    assert "CartesianProduct" not in plan
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= 1, f"nested-loop joins leaked: {len(bnlj)}"
+    # the overlap join itself is a hash equi-join on the bucket id
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_global_rank_no_single_partition_sort(spark):
@@ -376,3 +385,28 @@ def test_degree_dist_no_join(spark):
     plan = formatted_plan(_q(spark, "q_degree_dist"))
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan, f"{bad} leaked into degree-dist plan"
+
+
+def test_no_raw_row_percentile_aggregates(spark):
+    """The value-map `percentile` aggregate buffers a group's whole value
+    multiset in one task — the first 100 TB OOM. Every quantile over raw
+    fact rows must go through exact_quantiles (bounded-state two-phase
+    rank); only approx_percentile sketches may remain in these plans."""
+    import re
+
+    for name in (
+        "q_iqr_outliers",
+        "q_ship_latency",
+        "q_percentile",
+        "q_approx_aggs",
+        "q_winsorized",
+        "q_robust_stats",
+        "q_equidepth_bins",
+        "q_gap_stats",
+        "q_percentile_bands",
+    ):
+        plan = str(
+            _q(spark, name)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        hits = re.findall(r"(?<!approx_)\bpercentile\(", plan)
+        assert not hits, f"{name}: exact percentile aggregate leaked into plan"

@@ -118,3 +118,62 @@ def test_registry_has_no_duplicate_names():
     names = [s.name for s in registry._SPECS]
     dups = sorted({n for n in names if names.count(n) > 1})
     assert not dups, f"duplicate query names shadow earlier specs: {dups}"
+
+
+def test_local_oracle_artifact_not_stale():
+    """A green LOCAL_ORACLE.json row only vouches for the code it ran
+    against (round 5 proved the failure mode: the bloom-manifest schema
+    changed after the last full refresh, leaving q_bloom_skip's green row
+    pointing at dead code). The committed artifact must be a FULL-registry
+    run (tools/oracle_check.py --all --json LOCAL_ORACLE.json) newer than
+    every engine source file under queries/, sources/, and operators/."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "LOCAL_ORACLE.json")
+    assert os.path.exists(path), (
+        "LOCAL_ORACLE.json missing; run tools/oracle_check.py --all "
+        "--json LOCAL_ORACLE.json /root/testdata/sf0.01"
+    )
+    with open(path) as f:
+        local = json.load(f)
+    meta = local.get("__meta__")
+    assert meta and meta.get("full_run"), (
+        "LOCAL_ORACLE.json has no full-run __meta__ stamp; partial "
+        "refreshes leave stale rows — rerun with --all"
+    )
+    # every declared-oracle query has a green row in the artifact
+    missing = [
+        n
+        for n, spec in registry.ALL_QUERIES.items()
+        if n not in local
+    ]
+    assert not missing, f"registry queries missing from LOCAL_ORACLE.json: {missing}"
+    red = [
+        n
+        for n in registry.ALL_QUERIES
+        if local[n].get("err")
+        or any(
+            local[n].get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+    ]
+    assert not red, f"non-green LOCAL_ORACLE.json rows: {red}"
+    # freshness: artifact mtime >= newest source mtime in the engine dirs
+    pkg = os.path.join(repo, "lakehouse_architecture_spark")
+    newest, newest_file = 0.0, None
+    for sub in ("queries", "sources", "operators"):
+        for root, _dirs, files in os.walk(os.path.join(pkg, sub)):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                m = os.path.getmtime(os.path.join(root, fn))
+                if m > newest:
+                    newest, newest_file = m, os.path.join(sub, fn)
+    art = os.path.getmtime(path)
+    assert art >= newest - 1.0, (
+        f"LOCAL_ORACLE.json ({art:.0f}) is older than {newest_file} "
+        f"({newest:.0f}); re-run tools/oracle_check.py --all --json "
+        f"LOCAL_ORACLE.json /root/testdata/sf0.01"
+    )

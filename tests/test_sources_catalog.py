@@ -261,3 +261,68 @@ def test_catalog_bloom_routed_equality_read(spark, tmp_path):
     ).parquet(str(tmp_path / "keys"))
     assert cat.refresh_stats("keys") is None  # no stats_cols; blooms dropped
     assert cat.read("keys", where=("k", 9000, 9000)).count() == 1
+
+
+def test_catalog_compound_predicates_intersect_file_lists(spark, tmp_path):
+    """Catalog.read with a LIST of predicates intersects the per-column
+    admitted file lists (compound pruning multiplies selectivities) and
+    applies every residual — r4 directive #8."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.catalog import Catalog
+    from lakehouse_architecture_spark.operators.partitioning import zordered_write
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("pts2", stats_cols=("x", "y"))
+    df = spark.range(4096).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("double").alias("y"),
+    )
+    zordered_write(df, spec.path, ["x", "y"], n_files=16, bits=6)
+
+    single = cat.read("pts2", where=("x", 10.0, 12.0))
+    compound = cat.read("pts2", where=[("x", 10.0, 12.0), ("y", 10.0, 20.0)])
+    n_single = single.select(F.input_file_name()).distinct().count()
+    n_comp = compound.select(F.input_file_name()).distinct().count()
+    assert n_comp <= n_single < 16  # intersection can only shrink
+    rows = {r["rid"] for r in compound.collect()}
+    want = {
+        r["rid"]
+        for r in df.filter("x between 10 and 12 and y between 10 and 20").collect()
+    }
+    assert rows == want
+    # mixed prunable + non-prunable predicate: prune on x, residual on rid
+    mixed = cat.read("pts2", where=[("x", 10.0, 12.0), ("rid", 0.0, 500.0)])
+    assert {r["rid"] for r in mixed.collect()} == {
+        r["rid"] for r in df.filter("x between 10 and 12 and rid <= 500").collect()
+    }
+    # out-of-domain band -> empty file intersection -> empty result, same schema
+    empty = cat.read("pts2", where=[("x", 100.0, 200.0), ("y", 10.0, 20.0)])
+    assert empty.count() == 0 and set(empty.columns) == set(df.columns)
+
+
+def test_catalog_inlist_bloom_union(spark, tmp_path):
+    """Catalog.read with (col, [values]) unions per-value bloom admissions
+    into ONE scan; a stats-col IN-list unions min/max box admissions."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.define("keys2", bloom_cols=("k",), stats_cols=("k",))
+    df = spark.range(4096).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("j")
+    )
+    df.repartitionByRange(16, "k").write.parquet(str(tmp_path / "keys2"))
+
+    got = cat.read("keys2", where=("k", [7, 1234, 4000]))
+    scanned = got.select(F.input_file_name()).distinct().count()
+    assert scanned < 16
+    assert sorted(r["k"] for r in got.collect()) == [7, 1234, 4000]
+    # values absent from the table: bloom admits (maybe) but residual drops
+    assert cat.read("keys2", where=("k", [999999])).count() == 0
+    # IN-list on a column with neither manifest: plain scan + isin residual
+    assert sorted(
+        r["k"] for r in cat.read("keys2", where=("j", [20, 40])).collect()
+    ) == [10, 20]

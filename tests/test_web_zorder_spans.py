@@ -424,3 +424,47 @@ def test_bloom_fixed_sizing_fallback_still_honored(spark, tmp_path):
     rows = man.collect()
     assert rows[0]["num_bits"] == 4096 and len(rows[0]["bloom"]) == 512
     assert len(bloom_pruned_files(man, 50)) == 1
+
+
+def test_auto_bloom_bits_caps_at_int32_safe_size():
+    """A single file with hundreds of millions of keys must not overflow
+    the manifest's int32 num_bits column (or allocate a multi-GiB driver
+    bytearray): _auto_bloom_bits caps at 2^30 with documented graceful
+    FPR degradation."""
+    from lakehouse_architecture_spark.sources.manifest import (
+        _BLOOM_BITS_CAP,
+        _auto_bloom_bits,
+    )
+
+    assert _auto_bloom_bits(0) == 8192
+    assert _auto_bloom_bits(5000) == 65536  # ~10 bits/key, pow2
+    assert _auto_bloom_bits(300_000_000) == _BLOOM_BITS_CAP
+    assert _auto_bloom_bits(10**12) == _BLOOM_BITS_CAP
+    assert _BLOOM_BITS_CAP < 2**31  # int32-safe
+
+
+def test_clustered_copy_key_tracks_fixture_fingerprint(tmp_path):
+    """Regenerating the fixture in place must invalidate the cached
+    clustered copy: the /tmp key folds in the part file's size+mtime."""
+    import os
+    import shutil
+    import time
+
+    from lakehouse_architecture_spark.queries.storage import _source_fingerprint
+
+    src = "/root/testdata/sf0.001/part.parquet"
+    dst = str(tmp_path / "part.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+    fp1 = _source_fingerprint(str(tmp_path))
+    probe = (
+        os.path.join(dst, sorted(os.listdir(dst))[0])
+        if os.path.isdir(dst)
+        else dst
+    )
+    os.utime(probe, ns=(time.time_ns(), time.time_ns() + 1))
+    fp2 = _source_fingerprint(str(tmp_path))
+    assert fp1 != fp2
+    # missing fixture: stable sentinel, not an exception
+    assert _source_fingerprint(str(tmp_path / "nope")) == _source_fingerprint(
+        str(tmp_path / "nope")
+    )

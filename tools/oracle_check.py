@@ -4,7 +4,16 @@ Runs every query in the registry on Spark and its oracle SQL on DuckDB over
 the same parquet tables, canonicalizes both results (columns sorted by name,
 rows sorted, values stringified), and compares row counts + value hashes.
 
-Usage: python tools/oracle_check.py [--plain] [--json PATH] [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--plain] [--all] [--json PATH] [sf_dir] [query_name ...]
+
+``--all`` ignores any query-name filter and re-runs the ENTIRE registry —
+the per-round full refresh (`python tools/oracle_check.py --all --json
+LOCAL_ORACLE.json /root/testdata/sf0.01`). A full run stamps a ``__meta__``
+record (generated_at, sf_dir, query count) into the JSON artifact;
+tests/test_registry_rotation.py's stale-artifact guard asserts the artifact
+is newer than every file under queries/, sources/, and operators/, so a
+code change without a refresh fails CI instead of silently resting on
+green rows that predate the code now serving them.
 
 ``--plain`` runs on a bare SparkSession (no engine confs — Spark 4 ANSI
 defaults, like the external driver's) instead of SessionFactory, verifying
@@ -57,17 +66,21 @@ def canonical(df: pd.DataFrame) -> tuple[int, str, list[str]]:
 def main() -> int:
     argv = sys.argv[1:]
     plain = "--plain" in argv
+    run_all = "--all" in argv
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
-            print("usage: oracle_check.py [--plain] [--json PATH] [sf_dir] [query ...]")
+            print(
+                "usage: oracle_check.py [--plain] [--all] [--json PATH]"
+                " [sf_dir] [query ...]"
+            )
             return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
-    args = [a for a in argv if a != "--plain"]
+    args = [a for a in argv if a not in ("--plain", "--all")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    only = set(args[1:])
+    only = set() if run_all else set(args[1:])
 
     if plain:
         from pyspark.sql import SparkSession
@@ -152,6 +165,13 @@ def main() -> int:
             except (OSError, ValueError):
                 existing = {}
         existing.update(records)
+        if not only:  # full-registry run: stamp freshness metadata
+            existing["__meta__"] = {
+                "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "sf_dir": sf_dir,
+                "n_queries": len(records),
+                "full_run": True,
+            }
         with open(json_path, "w") as f:
             json.dump(existing, f, indent=1, sort_keys=True)
         print(f"wrote {len(records)} records -> {json_path}")

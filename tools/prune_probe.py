@@ -83,11 +83,11 @@ def main() -> int:
         man = file_manifest(
             spark, path, ["l_extendedprice"]
         ).localCheckpoint(eager=True)
-        # bloom sized for the per-file key count (~rows/n_files): ~10 bits
-        # per key keeps the false-positive rate well under 1%
-        nbits = 1 << 18
+        # num_bits=None: per-file AUTO sizing (~10 bits/key, the round-5
+        # default) — the measured-FPR probe below validates the sizing
+        # claim at whatever scale `mult` produces
         bloom = file_bloom_manifest(
-            spark, path, "l_orderkey", num_bits=nbits
+            spark, path, "l_orderkey"
         ).localCheckpoint(eager=True)
 
         lo, hi = 50_000.0, 52_000.0
@@ -118,10 +118,10 @@ def main() -> int:
         )
         t_bloom, n_bloom = timed(
             lambda: bloom_pruned_read(
-                spark, path, bloom, "l_orderkey", key, num_bits=nbits
+                spark, path, bloom, "l_orderkey", key
             ).count()
         )
-        bfiles = len(bloom_pruned_files(bloom, key, num_bits=nbits))
+        bfiles = len(bloom_pruned_files(bloom, key))
         assert n_fulleq == n_bloom, (n_fulleq, n_bloom)
         print(json.dumps({
             "probe": "equality", "rows": n_fulleq, "n_files": n_files,
@@ -129,6 +129,19 @@ def main() -> int:
             "full_scan_sec": round(t_fulleq, 3),
             "bloom_sec": round(t_bloom, 3),
             "speedup": round(t_fulleq / t_bloom, 2),
+        }))
+
+        # measured bloom FPR: keys guaranteed absent (beyond max orderkey)
+        # probed against every file's filter; admission rate = FPR, since
+        # the true answer for every (file, absent key) pair is "no"
+        max_key = li.agg(F.max("l_orderkey")).first()[0]
+        absent = [max_key + 10_000 + i for i in range(500)]
+        admitted = sum(len(bloom_pruned_files(bloom, k)) for k in absent)
+        fpr = admitted / (len(absent) * n_files)
+        print(json.dumps({
+            "probe": "bloom_fpr", "n_files": n_files,
+            "absent_keys_probed": len(absent),
+            "measured_fpr": round(fpr, 5),
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
