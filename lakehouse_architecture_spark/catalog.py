@@ -191,6 +191,7 @@ class Catalog:
         """File set that can satisfy ``pred``, or None when the predicate's
         column has no usable manifest (no pruning — full candidate set)."""
         from lakehouse_architecture_spark.sources.manifest import (
+            bloom_admitted_files,
             bloom_pruned_files,
             pruned_files,
         )
@@ -201,11 +202,10 @@ class Catalog:
             if not values:
                 return None
             if col in spec.bloom_cols:
-                bm = self.bloom_manifest(name, col)
-                out: set[str] = set()
-                for v in values:
-                    out.update(bloom_pruned_files(bm, v))
-                return out
+                # ONE executor-side manifest pass for the whole list
+                return set(
+                    bloom_admitted_files(self.bloom_manifest(name, col), values)
+                )
             if col in spec.stats_cols:
                 m = self.manifest(name)
                 out = set()

@@ -52,48 +52,13 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return cached
 
 
-_SHIPPED_APPS: set[str] = set()
-
-
 def _ensure_package_on_executors(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers via ``addPyFile``.
+    """Delegates to session.ensure_package_on_executors — kept as the
+    queries-layer entry point so every registry builder ships the package
+    before its first Arrow UDF stage (see that docstring for why)."""
+    from lakehouse_architecture_spark.session import ensure_package_on_executors
 
-    Arrow UDF stages (mapInPandas/applyInPandas — manifest builders,
-    multimodal decode, grouped-map demos) pickle their functions BY
-    REFERENCE, so each worker re-imports ``lakehouse_architecture_spark``.
-    On a driver launched from the repo cwd that works by accident; on a
-    real cluster (or a driver launched elsewhere — the external gate runs
-    builders on its OWN session) the import fails unless the package rides
-    along. One zip per application, pennies at import time; workers pick
-    pyFiles up per-task, so this is safe after the context is live."""
-    try:
-        app = spark.sparkContext.applicationId
-        if app in _SHIPPED_APPS:
-            return
-        import os
-        import tempfile
-        import zipfile
-
-        pkg_dir = os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        )  # .../lakehouse_architecture_spark
-        root = os.path.dirname(pkg_dir)
-        out = os.path.join(
-            tempfile.gettempdir(), f"lhas_pkg_{os.getpid()}.zip"
-        )
-        if not os.path.exists(out):
-            tmp = f"{out}.tmp{os.getpid()}"
-            with zipfile.ZipFile(tmp, "w") as z:
-                for dirpath, _dirs, files in os.walk(pkg_dir):
-                    for f in sorted(files):
-                        if f.endswith(".py"):
-                            p = os.path.join(dirpath, f)
-                            z.write(p, os.path.relpath(p, root))
-            os.replace(tmp, out)
-        spark.sparkContext.addPyFile(out)
-        _SHIPPED_APPS.add(app)
-    except Exception:  # pragma: no cover - best-effort on exotic harnesses
-        pass
+    ensure_package_on_executors(spark)
 
 
 def warm_cached_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -144,3 +144,42 @@ class SessionFactory:
 def get_spark(app_name: str = "lakehouse_architecture_spark") -> SparkSession:
     """Convenience: engine-default local session."""
     return SessionFactory(app_name=app_name).get_or_create()
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Arrow UDF stages (mapInPandas/applyInPandas — manifest builders,
+    multimodal decode, grouped-map demos) pickle their functions BY
+    REFERENCE, so each worker re-imports ``lakehouse_architecture_spark``.
+    On a driver launched from the repo cwd that works by accident; on a
+    real cluster (or a driver launched elsewhere — the external gate runs
+    builders on its OWN session) the import fails unless the package rides
+    along. One zip per application, pennies at import time; workers pick
+    pyFiles up per-task, so this is safe after the context is live."""
+    try:
+        app = spark.sparkContext.applicationId
+        if app in _SHIPPED_APPS:
+            return
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        root = os.path.dirname(pkg_dir)
+        out = os.path.join(tempfile.gettempdir(), f"lhas_pkg_{os.getpid()}.zip")
+        if not os.path.exists(out):
+            tmp = f"{out}.tmp{os.getpid()}"
+            with zipfile.ZipFile(tmp, "w") as z:
+                for dirpath, _dirs, files in os.walk(pkg_dir):
+                    for f in sorted(files):
+                        if f.endswith(".py"):
+                            p = os.path.join(dirpath, f)
+                            z.write(p, os.path.relpath(p, root))
+            os.replace(tmp, out)
+        spark.sparkContext.addPyFile(out)
+        _SHIPPED_APPS.add(app)
+    except Exception:  # pragma: no cover - best-effort on exotic harnesses
+        pass

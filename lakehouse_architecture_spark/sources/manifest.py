@@ -282,6 +282,11 @@ def file_bloom_manifest(
     wastes bytes on small ones. The per-file size is stored in the
     manifest row, so the check side needs no out-of-band sizing contract.
     """
+    from lakehouse_architecture_spark.session import ensure_package_on_executors
+
+    # the builder closure references module-level hash helpers, so workers
+    # re-import this package — ship it for drivers launched off-repo
+    ensure_package_on_executors(spark)
     files = _list_files(path)
     schema = T.StructType(
         [
@@ -324,32 +329,62 @@ def file_bloom_manifest(
     return flist.mapInPandas(build, schema=schema)
 
 
+def bloom_admitted_files(
+    bloom_manifest: DataFrame,
+    values: list,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> list[str]:
+    """Files whose bloom admits ANY of ``values`` (possible members), as a
+    sorted file list. The bit tests run EXECUTOR-side via ``mapInPandas``
+    and only admitted file NAMES return to the driver — collecting the
+    bloom bytes themselves does not scale (auto-sized blooms on a 60M-row
+    table are ~0.5 MB/file; a 256-file manifest collected driver-side was
+    measured 5x SLOWER than the full scan it was meant to beat). Sizing
+    comes from the manifest's own (num_bits, num_hashes) columns when
+    present (per-file auto sizing); the arguments are the fallback for
+    legacy two-column manifests. An IN-list is one manifest pass no matter
+    how many values."""
+    from pyspark.sql import SparkSession
+
+    from lakehouse_architecture_spark.session import ensure_package_on_executors
+
+    spark = getattr(bloom_manifest, "sparkSession", None) or SparkSession.getActiveSession()
+    if spark is not None:
+        ensure_package_on_executors(spark)
+    has_sizing = "num_bits" in bloom_manifest.columns
+    cols = ["file", "bloom"] + (["num_bits", "num_hashes"] if has_sizing else [])
+    vals = list(values)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos_cache: dict[tuple[object, int, int], list[int]] = {}
+        for pdf in batches:
+            keep = []
+            for row in pdf.itertuples(index=False):
+                nb = int(row.num_bits) if has_sizing else num_bits
+                nh = int(row.num_hashes) if has_sizing else num_hashes
+                b = row.bloom
+                for v in vals:
+                    pos = pos_cache.get((v, nb, nh))
+                    if pos is None:
+                        pos = pos_cache[(v, nb, nh)] = _bloom_positions(v, nb, nh)
+                    if all(b[p // 8] & (1 << (p % 8)) for p in pos):
+                        keep.append(row.file)
+                        break
+            yield pd.DataFrame({"file": keep})
+
+    out = bloom_manifest.select(*cols).mapInPandas(check, "file string")
+    return sorted(r["file"] for r in out.collect())
+
+
 def bloom_pruned_files(
     bloom_manifest: DataFrame,
     value: object,
     num_bits: int = 8192,
     num_hashes: int = 4,
 ) -> list[str]:
-    """Files whose bloom admits ``value`` (possible member). The manifest
-    is file-cardinality — collected positions are checked driver-side on
-    the collected (file, bloom) rows, each a few KB. Sizing comes from the
-    manifest's own (num_bits, num_hashes) columns when present (per-file
-    auto sizing); the arguments are the fallback for legacy two-column
-    manifests."""
-    has_sizing = "num_bits" in bloom_manifest.columns
-    cols = ["file", "bloom"] + (["num_bits", "num_hashes"] if has_sizing else [])
-    pos_cache: dict[tuple[int, int], list[int]] = {}
-    keep = []
-    for r in bloom_manifest.select(*cols).collect():
-        nb = r["num_bits"] if has_sizing else num_bits
-        nh = r["num_hashes"] if has_sizing else num_hashes
-        pos = pos_cache.get((nb, nh))
-        if pos is None:
-            pos = pos_cache[(nb, nh)] = _bloom_positions(value, nb, nh)
-        b = r["bloom"]
-        if all(b[p // 8] & (1 << (p % 8)) for p in pos):
-            keep.append(r["file"])
-    return sorted(keep)
+    """Single-value form of :func:`bloom_admitted_files`."""
+    return bloom_admitted_files(bloom_manifest, [value], num_bits, num_hashes)
 
 
 def bloom_pruned_read(

@@ -133,10 +133,21 @@ def main() -> int:
 
         # measured bloom FPR: keys guaranteed absent (beyond max orderkey)
         # probed against every file's filter; admission rate = FPR, since
-        # the true answer for every (file, absent key) pair is "no"
+        # the true answer for every (file, absent key) pair is "no".
+        # Diagnostic-only: collect the manifest ONCE and test bits locally
+        # (the engine's read path never collects blooms — see
+        # sources/manifest.bloom_admitted_files)
+        from lakehouse_architecture_spark.sources.manifest import _bloom_positions
+
         max_key = li.agg(F.max("l_orderkey")).first()[0]
         absent = [max_key + 10_000 + i for i in range(500)]
-        admitted = sum(len(bloom_pruned_files(bloom, k)) for k in absent)
+        rows = bloom.select("file", "bloom", "num_bits", "num_hashes").collect()
+        admitted = 0
+        for r in rows:
+            b, nb, nh = r["bloom"], r["num_bits"], r["num_hashes"]
+            for k in absent:
+                pos = _bloom_positions(k, nb, nh)
+                admitted += all(b[p // 8] & (1 << (p % 8)) for p in pos)
         fpr = admitted / (len(absent) * n_files)
         print(json.dumps({
             "probe": "bloom_fpr", "n_files": n_files,
