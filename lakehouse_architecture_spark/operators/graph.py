@@ -176,12 +176,20 @@ def triangle_stats(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        # e is referenced 4x (degree union both sides, the orient join,
+        # the edge count) and the INPUT edge list is often itself an
+        # expensive pipeline (e.g. an n-gram similarity join) — without
+        # materialization every reference re-runs that whole upstream
+        # (measured: 288 source scans in the near-dup triangle census).
+        # Lazy checkpoint = one upstream run, edge-list-sized storage.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # node-sized, referenced 3x
     )
     ed = (
         e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
@@ -192,7 +200,7 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)  # referenced 3x (both wedge sides + close)
     o1 = orient.alias("o1")
     o2 = orient.alias("o2")
     wedge = o1.join(

@@ -11,6 +11,12 @@ several tables; a self-join scans its table twice) — the audit flags
 queries whose scan count exceeds a threshold so a human checks whether the
 repeats hit the same big fact.
 
+Counting caveat: the audit inspects the FINAL job's executed plan. A
+lazily ``localCheckpoint``-ed subtree materializes in its own one-time job
+whose scans are invisible here — by construction those run exactly ONCE,
+which is the invariant being audited, so a low count after adding a
+checkpoint is the fix working, not scans hiding.
+
 Usage: python tools/scan_audit.py [sf_dir] [threshold] [query ...]
 Prints one JSON line per flagged query, then a summary line.
 """
@@ -25,6 +31,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
 from lakehouse_architecture_spark.session import SessionFactory
+
+
+def _indent(line: str) -> int:
+    """Tree depth of a plan line = offset of the node name past the
+    ':  +- '-style ASCII art."""
+    i = 0
+    while i < len(line) and line[i] in " :+-*(":
+        i += 1
+    return i
+
+
+def live_scan_count(plan: str) -> int:
+    """`Scan parquet` leaves that EXECUTE in this plan. An
+    InMemoryRelation prints its full cached lineage (scans included), but
+    at runtime those rows come from the cache — count only scans outside
+    any InMemoryRelation subtree."""
+    scans = 0
+    skip_below: int | None = None
+    for line in plan.splitlines():
+        d = _indent(line)
+        if skip_below is not None:
+            if d > skip_below:
+                continue
+            skip_below = None
+        if "InMemoryRelation" in line:
+            skip_below = d
+            continue
+        if "Scan parquet" in line:
+            scans += 1
+    return scans
 
 
 def main() -> int:
@@ -46,7 +82,9 @@ def main() -> int:
         rows.append(
             {
                 "query": name,
-                "scans": plan.count("Scan parquet"),
+                "scans": live_scan_count(plan),
+                "cached_lineage_scans": plan.count("Scan parquet")
+                - live_scan_count(plan),
                 "reused": plan.count("ReusedExchange"),
             }
         )
