@@ -64,6 +64,13 @@ What to look for, per the design rules: dimension sides behind
 `BroadcastExchange`; filters in `PushedFilters`; aggregates as paired
 partial/final `HashAggregate` (map-side combine); no `CartesianProduct`;
 `Exchange` nodes only on intended keys.
+
+`Scan ExistingRDD` = a lazily localCheckpoint'ed intermediate (round 6:
+exact_quantiles' counts/brackets, triangle_stats' edge/degree/orient
+tables): its upstream pipeline runs exactly ONCE in its own job and the
+snapshot shows only the consumer side — multi-referenced subtrees no
+longer re-scan their inputs per reference (tools/scan_audit.py is the
+regression check).
 """
 
 
