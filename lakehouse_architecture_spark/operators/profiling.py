@@ -195,6 +195,10 @@ def ks_drift(
         )
         .groupBy("g", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
+        # groups x nbins rows, referenced by the grid/pooled/joined
+        # subplans below — lazy checkpoint = ONE scan of the fact (plus
+        # the min/max pass), not one per reference (tools/scan_audit.py)
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
     grid = (

@@ -505,6 +505,9 @@ def _q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == "click").cast("bigint")).alias("c"),
             F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("p"),
         )
+        # hour-cardinality series referenced twice per lag — checkpoint so
+        # the events fact aggregates ONCE, not 2x|lags| times
+        .localCheckpoint(eager=False)
     )
     out = None
     for lag in _XCORR_LAGS:
