@@ -112,6 +112,9 @@ def mutual_information(
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .agg(F.count(F.lit(1)).alias("c"))
+        # |X|x|Y|-sized, referenced 4x (marginals, total, terms) —
+        # checkpoint makes "scanned exactly once" literally true
+        .localCheckpoint(eager=False)
     )
     mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
@@ -200,6 +203,9 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         )
         .groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__o"))
+        # contingency-table-sized; the marginal/total subplans below each
+        # reference it — checkpoint makes "no second scan" literally true
+        .localCheckpoint(eager=False)
     )
     mx = joint.groupBy("__x").agg(F.sum("__o").alias("__nx"))
     my = joint.groupBy("__y").agg(F.sum("__o").alias("__ny"))

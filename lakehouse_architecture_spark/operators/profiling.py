@@ -42,16 +42,21 @@ def pmi_collocations(
     scalars — no all-pairs anywhere.
     """
     tk = df.select(tokens(text_col).alias("tk"))
+    # vocab-sized aggregates referenced 3x (uni: totals + both join sides)
+    # and 2x (bigc: survivors + totals) — checkpoint so the corpus is
+    # tokenized exactly twice (unigram pass + bigram pass), not 5x
     uni = (
         tk.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     bigc = (
         tk.filter(F.size("tk") >= 2)
         .select(F.explode(ngram_array(F.col("tk"), 2)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
     )
     # p(xy) is normalized by the count of ALL bigrams, not just the ones
     # surviving min_count — the filter prunes output rows, not the model

@@ -417,7 +417,15 @@ def bm25_scores(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     ).filter(F.col("term") != "")
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc-cardinality lengths, referenced by BOTH the corpus stats and the
+    # per-term join — checkpoint so the token explode feeding it runs once
+    # (the tf pass below is the second, term-filtered explode; two passes
+    # over the corpus total, the documented inverted-index shape)
+    dl = (
+        tok.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),

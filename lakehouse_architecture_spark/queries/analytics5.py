@@ -99,6 +99,9 @@ def _q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{_US} div {_DAY_US} div 7").alias("mon"),
         )
         .distinct()
+        # user-week table referenced 4x (shifted copy, anti-join, active
+        # counts, last-week scalar) — checkpoint so events dedups ONCE
+        .localCheckpoint(eager=False)
     )
     nxt = um.select("user_id", (F.col("mon") - 1).alias("mon"))
     churned = um.join(nxt, on=["user_id", "mon"], how="left_anti")
