@@ -410,3 +410,38 @@ def test_no_raw_row_percentile_aggregates(spark):
         )
         hits = re.findall(r"(?<!approx_)\bpercentile\(", plan)
         assert not hits, f"{name}: exact percentile aggregate leaked into plan"
+
+
+def test_multi_reference_operators_scan_sources_boundedly(spark):
+    """Regression guard for the round-6 scan-audit fixes: operators whose
+    tiny intermediates are referenced many times must materialize them
+    (lazy localCheckpoint) instead of re-scanning the fact per reference.
+    Counts LIVE `Scan parquet` leaves in the final executed plan
+    (checkpointed subtrees run once in their own job and appear as
+    ExistingRDD — see tools/scan_audit.py). Bounds are the fixed plans'
+    counts + 1 slack; q_triangles was 288 before the fix."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.scan_audit import live_scan_count
+
+    bounds = {
+        "q_percentile": 3,      # was 15
+        "q_equidepth_bins": 3,  # was 15
+        "q_triangles": 2,       # was 288
+        "q_ks_drift": 4,        # was 20 (11 live)
+        "q_cross_corr": 3,      # was 13
+        "q_int8_knn": 3,        # was 16
+        "q_churn": 3,           # was 8
+        "q_chi2": 4,            # was 10
+    }
+    for name, bound in bounds.items():
+        df = _q(spark, name)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = live_scan_count(plan)
+        assert got <= bound, (
+            f"{name}: {got} live source scans (bound {bound}) — a "
+            f"multi-referenced subtree lost its checkpoint"
+        )
