@@ -198,27 +198,42 @@ def _q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_discount")
     y = F.col("l_quantity")
 
-    def sums(gb):
-        return gb.agg(
+    # ONE pass over the 3-table join: per-segment sums kept as
+    # DECIMAL(38,6) (exact, so the pooled sums — plain decimal adds over
+    # the per-segment rows — are bit-identical to a direct second pass;
+    # this is why the pooled slope can derive from the grouped table
+    # instead of re-running the join)
+    dec = "decimal(38,6)"
+    raw = (
+        j.groupBy("c_mktsegment")
+        .agg(
             F.count(F.lit(1)).alias("n"),
-            dsum(x, "sx"),
-            dsum(y, "sy"),
-            dsum(x * y, "sxy"),
-            dsum(x * x, "sxx"),
+            F.sum(x.cast(dec)).alias("dsx"),
+            F.sum(y.cast(dec)).alias("dsy"),
+            F.sum((x * y).cast(dec)).alias("dsxy"),
+            F.sum((x * x).cast(dec)).alias("dsxx"),
         )
+        .localCheckpoint(eager=False)  # segment-cardinality, referenced 2x
+    )
 
     def slope_col():
         n = F.col("n").cast("double")
-        return (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-            n * F.col("sxx") - F.col("sx") * F.col("sx")
-        )
+        sx = F.col("dsx").cast("double")
+        sy = F.col("dsy").cast("double")
+        sxy = F.col("dsxy").cast("double")
+        sxx = F.col("dsxx").cast("double")
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
 
-    per = sums(j.groupBy("c_mktsegment")).select(
+    per = raw.select(
         "c_mktsegment", "n", F.round(slope_col(), 6).alias("seg_slope")
     )
-    pooled = sums(j.groupBy()).select(
-        F.round(slope_col(), 6).alias("pooled_slope")
-    )
+    pooled = raw.agg(
+        F.sum("n").alias("n"),
+        F.sum("dsx").alias("dsx"),
+        F.sum("dsy").alias("dsy"),
+        F.sum("dsxy").alias("dsxy"),
+        F.sum("dsxx").alias("dsxx"),
+    ).select(F.round(slope_col(), 6).alias("pooled_slope"))
     return (
         per.crossJoin(F.broadcast(pooled))
         .select(
