@@ -17,6 +17,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import truncate_lineage
+
 #: The driver-generated benchmark tables (TESTDATA.md).
 TESTDATA_TABLES = (
     "region",
@@ -138,10 +140,15 @@ class Catalog:
           admitted file sets are UNIONed — a file is kept if it can hold
           ANY listed value.
 
+        A predicate on a column in ``partition_by`` prunes by hive
+        partition directory instead (no manifest needed — round 7), and
+        composes with manifest predicates in the same call.
+
         With several prunable predicates the file lists are INTERSECTED
         before Spark plans the scan — compound pruning multiplies the
-        selectivities instead of taking the best single column. On columns
-        with no manifest the same call degrades to scan + filter, so query
+        selectivities instead of taking the best single column (e.g.
+        partition ∩ min/max manifest). On columns with no manifest or
+        partition layout the same call degrades to scan + filter, so query
         code stays layout-independent.
         """
         spec = self._tables[name]
@@ -187,6 +194,47 @@ class Catalog:
                 )
         return list(preds)
 
+    def _partition_admitted_files(self, spec: TableSpec, pred: tuple):
+        """Driver-side hive-layout partition pruning: walk the table root,
+        parse ``col=value`` path segments, keep the parquet files of
+        partitions matching the predicate. Values compare as the STRINGS
+        hive writes into the path (ISO dates and zero-padded ints order
+        correctly — that is why those are the sane partition encodings).
+
+        Composes with manifest pruning in :meth:`read`: each predicate
+        contributes a file set and the sets INTERSECT, so
+        ``(date BETWEEN ...) AND (value BETWEEN ...)`` admits only files
+        inside surviving partitions whose min/max box also fits. Scale
+        note: at 100 TB the partition list comes from a metastore or a
+        table-format log rather than a filesystem walk, but the driver
+        still only handles partition NAMES and the admitted file list —
+        never data; the residual filter is always applied, so Spark's own
+        dynamic partition pruning remains in play for join-driven cases.
+        """
+        col = pred[0]
+        token = f"{col}="
+
+        def admit(val: str) -> bool:
+            if len(pred) == 2:
+                return val in {str(v) for v in pred[1]}
+            _, lo, hi = pred
+            return (lo is None or val >= str(lo)) and (
+                hi is None or val <= str(hi)
+            )
+
+        out: set[str] = set()
+        for root, _dirs, files in os.walk(spec.path):
+            segs = [s for s in root.split(os.sep) if s.startswith(token)]
+            if not segs:
+                continue
+            if admit(segs[-1].split("=", 1)[1]):
+                out.update(
+                    os.path.join(root, f)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return out
+
     def _admitted_files(self, name: str, spec: TableSpec, pred: tuple):
         """File set that can satisfy ``pred``, or None when the predicate's
         column has no usable manifest (no pruning — full candidate set)."""
@@ -194,9 +242,12 @@ class Catalog:
             bloom_admitted_files,
             bloom_pruned_files,
             pruned_files,
+            pruned_files_any,
         )
 
         col = pred[0]
+        if col in spec.partition_by:
+            return self._partition_admitted_files(spec, pred)
         if len(pred) == 2:  # IN-list: union of per-value admissions
             values = [v for v in pred[1] if v is not None]
             if not values:
@@ -207,11 +258,9 @@ class Catalog:
                     bloom_admitted_files(self.bloom_manifest(name, col), values)
                 )
             if col in spec.stats_cols:
-                m = self.manifest(name)
-                out = set()
-                for v in values:
-                    out.update(pruned_files(m, col, v, v))
-                return out
+                # ONE manifest filter (OR of per-value boxes) + collect —
+                # not one driver-side Spark job per listed value
+                return set(pruned_files_any(self.manifest(name), col, values))
             return None
         _, lo, hi = pred
         if col in spec.bloom_cols and lo is not None and lo == hi:
@@ -253,9 +302,10 @@ class Catalog:
         if name not in self._manifests:
             from lakehouse_architecture_spark.sources.manifest import file_manifest
 
-            self._manifests[name] = file_manifest(
-                self.spark, spec.path, list(spec.stats_cols)
-            ).localCheckpoint(eager=True)
+            self._manifests[name] = truncate_lineage(
+                file_manifest(self.spark, spec.path, list(spec.stats_cols)),
+                eager=True,
+            )
         return self._manifests[name]
 
     def bloom_manifest(self, name: str, col: str) -> DataFrame:
@@ -276,7 +326,10 @@ class Catalog:
                 col,
                 num_bits=spec.bloom_bits,
                 num_hashes=spec.bloom_hashes,
-            ).localCheckpoint(eager=True)
+            )
+            self._manifests[key] = truncate_lineage(
+                self._manifests[key], eager=True
+            )
         return self._manifests[key]
 
     def refresh_stats(self, name: str) -> DataFrame | None:
@@ -303,9 +356,15 @@ class Catalog:
             # manifest unions a LAZY footer-read subtree for the new files,
             # and caching it unmaterialized would re-run those distributed
             # footer reads on every subsequent pruned read
-            self._manifests[name] = refresh_manifest(
-                self.spark, self._manifests[name], spec.path, list(spec.stats_cols)
-            ).localCheckpoint(eager=True)
+            self._manifests[name] = truncate_lineage(
+                refresh_manifest(
+                    self.spark,
+                    self._manifests[name],
+                    spec.path,
+                    list(spec.stats_cols),
+                ),
+                eager=True,
+            )
             return self._manifests[name]
         return self.manifest(name)
 

@@ -1,0 +1,95 @@
+"""Cluster-safe materialization policy for multiply-referenced intermediates.
+
+Several operators build a SMALL intermediate table (a counts table, an edge
+list, a centroid set) that downstream plan branches reference many times.
+Without materialization, Catalyst inlines the subtree per reference and the
+fact-table scan feeding it re-executes once per branch — exchange reuse
+alone does not collapse them all (measured round 6: 288 live source scans
+in the near-dup triangle census; 15 in the composed exact-quantile plan).
+
+Round 6 pinned these with ``localCheckpoint(eager=False)``, which bounds
+the scans but stores the blocks on executor local disk with lineage
+TRUNCATED: on a real cluster, losing one executor mid-query fails the job
+instead of recomputing the lost partitions. That is the wrong default for
+the 100 TB design point, so this module centralizes the policy:
+
+- :func:`materialize_small` — for small, **deterministic** intermediates.
+  Default mode ``persist`` keeps full lineage (``MEMORY_AND_DISK``): an
+  executor loss recomputes only the lost partitions; the consumer plan
+  shows the subtree under ``InMemoryRelation`` (cached lineage — it
+  executes once, see tools/scan_audit.py). Set session conf
+  ``spark.lakehouse.smallIntermediate.mode=localCheckpoint`` to restore
+  the round-6 behavior (marginally cheaper re-planning; single-node only).
+
+- :func:`truncate_lineage` — for intermediates where lineage truncation is
+  itself the point: iterative algorithms whose plans grow per round
+  (connected components, PageRank), **nondeterministic** pins (sampled
+  centroids — a persist-recompute after executor loss would resurrect
+  DIFFERENT values, corrupting the query), and read-before-overwrite
+  safety. Uses the RELIABLE ``checkpoint()`` (HDFS/object-store blocks,
+  survives executor loss) whenever ``sparkContext.setCheckpointDir`` has
+  been called — the correct cluster deployment — and falls back to
+  ``localCheckpoint`` in local mode where no checkpoint dir exists.
+
+Deployment note (100 TB): call ``sc.setCheckpointDir("s3a://.../ckpt")``
+(or an HDFS path) in cluster jobs so every lineage truncation in this
+package is executor-loss-safe; leave the small-intermediate mode at its
+``persist`` default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+#: Session conf selecting how small deterministic intermediates are pinned.
+SMALL_INTERMEDIATE_MODE = "spark.lakehouse.smallIntermediate.mode"
+
+
+def materialize_small(df: DataFrame) -> DataFrame:
+    """Pin a small, deterministic, multiply-referenced intermediate so its
+    upstream executes once instead of once per downstream reference.
+
+    Modes (session conf ``spark.lakehouse.smallIntermediate.mode``):
+
+    ``persist`` (default, cluster-safe)
+        ``persist(StorageLevel.MEMORY_AND_DISK)`` — lineage retained, so a
+        lost executor recomputes only its partitions. Lazy: the first
+        action populates the cache.
+    ``localCheckpoint``
+        Round-6 behavior: lineage truncated into executor-local blocks
+        (``Scan ExistingRDD`` in consumer plans). Not fault-tolerant;
+        acceptable only on single-node deployments.
+
+    Only DETERMINISTIC plans may use this helper: persist recomputes lost
+    partitions from lineage, so nondeterministic lineage (``rand()``,
+    sampling) must go through :func:`truncate_lineage` instead.
+    """
+    mode = df.sparkSession.conf.get(SMALL_INTERMEDIATE_MODE, "persist")
+    if mode == "localCheckpoint":
+        return df.localCheckpoint(eager=False)
+    if mode != "persist":
+        raise ValueError(
+            f"{SMALL_INTERMEDIATE_MODE}={mode!r}: expected 'persist' or "
+            "'localCheckpoint'"
+        )
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut a DataFrame's lineage, materializing its current contents.
+
+    Needed where persist() is NOT a substitute: iterative driver loops
+    whose plans otherwise grow exponentially, nondeterministic
+    intermediates that must never be recomputed (sampled centroids, PQ
+    codebooks), and reads that must complete before their source path is
+    overwritten.
+
+    Uses the reliable ``checkpoint()`` when a checkpoint directory is
+    configured (``sc.setCheckpointDir`` — the cluster deployment, blocks
+    survive executor loss) and ``localCheckpoint`` otherwise (local mode).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

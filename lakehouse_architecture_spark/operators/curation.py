@@ -390,6 +390,14 @@ def temporal_split(
     Spark's ``percentile``) broadcast back over a narrow map — no shuffle
     of the data itself, and the assignment is a pure function of the
     timestamp, so it is stable under repartitioning and engine choice.
+
+    Degenerate input: when EVERY timestamp is NULL, exact_quantiles emits
+    no cut row (``percentile`` semantics — no non-null values). The cut
+    is attached with a broadcast LEFT join on a constant key, so rows
+    survive with a NULL cut and both ``when`` predicates evaluate NULL:
+    every row is labeled ``embargo`` (matching the pre-round-6
+    NULL-cut-aggregate behavior) instead of silently vanishing in a
+    crossJoin against an empty table.
     """
     from lakehouse_architecture_spark.operators.skew import exact_quantiles
 
@@ -404,16 +412,17 @@ def temporal_split(
         "__ts_us",
         {"__cut": 1.0 - test_frac},
         bucket_width=3600e6,  # hour-wide epoch-micro buckets
-    )
+    ).withColumn("__k", F.lit(1))
     return (
-        df.crossJoin(F.broadcast(cut))
+        df.withColumn("__k", F.lit(1))
+        .join(F.broadcast(cut), "__k", "left")
         .withColumn(
             "split",
             F.when(us >= F.col("__cut"), F.lit("test"))
             .when(us < F.col("__cut") - F.lit(int(embargo_us)), F.lit("train"))
             .otherwise(F.lit("embargo")),
         )
-        .drop("__cut")
+        .drop("__cut", "__k")
     )
 
 

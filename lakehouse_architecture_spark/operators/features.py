@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import materialize_small
+
 from lakehouse_architecture_spark.functions.aggregates import dsum
 from lakehouse_architecture_spark.functions.hashing import md5_hash64
 from lakehouse_architecture_spark.operators.text import tokens
@@ -112,10 +114,10 @@ def mutual_information(
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .agg(F.count(F.lit(1)).alias("c"))
-        # |X|x|Y|-sized, referenced 4x (marginals, total, terms) —
-        # checkpoint makes "scanned exactly once" literally true
-        .localCheckpoint(eager=False)
     )
+    # |X|x|Y|-sized, referenced 4x (marginals, total, terms) —
+    # materializing makes "scanned exactly once" literally true
+    joint = materialize_small(joint)
     mx = joint.groupBy("x").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("y").agg(F.sum("c").alias("cy"))
     tot = joint.agg(F.sum("c").alias("n"))
@@ -203,10 +205,10 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         )
         .groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__o"))
-        # contingency-table-sized; the marginal/total subplans below each
-        # reference it — checkpoint makes "no second scan" literally true
-        .localCheckpoint(eager=False)
     )
+    # contingency-table-sized; the marginal/total subplans below each
+    # reference it — materializing makes "no second scan" literally true
+    joint = materialize_small(joint)
     mx = joint.groupBy("__x").agg(F.sum("__o").alias("__nx"))
     my = joint.groupBy("__y").agg(F.sum("__o").alias("__ny"))
     tot = joint.agg(F.sum("__o").alias("__n"))

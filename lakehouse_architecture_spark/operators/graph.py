@@ -15,14 +15,21 @@ shuffle on node id); rounds needed ≈ graph diameter for plain propagation —
 near-dup graphs are overwhelmingly tiny cliques, so 2-4 rounds converge.
 The loop checks convergence with a changed-row count per round and is
 capped by ``max_iterations`` (a driver-side loop over lazy plans — the
-standard Spark pattern for iterative algorithms; each iteration's result is
-localCheckpoint()ed to keep lineage from growing exponentially).
+standard Spark pattern for iterative algorithms; each iteration's result
+has its lineage truncated to keep the plan from growing exponentially —
+reliable ``checkpoint()`` when a checkpoint dir is configured, else
+``localCheckpoint``; see lakehouse_architecture_spark/materialize.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.materialize import (
+    materialize_small,
+    truncate_lineage,
+)
 
 
 def connected_components(
@@ -39,14 +46,14 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint()
+    sym = truncate_lineage(sym)
 
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
+    labels = truncate_lineage(labels)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -65,7 +72,8 @@ def connected_components(
                     "__changed"
                 ),
             )
-        ).localCheckpoint()
+        )
+        updated = truncate_lineage(updated)
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
@@ -122,7 +130,8 @@ def pagerank(
     # re-planned per iteration — same pattern as connected_components
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
+    )
+    e = truncate_lineage(e, eager=True)
     n_nodes = nodes.count()
     teleport = (1.0 - damping) / n_nodes
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -181,16 +190,17 @@ def triangle_stats(
         # expensive pipeline (e.g. an n-gram similarity join) — without
         # materialization every reference re-runs that whole upstream
         # (measured: 288 source scans in the near-dup triangle census).
-        # Lazy checkpoint = one upstream run, edge-list-sized storage.
-        .localCheckpoint(eager=False)
+        # Materialized once (persist by default — cluster-safe; see
+        # materialize.py), edge-list-sized storage.
     )
+    e = materialize_small(e)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)  # node-sized, referenced 3x
     )
+    deg = materialize_small(deg)  # node-sized, referenced 3x
     ed = (
         e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
@@ -200,7 +210,8 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=False)  # referenced 3x (both wedge sides + close)
+    )
+    orient = materialize_small(orient)  # referenced 3x (wedge sides + close)
     o1 = orient.alias("o1")
     o2 = orient.alias("o2")
     wedge = o1.join(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import truncate_lineage
+
 from lakehouse_architecture_spark.operators.partitioning import spread
 from lakehouse_architecture_spark.operators.relational import top_k_per_group
 
@@ -116,10 +118,11 @@ def pq_codebooks(
         .limit(ksub)
         .withColumn("code", F.row_number().over(Window.orderBy("vid")) - 1)
     )
-    cb = (
-        subs.join(F.broadcast(seed_ids), "vid")
-        .select("sub", "code", F.col("sv").alias("cvec"))
-        .localCheckpoint(eager=True)
+    cb = truncate_lineage(
+        subs.join(F.broadcast(seed_ids), "vid").select(
+            "sub", "code", F.col("sv").alias("cvec")
+        ),
+        eager=True,
     )
     for _ in range(iters):
         scored = subs.join(F.broadcast(cb), "sub").withColumn(
@@ -142,7 +145,7 @@ def pq_codebooks(
         )
         # codes that captured no vectors keep their previous centroid
         kept = cb.join(means.select("sub", "code"), ["sub", "code"], "left_anti")
-        cb = means.unionByName(kept).localCheckpoint(eager=True)
+        cb = truncate_lineage(means.unionByName(kept), eager=True)
     return cb
 
 

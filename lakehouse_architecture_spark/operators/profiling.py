@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import materialize_small
+
 from lakehouse_architecture_spark.functions.hashing import md5_hash64
 from lakehouse_architecture_spark.operators.dedup import ngram_array
 from lakehouse_architecture_spark.operators.text import tokens
@@ -49,15 +51,15 @@ def pmi_collocations(
         tk.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
+    uni = materialize_small(uni)
     bigc = (
         tk.filter(F.size("tk") >= 2)
         .select(F.explode(ngram_array(F.col("tk"), 2)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .localCheckpoint(eager=False)
     )
+    bigc = materialize_small(bigc)
     # p(xy) is normalized by the count of ALL bigrams, not just the ones
     # surviving min_count — the filter prunes output rows, not the model
     big = bigc.filter(F.col("c_xy") >= min_count).select(
@@ -200,11 +202,11 @@ def ks_drift(
         )
         .groupBy("g", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
-        # groups x nbins rows, referenced by the grid/pooled/joined
-        # subplans below — lazy checkpoint = ONE scan of the fact (plus
-        # the min/max pass), not one per reference (tools/scan_audit.py)
-        .localCheckpoint(eager=False)
     )
+    # groups x nbins rows, referenced by the grid/pooled/joined subplans
+    # below — materialized = ONE scan of the fact (plus the min/max
+    # pass), not one per reference (tools/scan_audit.py)
+    binned = materialize_small(binned)
     spark = df.sparkSession
     grid = (
         binned.select("g")

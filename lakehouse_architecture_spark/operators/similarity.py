@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import (
+    materialize_small,
+    truncate_lineage,
+)
+
 from lakehouse_architecture_spark.functions.hashing import md5_hash64
 from lakehouse_architecture_spark.operators.partitioning import spread
 from lakehouse_architecture_spark.operators.relational import top_k_per_group
@@ -346,9 +351,9 @@ def quantized_knn(
     documented SQ8 trade, not nondeterminism."""
     from lakehouse_architecture_spark.operators.relational import top_k_per_group
 
-    qall = quantize_embeddings(
+    qall = materialize_small(quantize_embeddings(
         corpus.unionByName(queries).dropDuplicates([id_col]), id_col, vec_col
-    ).localCheckpoint(eager=False)
+    ))
     # ^ referenced by BOTH join sides — materialize the quantized corpus
     # once (int8: 4x smaller than the float input, the FAISS/ScaNN
     # pattern) instead of re-scanning + re-quantizing per reference
@@ -399,8 +404,10 @@ def kmeans_centroids(
     mean vector via posexplode → per-(cell, position) average → in-array
     reassembly. Cost per iteration: one narrow scan + one (cell, pos)
     aggregate whose key space is n_cells × dim — trivially small shuffle
-    regardless of corpus size. Centroids are ``localCheckpoint``-ed per
-    round so the plan does not grow with iterations (same pattern as
+    regardless of corpus size. Centroids have their lineage truncated per
+    round (reliable ``checkpoint()`` when a checkpoint dir is configured,
+    else ``localCheckpoint`` — materialize.truncate_lineage) so the plan
+    does not grow with iterations (same pattern as
     operators/graph.connected_components).
 
     Deterministic: init = the n_cells lowest-id vectors, ties in
@@ -416,14 +423,17 @@ def kmeans_centroids(
         vecs.orderBy(F.col("vid").asc())
         .limit(n_cells)
         .select(F.col("vid").alias("cent_id"), F.col("v").alias("cvec"))
-        .localCheckpoint(eager=True)
     )
+    cents = truncate_lineage(cents, eager=True)
     # stable dense cell ids 0..n_cells-1 (independent of source ids)
     from pyspark.sql import Window
 
-    cents = cents.withColumn(
-        "cent_id", F.row_number().over(Window.orderBy("cent_id")) - 1
-    ).localCheckpoint(eager=True)
+    cents = truncate_lineage(
+        cents.withColumn(
+            "cent_id", F.row_number().over(Window.orderBy("cent_id")) - 1
+        ),
+        eager=True,
+    )
     for _ in range(iters):
         scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
             "ccos", cosine(F.col("v"), F.col("cvec"))
@@ -446,7 +456,7 @@ def kmeans_centroids(
         )
         # empty cells keep their previous centroid
         kept = cents.join(means.select("cent_id"), "cent_id", "left_anti")
-        cents = means.unionByName(kept).localCheckpoint(eager=True)
+        cents = truncate_lineage(means.unionByName(kept), eager=True)
     return cents
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import materialize_small
+
 
 def salted_join(
     big: DataFrame,
@@ -191,7 +193,8 @@ def exact_quantiles(
     phase-2 subplans reference the phase-1 counts table many times, and
     exchange reuse alone does NOT collapse all of them (measured: 15 live
     fact scans in the composed plan) — so the counts table and the
-    bracketing-values table are lazily ``localCheckpoint``ed: each is a
+    bracketing-values table are materialized (persist by default,
+    cluster-safe — see materialize.py): each is a
     tiny bounded relation materialized ONCE during the job, leaving
     exactly two scans of the fact table (phase-1 counts + phase-3
     hit-bucket selection), never per-quantile.
@@ -214,13 +217,13 @@ def exact_quantiles(
     wb = vals.withColumn(
         "__bkt", F.floor(F.col("__v") / F.lit(bw)).cast("bigint")
     )
-    counts = (
+    counts = materialize_small(
         wb.groupBy(*group_cols, "__bkt")
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        # lazy (NOT eager: no driver-side job at plan-build time): the
-        # first action materializes this tiny table once; every phase-2
-        # subplan then reads it instead of re-scanning the fact table
-        .localCheckpoint(eager=False)
+        # lazy (no driver-side job at plan-build time): the first action
+        # materializes this tiny table once; every phase-2 subplan then
+        # reads it instead of re-scanning the fact table (persist by
+        # default — cluster-safe; see materialize.py)
     )
     part = [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
     woff = (
@@ -325,10 +328,10 @@ def exact_quantiles(
     vals_at = (
         ranked.join(F.broadcast(hit), on=pick_cond)
         .select(*[f"__g_{c}" for c in group_cols], "__r0", "__v")
-        # referenced twice (lo/hi brackets); one row per needed rank, so
-        # checkpointing costs nothing and halves the phase-3 fact scans
-        .localCheckpoint(eager=False)
     )
+    # referenced twice (lo/hi brackets); one row per needed rank, so
+    # materializing costs nothing and halves the phase-3 fact scans
+    vals_at = materialize_small(vals_at)
 
     lo_v = vals_at.select(
         *[F.col(f"__g_{c}").alias(f"__l_{c}") for c in group_cols],

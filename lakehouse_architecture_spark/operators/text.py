@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import materialize_small
+
 from lakehouse_architecture_spark.functions.hashing import md5_hash64
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -421,10 +423,8 @@ def bm25_scores(
     # per-term join — checkpoint so the token explode feeding it runs once
     # (the tf pass below is the second, term-filtered explode; two passes
     # over the corpus total, the documented inverted-index shape)
-    dl = (
-        tok.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("dl"))
-        .localCheckpoint(eager=False)
+    dl = materialize_small(
+        tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

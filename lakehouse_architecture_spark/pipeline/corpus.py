@@ -40,6 +40,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import truncate_lineage
+
 from lakehouse_architecture_spark.operators.curation import (
     pack_token_budget,
     quota_cap,
@@ -171,10 +173,8 @@ def curate_corpus(
         # the one stage that materializes inside curate_corpus: the drop
         # list is checkpointed eagerly so the operator's internal caches
         # can be released here instead of leaking one pair per invocation
-        drop = (
-            pruned.filter(F.col("pruned"))
-            .select(id_col)
-            .localCheckpoint(eager=True)
+        drop = truncate_lineage(
+            pruned.filter(F.col("pruned")).select(id_col), eager=True
         )
         for c in caches:
             c.unpersist()

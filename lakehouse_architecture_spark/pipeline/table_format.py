@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import truncate_lineage
+
 from lakehouse_architecture_spark.operators.upsert import merge_upsert
 
 
@@ -133,10 +135,11 @@ class ManagedTable:
         )
         if "://" in self.path:
             # Object store / remote FS: no POSIX rename. Truncate lineage
-            # with an eager localCheckpoint so the overwrite cannot re-read
+            # eagerly (materialize.truncate_lineage: reliable checkpoint
+            # when a dir is configured) so the overwrite cannot re-read
             # the source; a transactional format (delta branch above) is
             # the real answer for concurrent-safe merges there.
-            merged = merged.localCheckpoint(eager=True)
+            merged = truncate_lineage(merged, eager=True)
             self.overwrite(merged)
             return
         # Local path: write to a temp sibling, then swap via two renames —
@@ -398,7 +401,7 @@ class VersionedTable:
         # already-committed base rows are not re-gated (a schema-evolving
         # merge must not fail on old null-filled rows). NOTE this is a
         # pre-write evaluation of `updates` — with a non-deterministic
-        # update source, localCheckpoint it first (write() validates the
+        # update source, truncate_lineage it first (write() validates the
         # staged bytes instead, where all rows are incoming).
         self._enforce_constraints(surviving)
         if latest is None:

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import materialize_small
+
 from lakehouse_architecture_spark.functions.aggregates import davg, davg_sql, dsum, dsum_sql
 from lakehouse_architecture_spark.operators import similarity as sim
 from lakehouse_architecture_spark.operators.analytics import (
@@ -505,10 +507,10 @@ def _q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == "click").cast("bigint")).alias("c"),
             F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("p"),
         )
-        # hour-cardinality series referenced twice per lag — checkpoint so
-        # the events fact aggregates ONCE, not 2x|lags| times
-        .localCheckpoint(eager=False)
     )
+    # hour-cardinality series referenced twice per lag — materialized so
+    # the events fact aggregates ONCE, not 2x|lags| times
+    base = materialize_small(base)
     out = None
     for lag in _XCORR_LAGS:
         a = base.select(F.col("h"), F.col("c"))

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import materialize_small
+
 from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
 from lakehouse_architecture_spark.operators.skew import exact_quantiles
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
@@ -99,10 +101,10 @@ def _q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{_US} div {_DAY_US} div 7").alias("mon"),
         )
         .distinct()
-        # user-week table referenced 4x (shifted copy, anti-join, active
-        # counts, last-week scalar) — checkpoint so events dedups ONCE
-        .localCheckpoint(eager=False)
     )
+    # user-week table referenced 4x (shifted copy, anti-join, active
+    # counts, last-week scalar) — materialized so events dedups ONCE
+    um = materialize_small(um)
     nxt = um.select("user_id", (F.col("mon") - 1).alias("mon"))
     churned = um.join(nxt, on=["user_id", "mon"], how="left_anti")
     active = um.groupBy("mon").agg(F.count(F.lit(1)).alias("n_active"))

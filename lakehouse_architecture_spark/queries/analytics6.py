@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import materialize_small
+
 from lakehouse_architecture_spark.functions.aggregates import dsum, dsum_sql
 from lakehouse_architecture_spark.operators.skew import exact_quantiles
 from lakehouse_architecture_spark.functions.hashing import (
@@ -213,8 +215,9 @@ def _q_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((x * y).cast(dec)).alias("dsxy"),
             F.sum((x * x).cast(dec)).alias("dsxx"),
         )
-        .localCheckpoint(eager=False)  # segment-cardinality, referenced 2x
     )
+    # segment-cardinality, referenced 2x
+    raw = materialize_small(raw)
 
     def slope_col():
         n = F.col("n").cast("double")

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lakehouse_architecture_spark.materialize import truncate_lineage
+
 
 def _stats_schema(cols: list[str]) -> T.StructType:
     fields = [
@@ -115,8 +117,8 @@ def refresh_manifest(
     Membership checks are DataFrame joins against the current listing (no
     driver-side set, no ``isin`` in-list literal — at millions of files
     that literal would dominate the plan); only the NEW file names are
-    collected, O(new files). The kept rows are materialized with an eager
-    ``localCheckpoint`` before returning, so later evaluations of the
+    collected, O(new files). The kept rows are eagerly materialized
+    (materialize.truncate_lineage) before returning, so later evaluations of the
     result can never re-run the input manifest's footer reads — in
     particular they can never touch files compaction has since removed
     (the footer reader also skips vanished files defensively, so the one
@@ -124,9 +126,9 @@ def refresh_manifest(
     listing = spark.createDataFrame(
         [(f,) for f in _list_files(path)], ["file"]
     )
-    kept = manifest.join(
-        F.broadcast(listing), "file", "left_semi"
-    ).localCheckpoint(eager=True)
+    kept = truncate_lineage(
+        manifest.join(F.broadcast(listing), "file", "left_semi"), eager=True
+    )
     # listing \ manifest == listing \ kept (files dropped by the semi-join
     # are not in the listing), so anti-join against the materialized kept
     # rows — the input manifest's lineage runs exactly once per refresh
@@ -156,6 +158,25 @@ def pruned_files(
             F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= F.lit(hi))
         )
     return [r.file for r in keep.select("file").collect()]
+
+
+def pruned_files_any(
+    manifest: DataFrame, col: str, values: list
+) -> list[str]:
+    """Files whose [min, max] box can contain ANY of ``values`` — the
+    IN-list stats path. ONE manifest filter + collect (an OR of the
+    per-value box predicates), not one Spark job per value; files with
+    NULL bounds are kept (no stats = cannot prune — never lose rows).
+    The OR chain grows with the list, so very large IN-lists belong on
+    the bloom path (``bloom_admitted_files``), which is O(1) in plan
+    size and probes executor-side."""
+    cond = F.lit(False)
+    for v in values:
+        cond = cond | (
+            (F.col(f"max_{col}").isNull() | (F.col(f"max_{col}") >= F.lit(v)))
+            & (F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= F.lit(v)))
+        )
+    return [r.file for r in manifest.filter(cond).select("file").collect()]
 
 
 def pruned_read(

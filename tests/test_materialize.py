@@ -1,0 +1,107 @@
+"""materialize.py — the cluster-safe materialization policy (round 7).
+
+Covers: persist default (recoverable lineage, InMemoryRelation in the
+consumer plan), the localCheckpoint opt-out conf, conf validation, and
+truncate_lineage's reliable-checkpoint upgrade when a checkpoint dir is
+configured."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.materialize import (
+    SMALL_INTERMEDIATE_MODE,
+    materialize_small,
+    truncate_lineage,
+)
+
+
+def _small_agg(spark):
+    return (
+        spark.range(1000)
+        .select((F.col("id") % 7).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def test_materialize_small_default_persists_with_lineage(spark):
+    spark.conf.unset(SMALL_INTERMEDIATE_MODE)
+    df = materialize_small(_small_agg(spark))
+    try:
+        joined = df.alias("a").join(df.alias("b"), "k")
+        assert joined.count() == 7
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both references read the cache; lineage retained (recoverable)
+        assert "InMemoryTableScan" in plan
+        assert df.storageLevel.useDisk and df.storageLevel.useMemory
+    finally:
+        df.unpersist()
+
+
+def test_materialize_small_localcheckpoint_mode(spark):
+    spark.conf.set(SMALL_INTERMEDIATE_MODE, "localCheckpoint")
+    try:
+        df = materialize_small(_small_agg(spark))
+        assert df.count() == 7
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # lineage truncated: the plan is a materialized RDD scan
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    finally:
+        spark.conf.unset(SMALL_INTERMEDIATE_MODE)
+
+
+def test_materialize_small_rejects_unknown_mode(spark):
+    spark.conf.set(SMALL_INTERMEDIATE_MODE, "bogus")
+    try:
+        with pytest.raises(ValueError, match="bogus"):
+            materialize_small(_small_agg(spark))
+    finally:
+        spark.conf.unset(SMALL_INTERMEDIATE_MODE)
+
+
+def test_materialize_small_same_rows_in_both_modes(spark):
+    base = sorted(_small_agg(spark).collect())
+    spark.conf.unset(SMALL_INTERMEDIATE_MODE)
+    p = materialize_small(_small_agg(spark))
+    try:
+        assert sorted(p.collect()) == base
+    finally:
+        p.unpersist()
+    spark.conf.set(SMALL_INTERMEDIATE_MODE, "localCheckpoint")
+    try:
+        assert sorted(materialize_small(_small_agg(spark)).collect()) == base
+    finally:
+        spark.conf.unset(SMALL_INTERMEDIATE_MODE)
+
+
+def test_truncate_lineage_local_mode_without_checkpoint_dir(spark):
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir unexpectedly set")
+    df = truncate_lineage(_small_agg(spark))
+    assert df.count() == 7
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_truncate_lineage_uses_reliable_checkpoint_with_dir(spark, tmp_path):
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        df = truncate_lineage(_small_agg(spark), eager=True)
+        assert df.count() == 7
+        # a reliable checkpoint wrote RDD blocks under the configured dir
+        written = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert written, "no checkpoint files written to the checkpoint dir"
+    finally:
+        # reset to "no checkpoint dir" so later tests keep local semantics
+        jsc = sc._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+        assert sc.getCheckpointDir() is None

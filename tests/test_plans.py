@@ -415,10 +415,11 @@ def test_no_raw_row_percentile_aggregates(spark):
 def test_multi_reference_operators_scan_sources_boundedly(spark):
     """Regression guard for the round-6 scan-audit fixes: operators whose
     tiny intermediates are referenced many times must materialize them
-    (lazy localCheckpoint) instead of re-scanning the fact per reference.
-    Counts LIVE `Scan parquet` leaves in the final executed plan
-    (checkpointed subtrees run once in their own job and appear as
-    ExistingRDD — see tools/scan_audit.py). Bounds are the fixed plans'
+    (materialize.materialize_small — persist by default) instead of
+    re-scanning the fact per reference. Counts LIVE file-scan leaves in
+    the final executed plan via a physical-tree walk (cached
+    InMemoryRelation lineage and checkpointed ExistingRDD subtrees run at
+    most once — see tools/scan_audit.py). Bounds are the fixed plans'
     counts + 1 slack; q_triangles was 288 before the fix."""
     import os
     import sys
@@ -439,9 +440,40 @@ def test_multi_reference_operators_scan_sources_boundedly(spark):
     for name, bound in bounds.items():
         df = _q(spark, name)
         df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        got = live_scan_count(plan)
+        got = live_scan_count(df)
         assert got <= bound, (
             f"{name}: {got} live source scans (bound {bound}) — a "
-            f"multi-referenced subtree lost its checkpoint"
+            f"multi-referenced subtree lost its materialization"
         )
+
+
+def test_registry_wide_live_scan_gate(spark):
+    """Registry-WIDE scan-audit gate (round 7): every declared query's
+    executed plan must stay under a generous global live-scan threshold,
+    so the next q_triangles (288 live scans of one fact before its round-6
+    fix) cannot land anywhere in the registry, not just in the 8 pinned
+    plans above. Threshold 8 = the current max legitimate multi-table
+    count (6-table TPC-H joins + a self-join) + slack; per-query pins for
+    known-risky plans stay in the test above. Runs at sf0.001 so the full
+    sweep stays a few minutes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.scan_audit import live_scan_count
+
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    THRESHOLD = 8
+    over: dict[str, int] = {}
+    for name, spec in ALL_QUERIES.items():
+        df = spec.build(spark, SF)
+        df.collect()
+        got = live_scan_count(df)
+        if got > THRESHOLD:
+            over[name] = got
+    assert not over, (
+        f"queries exceeding the {THRESHOLD}-live-scan gate (a "
+        f"multi-referenced subtree is re-scanning its source per "
+        f"reference — materialize it, see materialize.py): {over}"
+    )

@@ -65,11 +65,16 @@ What to look for, per the design rules: dimension sides behind
 partial/final `HashAggregate` (map-side combine); no `CartesianProduct`;
 `Exchange` nodes only on intended keys.
 
-`Scan ExistingRDD` = a lazily localCheckpoint'ed intermediate (round 6:
-exact_quantiles' counts/brackets, triangle_stats' edge/degree/orient
-tables): its upstream pipeline runs exactly ONCE in its own job and the
-snapshot shows only the consumer side — multi-referenced subtrees no
-longer re-scan their inputs per reference (tools/scan_audit.py is the
+`InMemoryRelation` wrapping a small aggregate = a
+`materialize.materialize_small` intermediate (round 7: persist
+MEMORY_AND_DISK by default — exact_quantiles' counts/brackets,
+triangle_stats' edge/degree/orient tables): its lineage populates the
+cache at most ONCE and every reference reads cached rows — the
+cluster-safe successor to round 6's lazy localCheckpoint (which printed
+as `Scan ExistingRDD`; that shape still appears where lineage truncation
+is the point — iterative loops, sampled centroids — via
+`materialize.truncate_lineage`). Multi-referenced subtrees no longer
+re-scan their inputs per reference (tools/scan_audit.py is the
 regression check).
 """
 

@@ -4,18 +4,27 @@ driven by (a composed plan that references a subtree many times can scan
 a 100 TB fact table once per reference unless the intermediate is
 materialized; exchange reuse alone does not collapse them all).
 
-For every query: build at the given sf, execute, then count `Scan parquet`
-leaves and `ReusedExchange` nodes in the FINAL adaptive plan. High scan
-counts are not automatically bugs (multi-table joins legitimately scan
-several tables; a self-join scans its table twice) — the audit flags
-queries whose scan count exceeds a threshold so a human checks whether the
-repeats hit the same big fact.
+For every query: build at the given sf, execute, then walk the FINAL
+adaptive physical plan counting file-source scan leaves. High scan counts
+are not automatically bugs (multi-table joins legitimately scan several
+tables; a self-join scans its table twice) — the audit flags queries whose
+scan count exceeds a threshold so a human checks whether the repeats hit
+the same big fact.
 
-Counting caveat: the audit inspects the FINAL job's executed plan. A
-lazily ``localCheckpoint``-ed subtree materializes in its own one-time job
-whose scans are invisible here — by construction those run exactly ONCE,
-which is the invariant being audited, so a low count after adding a
-checkpoint is the fix working, not scans hiding.
+Counting is a py4j walk of the physical plan TREE (round 7 — the previous
+string/indentation parser miscounted nested AdaptiveSparkPlan sections
+that re-print inside InMemoryRelation at reset indentation):
+
+- ``InMemoryTableScanExec`` subtrees are NOT descended: their lineage
+  populates the cache at most once, then every reference reads cached
+  rows (that is the invariant being audited).
+- ``ReusedExchangeExec`` is not descended: it re-reads a shuffle already
+  counted once on its primary branch.
+- ``AdaptiveSparkPlanExec`` recurses into its current final plan;
+  query-stage wrappers recurse into their materialized stage plan.
+- A subtree pinned by ``localCheckpoint``/``checkpoint`` appears as a
+  ``Scan ExistingRDD`` leaf (not a file scan — its upstream ran exactly
+  once in its own job; see lakehouse_architecture_spark/materialize.py).
 
 Usage: python tools/scan_audit.py [sf_dir] [threshold] [query ...]
 Prints one JSON line per flagged query, then a summary line.
@@ -32,35 +41,54 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
 from lakehouse_architecture_spark.session import SessionFactory
 
-
-def _indent(line: str) -> int:
-    """Tree depth of a plan line = offset of the node name past the
-    ':  +- '-style ASCII art."""
-    i = 0
-    while i < len(line) and line[i] in " :+-*(":
-        i += 1
-    return i
+#: Physical scan leaves that read source files.
+_FILE_SCAN_CLASSES = {"FileSourceScanExec", "BatchScanExec"}
 
 
-def live_scan_count(plan: str) -> int:
-    """`Scan parquet` leaves that EXECUTE in this plan. An
-    InMemoryRelation prints its full cached lineage (scans included), but
-    at runtime those rows come from the cache — count only scans outside
-    any InMemoryRelation subtree."""
-    scans = 0
-    skip_below: int | None = None
-    for line in plan.splitlines():
-        d = _indent(line)
-        if skip_below is not None:
-            if d > skip_below:
-                continue
-            skip_below = None
-        if "InMemoryRelation" in line:
-            skip_below = d
-            continue
-        if "Scan parquet" in line:
-            scans += 1
-    return scans
+def _walk(node, live: bool, counts: dict) -> None:
+    cls = node.getClass().getSimpleName()
+    if cls in _FILE_SCAN_CLASSES:
+        counts["total"] += 1
+        if live:
+            counts["live"] += 1
+        return
+    if cls == "AdaptiveSparkPlanExec":
+        _walk(node.executedPlan(), live, counts)
+        return
+    if cls.endswith("QueryStageExec"):
+        _walk(node.plan(), live, counts)
+        return
+    if cls.startswith("ReusedExchange") or cls.startswith("ReusedSubquery"):
+        counts["reused"] += 1
+        # its subtree executes on the primary branch only — walk it as
+        # non-live so cached-lineage totals stay comparable
+        live = False
+    if cls == "InMemoryTableScanExec":
+        # cached: lineage below populates the cache at most once
+        live = False
+        rel = node.relation().cachedPlan()
+        _walk(rel, live, counts)
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk(ch.apply(i), live, counts)
+
+
+def scan_counts(df) -> dict:
+    """Counts over the executed physical plan of an already-executed
+    DataFrame: ``live`` = file scans that execute when this plan runs,
+    ``total`` = live + scans inside cached/reused subtrees, ``reused`` =
+    reuse nodes encountered."""
+    counts = {"live": 0, "total": 0, "reused": 0}
+    _walk(df._jdf.queryExecution().executedPlan(), True, counts)
+    return counts
+
+
+def live_scan_count(df) -> int:
+    """File-source scan leaves that EXECUTE in this DataFrame's final
+    plan (cached / reused subtrees excluded). Takes the DataFrame (round
+    7: tree walk), not a plan string."""
+    return scan_counts(df)["live"]
 
 
 def main() -> int:
@@ -75,17 +103,16 @@ def main() -> int:
         try:
             df = spec.build(spark, sf_dir)
             df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            c = scan_counts(df)
         except Exception as e:  # noqa: BLE001
             rows.append({"query": name, "err": str(e).splitlines()[0][:120]})
             continue
         rows.append(
             {
                 "query": name,
-                "scans": live_scan_count(plan),
-                "cached_lineage_scans": plan.count("Scan parquet")
-                - live_scan_count(plan),
-                "reused": plan.count("ReusedExchange"),
+                "scans": c["live"],
+                "cached_lineage_scans": c["total"] - c["live"],
+                "reused": c["reused"],
             }
         )
     flagged = [
