@@ -200,6 +200,107 @@ ORDER BY p_partkey
 """
 
 
+def _source_fingerprint_of(sf_dir: str, table: str) -> str:
+    """Like :func:`_source_fingerprint` but for an arbitrary fixture table."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
+def _partitioned_events_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Write `events` hive-partitioned by date (30 partitions) with each
+    partition range-split into files by `value`, once per fixture
+    generation — the layout a production event table would have (time
+    partitions + value-clustered files), so BOTH pruning axes have
+    something to bite on. Same fingerprint/staging/atomic-rename protocol
+    as :func:`_clustered_copy`."""
+    import hashlib
+
+    key = (
+        f"lhas_pevents_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{_source_fingerprint_of(sf_dir, 'events')}"
+    )
+    path = os.path.join(tempfile.gettempdir(), key)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}.tmp{os.getpid()}"
+        t = tables(spark, sf_dir)
+        (
+            t["events"]
+            .withColumn("date", F.to_date(F.col("ts").cast("timestamp")))
+            # range-split by value so per-file min/max boxes are narrow
+            # value stripes — the stats manifest then prunes within each
+            # surviving date partition
+            .repartitionByRange(4, "value")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(staging)
+        )
+        try:
+            os.rename(staging, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def _q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOUND partition + manifest pruned read (round 7): one
+    Catalog.read call with ``date BETWEEN 2024-01-05 AND 2024-01-12 AND
+    value BETWEEN 100 AND 400`` — the date predicate prunes hive
+    partition DIRECTORIES (no footer reads, driver sees names only), the
+    value predicate prunes by per-file min/max manifest, and the two file
+    sets intersect before Spark plans the scan. Result must equal the
+    plain two-predicate filter (pruning is a superset + residual)."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    path = _partitioned_events_copy(spark, sf_dir)
+    cat = Catalog(spark)
+    cat.define(
+        "pevents",
+        relpath=path,
+        partition_by=("date",),
+        stats_cols=("value",),
+    )
+    return (
+        cat.read(
+            "pevents",
+            where=[
+                ("date", "2024-01-05", "2024-01-12"),
+                ("value", 100.0, 400.0),
+            ],
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value"), 4).alias("value"),
+            F.date_format(F.col("date"), "yyyy-MM-dd").alias("date_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_Q_PARTITION_PRUNED_SQL = """
+SELECT event_id, user_id,
+       ROUND(value, 4) AS value,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date_s
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+  AND value BETWEEN 100 AND 400
+ORDER BY event_id
+"""
+
+
 def _q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global row_number over ALL lineitem rows ordered by
     (l_extendedprice, l_orderkey, l_linenumber) WITHOUT a single-partition
@@ -277,5 +378,13 @@ STORAGE_QUERIES = [
         "IN-list bloom-pruned read (per-value admission union)",
         _q_bloom_inlist,
         _Q_BLOOM_INLIST_SQL,
+    ),
+    # round-7 addition (partition + manifest compound pruning — r6
+    # directive #8)
+    QuerySpec(
+        "q_partition_pruned",
+        "compound hive-partition + min/max-manifest pruned read",
+        _q_partition_pruned,
+        _Q_PARTITION_PRUNED_SQL,
     ),
 ]
