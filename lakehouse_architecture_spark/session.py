@@ -181,5 +181,16 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
             os.replace(tmp, out)
         spark.sparkContext.addPyFile(out)
         _SHIPPED_APPS.add(app)
-    except Exception:  # pragma: no cover - best-effort on exotic harnesses
-        pass
+    except Exception as e:  # pragma: no cover - best-effort on exotic harnesses
+        # Do NOT fail the session — but say why the ship failed: an Arrow
+        # UDF stage later dying with an executor-side ModuleNotFoundError
+        # is this exception's downstream symptom, not its own bug.
+        import warnings
+
+        warnings.warn(
+            "ensure_package_on_executors: could not ship "
+            f"lakehouse_architecture_spark via addPyFile ({e!r}); Arrow UDF "
+            "stages may fail to import the package on executor workers",
+            RuntimeWarning,
+            stacklevel=2,
+        )

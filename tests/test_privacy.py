@@ -93,6 +93,21 @@ def test_temporal_split_purges_embargo_window(spark):
     assert {i for i, s in got.items() if s == "train"} == set(range(7))
 
 
+def test_temporal_split_all_null_timestamps_label_embargo(spark):
+    """Degenerate input (round-7 ADVICE fix): with every timestamp NULL,
+    exact_quantiles emits no cut row — rows must survive (labeled
+    'embargo', the pre-round-6 NULL-cut behavior), not silently vanish
+    in a crossJoin against an empty cut table."""
+    from lakehouse_architecture_spark.operators.curation import temporal_split
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(5)], "id long, ts timestamp"
+    )
+    out = temporal_split(df, "ts", test_frac=0.2).collect()
+    assert len(out) == 5
+    assert {r["split"] for r in out} == {"embargo"}
+
+
 def test_temporal_split_rejects_bad_frac(spark):
     import pytest
 

@@ -125,10 +125,13 @@ def test_local_oracle_artifact_not_stale():
     against (round 5 proved the failure mode: the bloom-manifest schema
     changed after the last full refresh, leaving q_bloom_skip's green row
     pointing at dead code). The committed artifact must be a FULL-registry
-    run (tools/oracle_check.py --all --json LOCAL_ORACLE.json) newer than
-    every engine source file under queries/, sources/, and operators/."""
+    run (tools/oracle_check.py --all --json LOCAL_ORACLE.json) whose
+    stamped ``source_digest`` matches the CURRENT engine source (round 7:
+    content digest, not mtimes — mtimes false-failed on fresh clones and
+    were defeated by a bare ``touch`` of the artifact)."""
     import json
     import os
+    import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "LOCAL_ORACLE.json")
@@ -160,20 +163,22 @@ def test_local_oracle_artifact_not_stale():
         )
     ]
     assert not red, f"non-green LOCAL_ORACLE.json rows: {red}"
-    # freshness: artifact mtime >= newest source mtime in the engine dirs
-    pkg = os.path.join(repo, "lakehouse_architecture_spark")
-    newest, newest_file = 0.0, None
-    for sub in ("queries", "sources", "operators"):
-        for root, _dirs, files in os.walk(os.path.join(pkg, sub)):
-            for fn in files:
-                if not fn.endswith(".py"):
-                    continue
-                m = os.path.getmtime(os.path.join(root, fn))
-                if m > newest:
-                    newest, newest_file = m, os.path.join(sub, fn)
-    art = os.path.getmtime(path)
-    assert art >= newest - 1.0, (
-        f"LOCAL_ORACLE.json ({art:.0f}) is older than {newest_file} "
-        f"({newest:.0f}); re-run tools/oracle_check.py --all --json "
-        f"LOCAL_ORACLE.json /root/testdata/sf0.01"
+    # freshness: the artifact's stamped source digest must match the
+    # CURRENT engine source — clone-stable (content, not mtimes) and not
+    # defeatable by touching the artifact
+    sys.path.insert(0, repo)
+    from tools.oracle_check import engine_source_digest
+
+    stamped = meta.get("source_digest")
+    assert stamped, (
+        "LOCAL_ORACLE.json __meta__ lacks source_digest (pre-round-7 "
+        "artifact); re-run tools/oracle_check.py --all --json "
+        "LOCAL_ORACLE.json /root/testdata/sf0.01"
+    )
+    current = engine_source_digest(repo)
+    assert stamped == current, (
+        "engine source changed since the last full oracle run "
+        f"(stamped {stamped[:12]}…, current {current[:12]}…); re-run "
+        "tools/oracle_check.py --all --json LOCAL_ORACLE.json "
+        "/root/testdata/sf0.01"
     )

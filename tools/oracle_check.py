@@ -9,11 +9,14 @@ Usage: python tools/oracle_check.py [--plain] [--all] [--json PATH] [sf_dir] [qu
 ``--all`` ignores any query-name filter and re-runs the ENTIRE registry —
 the per-round full refresh (`python tools/oracle_check.py --all --json
 LOCAL_ORACLE.json /root/testdata/sf0.01`). A full run stamps a ``__meta__``
-record (generated_at, sf_dir, query count) into the JSON artifact;
-tests/test_registry_rotation.py's stale-artifact guard asserts the artifact
-is newer than every file under queries/, sources/, and operators/, so a
-code change without a refresh fails CI instead of silently resting on
-green rows that predate the code now serving them.
+record (generated_at, sf_dir, query count, and a ``source_digest`` — a
+SHA-256 over every engine .py file's path+content) into the JSON artifact;
+tests/test_registry_rotation.py's stale-artifact guard recomputes the
+digest and fails when it differs, so a code change without a refresh fails
+CI instead of silently resting on green rows that predate the code now
+serving them. (Round 7: digest replaces the earlier mtime comparison,
+which both false-failed on fresh clones — checkout order sets arbitrary
+mtimes — and was defeated by a bare ``touch`` of the artifact.)
 
 ``--plain`` runs on a bare SparkSession (no engine confs — Spark 4 ANSI
 defaults, like the external driver's) instead of SessionFactory, verifying
@@ -41,6 +44,32 @@ import pandas as pd
 from lakehouse_architecture_spark.catalog import TESTDATA_TABLES
 from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
 from lakehouse_architecture_spark.session import SessionFactory
+
+
+def engine_source_digest(repo_root: str | None = None) -> str:
+    """SHA-256 over every .py file under lakehouse_architecture_spark/
+    (relative path + content, sorted walk) — a clone-stable fingerprint of
+    the engine code a LOCAL_ORACLE.json full run vouches for. The WHOLE
+    package is hashed (not just queries/sources/operators): queries reach
+    into catalog.py, functions/, pipeline/, and materialize.py, and the
+    round-5 staleness incident was exactly a non-queries file (a manifest
+    schema) changing under green rows."""
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo_root, "lakehouse_architecture_spark")
+    h = hashlib.sha256()
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(root, fn)
+            h.update(os.path.relpath(p, repo_root).encode())
+            h.update(b"\0")
+            with open(p, "rb") as f:
+                h.update(f.read())
+            h.update(b"\0")
+    return h.hexdigest()
 
 
 def canonical(df: pd.DataFrame) -> tuple[int, str, list[str]]:
@@ -171,6 +200,9 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "n_queries": len(records),
                 "full_run": True,
+                # clone-stable staleness fingerprint: the guard recomputes
+                # this and fails when engine code changed since the run
+                "source_digest": engine_source_digest(),
             }
         with open(json_path, "w") as f:
             json.dump(existing, f, indent=1, sort_keys=True)
