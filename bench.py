@@ -49,6 +49,12 @@ HEADLINE = [
     "q21_sole_late",
     "q_time_rollup",
     "q_funnel",
+    # round 7: the two nontrivial plan families the r6 scan fixes and
+    # quantile rewiring created — without them a regression in the
+    # exact_quantiles two-phase-rank or the materialized-intermediate
+    # graph plans would be invisible to the graded bench
+    "q_percentile",
+    "q_triangles",
 ]
 
 
@@ -71,8 +77,14 @@ def main() -> None:
                 ALL_QUERIES[name].build(spark, warm_dir).write.format(
                     "noop"
                 ).mode("overwrite").save()
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001
+                # never silent: a broken headline query must show up as an
+                # error line, not as a mysterious cold outlier downstream
+                print(
+                    f"bench WARM-UP FAILED {name}: "
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
+                    file=sys.stderr,
+                )
 
     # Cold pass (methodology frozen as of round 3): every headline query
     # once, straight off the parquet files, BEFORE any table caching — the
@@ -113,8 +125,14 @@ def main() -> None:
             ALL_QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            # a query that breaks here would otherwise pay codegen in its
+            # first timed run and masquerade as a 2-4x regression — log it
+            print(
+                f"bench SETTLING FAILED {name}: "
+                f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
+                file=sys.stderr,
+            )
 
     # Best-of-2 per query: single-process local runs have 10-20% wall-time
     # noise (GC, JIT recompiles, OS scheduling); min-of-2 reports the
