@@ -50,6 +50,7 @@ class SessionFactory:
         s3a_access_key: str | None = None,
         s3a_secret_key: str | None = None,
         hive_warehouse: str | None = None,
+        checkpoint_dir: str | None = None,
     ) -> None:
         self.app_name = app_name
         self.master = master or f"local[{_default_parallelism()}]"
@@ -59,6 +60,7 @@ class SessionFactory:
         self.s3a_access_key = s3a_access_key
         self.s3a_secret_key = s3a_secret_key
         self.hive_warehouse = hive_warehouse
+        self.checkpoint_dir = checkpoint_dir
 
     def conf(self) -> dict[str, str]:
         conf = {
@@ -137,6 +139,12 @@ class SessionFactory:
         if self.hive_warehouse:
             builder = builder.enableHiveSupport()
         spark = builder.getOrCreate()
+        if self.checkpoint_dir:
+            # Cluster deployments set this (an HDFS/object-store path) so
+            # every lineage truncation in the package upgrades from
+            # executor-local localCheckpoint to the RELIABLE checkpoint()
+            # that survives executor loss — see materialize.truncate_lineage.
+            spark.sparkContext.setCheckpointDir(self.checkpoint_dir)
         spark.sparkContext.setLogLevel("WARN")
         return spark
 

@@ -86,6 +86,30 @@ def test_truncate_lineage_local_mode_without_checkpoint_dir(spark):
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
 
 
+def test_session_factory_checkpoint_dir_knob(spark, tmp_path):
+    """SessionFactory(checkpoint_dir=...) wires sc.setCheckpointDir so a
+    cluster deployment flips every truncate_lineage site to reliable
+    checkpoints from one conf site. (getOrCreate reuses the active
+    session, so the knob applies to the running context — reset after.)"""
+    from lakehouse_architecture_spark.session import SessionFactory
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir unexpectedly set")
+    ckpt = str(tmp_path / "sf_ckpt")
+    try:
+        s2 = SessionFactory(
+            app_name="ckpt_knob", checkpoint_dir=ckpt
+        ).get_or_create()
+        got = s2.sparkContext.getCheckpointDir()
+        # Spark appends a per-context UUID subdirectory under the dir
+        assert got is not None and os.path.basename(ckpt) in got
+    finally:
+        jsc = sc._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+        assert sc.getCheckpointDir() is None
+
+
 def test_truncate_lineage_uses_reliable_checkpoint_with_dir(spark, tmp_path):
     sc = spark.sparkContext
     ckpt = str(tmp_path / "ckpt")
