@@ -1,0 +1,147 @@
+"""Embedding-matrix preprocessing: covariance, PCA, whitening.
+
+The standard preprocessing in front of large-scale embedding pipelines
+(IVF/PQ ANN indexing, SemDeDup-style clustering): estimate the corpus
+covariance, rotate onto principal axes, and rescale so components have
+unit variance — decorrelated inputs make k-means cells rounder and
+quantizers more accurate (Jegou et al. 2011 apply exactly this before
+product quantization).
+
+100 TB shape: the covariance is a one-pass partial aggregate — each Arrow
+batch contributes its local ``(n, Σx, ΣxᵀX)`` via ``mapInPandas`` (numpy
+does the dim×dim outer-product sum batch-locally, so nothing row-sized
+ever shuffles), the partials reduce in Spark with a (cell-index → sum)
+hash aggregate whose key space is dim + dim² cells, and only the summed
+dim×dim grid reaches the driver. The eigendecomposition is a driver-side
+``numpy.linalg.eigh`` of a dim×dim matrix (dim ≤ a few thousand — never
+data-sized), and the projection back over the rows is one more Arrow map
+with the k×dim matrix captured in the closure (broadcast-tiny).
+
+No counterpart exists in the reference (its ML step is a driver-side
+sklearn fit, ``airflow/dags/realestate_pipeline.py:207-229``); this is
+north-star similarity-search scope (SURVEY.md §7.3 phase 7).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["embedding_moments", "pca_whiten"]
+
+
+def embedding_moments(df: DataFrame, vec_col: str, dim: int):
+    """(n, mean, covariance) of an ``array<float/double>`` column.
+
+    Returns ``(n: int, mean: numpy (dim,), cov: numpy (dim, dim))`` with
+    the unbiased (n-1) covariance. Rows whose vector is NULL or of the
+    wrong length are ignored. Covariance cells are rounded to 9 decimals
+    so downstream eigendecompositions are stable run-to-run.
+    """
+    import numpy as np
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = [
+                v
+                for v in pdf[vec_col]
+                if v is not None and len(v) == dim
+            ]
+            if not vecs:
+                continue
+            x = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+            s = x.sum(axis=0)
+            ss = x.T @ x  # dim×dim, batch-local — never shuffled per row
+            idx = list(range(dim)) + [
+                dim + i * dim + j for i in range(dim) for j in range(dim)
+            ]
+            val = list(s) + list(ss.ravel())
+            yield pd.DataFrame(
+                {
+                    "cell": idx + [-1],
+                    "val": val + [float(len(vecs))],
+                }
+            )
+
+    cells = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="cell long, val double")
+        # deterministic reduce: per-cell decimal sum (order-insensitive)
+        .groupBy("cell")
+        .agg(F.sum(F.col("val").cast("decimal(38,6)")).alias("v"))
+    )
+    got = {r["cell"]: float(r["v"]) for r in cells.collect()}
+    n = int(got.get(-1, 0))
+    if n < 2:
+        raise ValueError(f"embedding_moments: need >=2 vectors, got {n}")
+    s = np.array([got.get(i, 0.0) for i in range(dim)])
+    ss = np.array(
+        [
+            [got.get(dim + i * dim + j, 0.0) for j in range(dim)]
+            for i in range(dim)
+        ]
+    )
+    mean = s / n
+    cov = (ss - np.outer(s, s) / n) / (n - 1)
+    return n, mean, np.round(cov, 9)
+
+
+def pca_whiten(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal axes and rescale
+    to unit variance (PCA whitening): ``w = diag(1/sqrt(λ+eps)) · Vᵀ ·
+    (x - μ)``. Returns ``(id_col, whitened: array<double> length k)``,
+    components ordered by DESCENDING eigenvalue.
+
+    Sign convention (eigenvectors are sign-ambiguous): each axis is
+    flipped so its largest-|loading| coordinate is positive, making the
+    output reproducible across runs and platforms. The projection matrix
+    is k×dim — closure-captured (broadcast-tiny); the data never shuffles.
+    """
+    import numpy as np
+
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}]: {k}")
+    _, mean, cov = embedding_moments(df, vec_col, dim)
+    lam, vec = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(lam)[::-1][:k]
+    lam_k = lam[order]
+    v_k = vec[:, order]  # dim×k
+    # deterministic sign: largest-|loading| coordinate positive per axis
+    for j in range(k):
+        i = int(np.argmax(np.abs(v_k[:, j])))
+        if v_k[i, j] < 0:
+            v_k[:, j] = -v_k[:, j]
+    w = (v_k / np.sqrt(np.maximum(lam_k, 0.0) + eps)).T  # k×dim
+    mu = mean.copy()
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[
+                pdf[vec_col].map(
+                    lambda v: v is not None and len(v) == dim
+                )
+            ]
+            if keep.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in keep[vec_col]]
+            )
+            y = (x - mu) @ w.T  # rows×k
+            yield pd.DataFrame(
+                {id_col: keep[id_col].values, "whitened": list(map(list, y))}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} {id_type}, whitened array<double>"
+    )

@@ -108,6 +108,27 @@ def _q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened embeddings (operators/embedding.py): one Arrow
+    partial-aggregate pass for the 64x64 covariance (batch-local outer
+    products; only the summed dim-squared grid reaches the driver), a
+    driver-side eigh, and one Arrow projection map with the k x dim matrix
+    closure-captured. Rows-only check: the eigendecomposition is not
+    SQL-expressible in the oracle; numeric properties (whitened covariance
+    == identity, sign convention, determinism) are pinned by
+    tests/test_embedding.py instead."""
+    from lakehouse_architecture_spark.operators.embedding import pca_whiten
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    out = pca_whiten(emb, "vec_id", "embedding", dim=64, k=8)
+    return out.select(
+        "vec_id",
+        F.round(F.col("whitened")[0], 4).alias("pc1"),
+        F.round(F.col("whitened")[1], 4).alias("pc2"),
+    ).orderBy("vec_id")
+
+
 def _l2_chain(a: str, b: str, n: int = 8) -> str:
     """Left-associative squared-L2 chain — the exact IEEE addition order of
     operators/pq._sqdist's sequential fold."""
@@ -182,4 +203,7 @@ FEATURES_QUERIES: list[QuerySpec] = [
     QuerySpec("q_target_encode", "leave-one-out target encoding (leak-free)", _q_target_encode, _Q_TARGET_ENCODE_SQL),
     QuerySpec("q_mutual_info", "MI(event_type; user bucket) in bits", _q_mutual_info, _Q_MUTUAL_INFO_SQL),
     QuerySpec("q_pq_knn", "product-quantization ADC top-k (PQ ANN)", _q_pq_knn, _Q_PQ_KNN_SQL),
+    # rows-only (driver records the weaker check): eigendecomposition is
+    # not expressible in the DuckDB oracle; see tests/test_embedding.py
+    QuerySpec("q_pca_whiten", "PCA-whitened embeddings (Arrow partial covariance + driver eigh)", _q_pca_whiten, None),
 ]

@@ -141,6 +141,90 @@ ORDER BY l_returnflag
 """
 
 
+# --- full Pearson correlation MATRIX, one aggregate pass --------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation of lineitem's numeric measures from a
+    SINGLE hash-aggregate pass (the feature-analysis screen a training
+    pipeline runs before model fitting): n + 4 sums + 4 sums-of-squares +
+    6 cross sums = 15 decimal-exact aggregate expressions, map-side
+    combined — one scan, one one-row shuffle, never a per-pair pass.
+    Output: one row per unordered pair (col_a < col_b) with the exact
+    correlation, identical formula to q_exact_corr."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    pairs = [
+        (a, b)
+        for ai, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[ai + 1 :]
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(dsum(F.col(c), f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c), f"ss_{c}"))
+    for a, b in pairs:
+        aggs.append(dsum(F.col(a) * F.col(b), f"sx_{a}_{b}"))
+    one = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        num = n * F.col(f"sx_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ) * F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return num / den
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(corr(a, b), 6).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"), "n")
+        .select("r.col_a", "r.col_b", "n", "r.corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_matrix_sql() -> str:
+    cols = _CORR_COLS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    sums = ",\n         ".join(
+        [f"COUNT(*) AS n"]
+        + [f"{dsum_sql(c)} AS s_{c}" for c in cols]
+        + [f"{dsum_sql(f'{c} * {c}')} AS ss_{c}" for c in cols]
+        + [f"{dsum_sql(f'{a} * {b}')} AS sx_{a}_{b}" for a, b in pairs]
+    )
+    sel = "\n  UNION ALL\n".join(
+        f"""  SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+         ROUND((CAST(n AS DOUBLE) * sx_{a}_{b} - s_{a} * s_{b})
+               / (sqrt(CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a})
+                  * sqrt(CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b})), 6)
+           AS corr FROM s"""
+        for a, b in pairs
+    )
+    return f"""
+WITH s AS (
+  SELECT {sums}
+  FROM lineitem
+)
+SELECT col_a, col_b, n, corr FROM (
+{sel}
+)
+ORDER BY col_a, col_b
+"""
+
+
+_Q_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
 # --- hypertable-style multi-granularity rollup (GROUPING SETS, one pass) --
 def _q_time_rollup(spark, sf_dir):
     t = tables(spark, sf_dir)
@@ -364,6 +448,7 @@ TIMESERIES_QUERIES: list[QuerySpec] = [
     QuerySpec("q_sessionize", "gap-based sessionization, per-session stats", _q_sessionize, _Q_SESSIONIZE_SQL),
     QuerySpec("q_zscore_outliers", "rolling z-score anomaly screen (exact sums)", _q_zscore_outliers, _Q_ZSCORE_SQL),
     QuerySpec("q_ewma", "finite-window EWMA smoothing per key", _q_ewma, _Q_EWMA_SQL),
+    QuerySpec("q_corr_matrix", "all-pairs Pearson correlation matrix in one aggregate pass", _q_corr_matrix, _Q_CORR_MATRIX_SQL),
 ]
 
 

@@ -129,3 +129,35 @@ def test_truncate_lineage_uses_reliable_checkpoint_with_dir(spark, tmp_path):
         jsc = sc._jsc.sc()
         getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
         assert sc.getCheckpointDir() is None
+
+
+def test_pinned_queries_bounded_in_both_modes(spark):
+    """The localCheckpoint opt-out must preserve both ANSWERS and the
+    bounded-scan property on the two headline queries built around
+    materialize_small (exact-quantile counts, triangle edge tables)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tools.scan_audit import live_scan_count
+
+    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bounds = {"q_percentile": 3, "q_triangles": 2}
+    rows_default = {}
+    for name, bound in bounds.items():
+        df = ALL_QUERIES[name].build(spark, sf)
+        rows_default[name] = sorted(map(str, df.collect()))
+        assert live_scan_count(df) <= bound
+    spark.conf.set(SMALL_INTERMEDIATE_MODE, "localCheckpoint")
+    try:
+        for name, bound in bounds.items():
+            df = ALL_QUERIES[name].build(spark, sf)
+            got = sorted(map(str, df.collect()))
+            assert got == rows_default[name], f"{name}: mode changed answers"
+            assert live_scan_count(df) <= bound, f"{name}: scans unbounded"
+    finally:
+        spark.conf.unset(SMALL_INTERMEDIATE_MODE)
