@@ -6,7 +6,7 @@ place in the driver's 50-entry correctness window (queries/registry.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.operators.dedup import duplicated_kgram_spans
@@ -307,6 +307,109 @@ ORDER BY doc_id
 """
 
 
+def _q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment census: every document
+    lands in fold md5(doc_id) % 5 — a pure function of the id, so the
+    split is stable across partitioning, retries, engines, and reruns (no
+    RNG state to ship). Output: per (fold, lang) counts + the fold's
+    share of its language, the balance readout a training pipeline checks
+    before cross-validation. One narrow map + one hash-agg; the window
+    runs on the fold x lang grid, never on rows."""
+    from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("lang")
+    return (
+        t["documents"]
+        .select(
+            (md5_hash64(F.col("doc_id").cast("string")) % 5).alias("fold"),
+            "lang",
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "lang_share",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(w), 6
+            ),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+_Q_KFOLD_SQL = """
+WITH f AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold,
+         lang
+  FROM documents
+),
+g AS (
+  SELECT fold, lang, COUNT(*) AS n_docs FROM f GROUP BY fold, lang
+)
+SELECT fold, lang, n_docs,
+       ROUND(n_docs / SUM(n_docs) OVER (PARTITION BY lang), 6) AS lang_share
+FROM g
+ORDER BY fold, lang
+"""
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the alpha-sampling used to set
+    pretraining mixture weights): per-source token mass t_s (n_chars as
+    the proxy), sampling weight w_s = t_s^alpha / sum(t^alpha) with
+    alpha = 0.7 (upweights small sources), and the implied epochs over
+    each source at a fixed token budget — epochs > 1 means the source
+    repeats. One hash-agg + a broadcast scalar; nothing row-sized moves
+    after the aggregate."""
+    from lakehouse_architecture_spark.functions.aggregates import dsum
+
+    alpha, budget = 0.7, 1_000_000.0
+    t = tables(spark, sf_dir)
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), dsum("n_chars", "toks"))
+        .withColumn("wraw", F.pow(F.col("toks"), F.lit(alpha)))
+    )
+    tot = per.agg(F.sum(F.col("wraw").cast("decimal(38,6)")).alias("wsum"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("toks").cast("bigint").alias("toks"),
+            F.round(
+                F.col("wraw") / F.col("wsum").cast("double"), 6
+            ).alias("weight"),
+            F.round(
+                F.lit(budget)
+                * (F.col("wraw") / F.col("wsum").cast("double"))
+                / F.col("toks"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q_TEMPERATURE_MIX_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(CAST(POWER(toks, 0.7) AS DECIMAL(38,6))) AS DOUBLE) AS wsum
+  FROM per
+)
+SELECT source, n_docs, CAST(toks AS BIGINT) AS toks,
+       ROUND(POWER(toks, 0.7) / wsum, 6) AS weight,
+       ROUND(1000000.0 * (POWER(toks, 0.7) / wsum) / toks, 4) AS epochs
+FROM per, tot
+ORDER BY source
+"""
+
+
 CORPUS2_QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_dup_spans",
@@ -343,5 +446,18 @@ CORPUS2_QUERIES: list[QuerySpec] = [
         "C4/Gopher rule-based quality screens as narrow Catalyst exprs",
         _q_heuristic_flags,
         _Q_HEURISTIC_SQL,
+    ),
+    # round-7 additions
+    QuerySpec(
+        "q_kfold",
+        "deterministic stratified k-fold census (hash fold ids)",
+        _q_kfold,
+        _Q_KFOLD_SQL,
+    ),
+    QuerySpec(
+        "q_temperature_mix",
+        "alpha-temperature source mixing weights + implied epochs",
+        _q_temperature_mix,
+        _Q_TEMPERATURE_MIX_SQL,
     ),
 ]
