@@ -194,12 +194,33 @@ class Catalog:
                 )
         return list(preds)
 
+    #: hive's path encoding for a NULL partition value — never admitted by
+    #: a range predicate (NULL satisfies no range; the residual filter
+    #: would drop its rows anyway) and excluded from type sniffing
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
     def _partition_admitted_files(self, spec: TableSpec, pred: tuple):
         """Driver-side hive-layout partition pruning: walk the table root,
         parse ``col=value`` path segments, keep the parquet files of
-        partitions matching the predicate. Values compare as the STRINGS
-        hive writes into the path (ISO dates and zero-padded ints order
-        correctly — that is why those are the sane partition encodings).
+        partitions matching the predicate.
+
+        Comparison semantics follow what Spark's own partition-type
+        inference will do with the same path values (round 9 — the old
+        always-lexicographic compare silently DROPPED admitting partitions
+        for unpadded numeric layouts: ``"10" < "2"`` as strings, so
+        ``hour BETWEEN 2 AND 10`` lost ``hour=10``):
+
+        * every partition value parses as a number → numeric comparison
+          (Spark infers an int/double column; residual compares
+          numerically, so pruning must too);
+        * otherwise the column is string-typed → lexicographic compare,
+          which IS Spark's binary-collation string ``>=``/``<=`` (correct
+          for ISO dates and any other string encoding), but ONLY when the
+          caller's bounds are strings too;
+        * any semantics mismatch (numeric bound on a string-valued layout,
+          unparseable bound on a numeric layout) → **no pruning** (return
+          ``None`` = full scan + residual filter). Pruning is conservative
+          by construction: when in doubt, read more files, never fewer.
 
         Composes with manifest pruning in :meth:`read`: each predicate
         contributes a file set and the sets INTERSECT, so
@@ -214,25 +235,68 @@ class Catalog:
         col = pred[0]
         token = f"{col}="
 
-        def admit(val: str) -> bool:
-            if len(pred) == 2:
-                return val in {str(v) for v in pred[1]}
-            _, lo, hi = pred
-            return (lo is None or val >= str(lo)) and (
-                hi is None or val <= str(hi)
-            )
+        def _num(v) -> float | None:
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
 
-        out: set[str] = set()
+        # pass 1: collect (value, parquet files) per partition directory
+        parts: list[tuple[str, list[str]]] = []
         for root, _dirs, files in os.walk(spec.path):
             segs = [s for s in root.split(os.sep) if s.startswith(token)]
             if not segs:
                 continue
-            if admit(segs[-1].split("=", 1)[1]):
-                out.update(
-                    os.path.join(root, f)
-                    for f in files
-                    if f.endswith(".parquet")
+            pq = [
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            ]
+            if pq:
+                parts.append((segs[-1].split("=", 1)[1], pq))
+
+        real_vals = [v for v, _ in parts if v != self._HIVE_NULL]
+        numeric_layout = bool(real_vals) and all(
+            _num(v) is not None for v in real_vals
+        )
+
+        if len(pred) == 2:  # IN-list
+            if numeric_layout:
+                wanted = {
+                    n for n in (_num(v) for v in pred[1]) if n is not None
+                }
+                admit = lambda val: _num(val) in wanted  # noqa: E731
+            elif all(isinstance(v, str) for v in pred[1]):
+                wanted_s = set(pred[1])
+                admit = lambda val: val in wanted_s  # noqa: E731
+            else:
+                return None  # non-string values vs string layout: no prune
+        else:
+            _, lo, hi = pred
+            if numeric_layout:
+                nlo, nhi = _num(lo), _num(hi)
+                if (lo is not None and nlo is None) or (
+                    hi is not None and nhi is None
+                ):
+                    return None  # unparseable bound on numeric layout
+                admit = lambda val: (  # noqa: E731
+                    (n := _num(val)) is not None
+                    and (nlo is None or n >= nlo)
+                    and (nhi is None or n <= nhi)
                 )
+            else:
+                if not all(
+                    b is None or isinstance(b, str) for b in (lo, hi)
+                ):
+                    return None  # numeric bound on string layout: no prune
+                admit = lambda val: (  # noqa: E731
+                    val != self._HIVE_NULL
+                    and (lo is None or val >= lo)
+                    and (hi is None or val <= hi)
+                )
+
+        out: set[str] = set()
+        for val, pq in parts:
+            if admit(val):
+                out.update(pq)
         return out
 
     def _admitted_files(self, name: str, spec: TableSpec, pred: tuple):

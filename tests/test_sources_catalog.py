@@ -368,3 +368,57 @@ def test_catalog_partition_plus_manifest_compound_pruning(spark, tmp_path):
     # hive path value back as int; the path-level admission is by string)
     inl = cat.read("pev", where=("d", ["7", "9"]))
     assert {str(r["d"]) for r in inl.collect()} == {"7", "9"}
+
+
+def test_catalog_partition_range_numeric_not_lexicographic(spark, tmp_path):
+    """Round 9 (r7 directive #1): range predicates over an UNPADDED numeric
+    partition layout must compare numerically — the old lexicographic
+    compare silently dropped hour=10 from ``hour BETWEEN 2 AND 10``
+    ("10" < "2" as strings), the repo's one known silent-wrong-answer
+    path. Also covers numeric IN-lists, open-ended ranges, and the
+    conservative no-prune fallback on semantics mismatch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("hrs", partition_by=("hour",))
+    df = spark.range(240).select(
+        F.col("id").alias("rid"), (F.col("id") % 24).alias("hour")
+    )
+    df.write.partitionBy("hour").parquet(spec.path)
+    n_total = sum(
+        1
+        for _r, _d, fs in os.walk(spec.path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    got = cat.read("hrs", where=("hour", 2, 10))
+    want = {r["rid"] for r in df.filter("hour between 2 and 10").collect()}
+    assert {r["rid"] for r in got.collect()} == want  # hour=10 ADMITTED
+    assert (
+        got.select(F.input_file_name()).distinct().count() < n_total
+    )  # and it still actually prunes
+
+    # numeric IN-list: int values match unpadded path strings numerically
+    inl = cat.read("hrs", where=("hour", [3, 21]))
+    assert {r["hour"] for r in inl.collect()} == {3, 21}
+
+    # open-ended range on the numeric layout
+    hi = cat.read("hrs", where=("hour", 19, None))
+    assert {r["hour"] for r in hi.collect()} == {19, 20, 21, 22, 23}
+
+    # mixed (non-numeric) layout + numeric bound -> conservative NO-PRUNE
+    # fallback: full scan + residual, never a silently-smaller file set
+    spec2 = cat.define("mixed", partition_by=("k",))
+    df2 = spark.createDataFrame(
+        [(1, "a5"), (2, "b1"), (3, "a7")], "rid int, k string"
+    )
+    df2.write.partitionBy("k").parquet(spec2.path)
+    assert cat._partition_admitted_files(spec2, ("k", 1, 9)) is None
+    assert {
+        r["rid"] for r in cat.read("mixed", where=("k", "a5", "a7")).collect()
+    } == {1, 3}  # string bounds on string layout: lexicographic, correct
