@@ -33,15 +33,40 @@ from pyspark.sql import functions as F
 __all__ = ["embedding_moments", "pca_whiten"]
 
 
+#: hard ceiling on the embedding dimension: the dim×dim covariance grid
+#: must fit comfortably in a single shuffle partition and one driver
+#: fetch of ``dim`` array rows (4096² doubles = 128 MiB — the matrix
+#: itself, which any eigendecomposition consumer must hold anyway).
+#: Dim-bounded, never data-bounded; beyond this, use randomized sketching.
+MAX_MOMENTS_DIM = 4096
+
+
 def embedding_moments(df: DataFrame, vec_col: str, dim: int):
     """(n, mean, covariance) of an ``array<float/double>`` column.
 
     Returns ``(n: int, mean: numpy (dim,), cov: numpy (dim, dim))`` with
     the unbiased (n-1) covariance. Rows whose vector is NULL or of the
-    wrong length are ignored. Covariance cells are rounded to 9 decimals
-    so downstream eigendecompositions are stable run-to-run.
+    wrong length are ignored. Covariance cells are rounded to 12 decimals
+    (matching the decimal(38,12) partial reduce) so downstream
+    eigendecompositions are stable run-to-run and the q_emb_cov round-to-6
+    oracle sits ~3 orders of magnitude clear of any rounding boundary.
+
+    Driver-fetch shape (round 9, r7 directive #3): the per-cell decimal
+    reduce still keys on dim + dim² scalar cells (order-insensitive exact
+    sums — executor-side, distributed), but the cells are RE-PACKED
+    executor-side into one array row per matrix row before collect: the
+    driver receives ``dim + 2`` rows each carrying a dim-length (or
+    shorter) array, never dim² scalar rows (the old shape collected 16.7M
+    rows at dim=4096; this collects 4098).
     """
     import numpy as np
+
+    if not 1 <= dim <= MAX_MOMENTS_DIM:
+        raise ValueError(
+            f"embedding_moments: dim must be in [1, {MAX_MOMENTS_DIM}] "
+            f"(got {dim}); the dim x dim covariance grid is driver-"
+            "materialized by design — sketch or slice larger embeddings"
+        )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -69,24 +94,51 @@ def embedding_moments(df: DataFrame, vec_col: str, dim: int):
     cells = (
         df.select(vec_col)
         .mapInPandas(partials, schema="cell long, val double")
-        # deterministic reduce: per-cell decimal sum (order-insensitive)
+        # deterministic reduce: per-cell decimal sum (order-insensitive,
+        # exact). 12 fractional digits (not the engine-default 6): the
+        # per-partial truncation is the ONLY cross-run/cross-engine error
+        # source in the grid, and 5e-13/partial keeps the q_emb_cov
+        # round-to-6 oracle ~100x clear of any rounding boundary
         .groupBy("cell")
-        .agg(F.sum(F.col("val").cast("decimal(38,6)")).alias("v"))
+        .agg(F.sum(F.col("val").cast("decimal(38,12)")).alias("v"))
     )
-    got = {r["cell"]: float(r["v"]) for r in cells.collect()}
-    n = int(got.get(-1, 0))
+    # re-pack executor-side: row index i = -2 (count) / -1 (sum vector) /
+    # 0..dim-1 (ss matrix row i); within a row, cells sort by column index
+    # j so the collected array is position-aligned
+    packed = (
+        cells.select(
+            F.when(F.col("cell") == -1, F.lit(-2))
+            .when(F.col("cell") < dim, F.lit(-1))
+            .otherwise(F.expr(f"(cell - {dim}) div {dim}"))
+            .alias("i"),
+            F.when(F.col("cell") == -1, F.lit(0))
+            .when(F.col("cell") < dim, F.col("cell"))
+            .otherwise((F.col("cell") - dim) % dim)
+            .alias("j"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "v"))),
+                lambda e: e["v"],
+            ).alias("row")
+        )
+    )
+    got = {int(r["i"]): list(r["row"]) for r in packed.collect()}
+    n = int(got.get(-2, [0.0])[0])
     if n < 2:
         raise ValueError(f"embedding_moments: need >=2 vectors, got {n}")
-    s = np.array([got.get(i, 0.0) for i in range(dim)])
-    ss = np.array(
-        [
-            [got.get(dim + i * dim + j, 0.0) for j in range(dim)]
-            for i in range(dim)
-        ]
-    )
+    s = np.asarray(got[-1])
+    ss = np.asarray([got[i] for i in range(dim)])
+    if s.shape != (dim,) or ss.shape != (dim, dim):
+        raise AssertionError(
+            f"embedding_moments: packed grid incomplete (s {s.shape}, "
+            f"ss {ss.shape}) — cell rows lost in re-pack"
+        )
     mean = s / n
     cov = (ss - np.outer(s, s) / n) / (n - 1)
-    return n, mean, np.round(cov, 9)
+    return n, mean, np.round(cov, 12)
 
 
 def pca_whiten(

@@ -129,6 +129,67 @@ def _q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _q_emb_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DuckDB oracle for the covariance HALF of the PCA pipeline
+    (round 9, r7 directive #4): ``embedding_moments``' summed grid IS
+    SQL-expressible (sums and cross-products — the q_corr_matrix recipe)
+    even though the eigendecomposition in q_pca_whiten is not. Emits the
+    full moments triple as rows: (i=-2, j=0) -> n, (i=-1, j) -> mean_j,
+    (i, j) -> cov_ij, each rounded to 6 decimals. Margin analysis (fixed
+    sf0.01 data, measured): operator-vs-covar_samp deviation <= ~1e-12
+    (decimal(38,12) partial reduce + round-12), nearest round-6 boundary
+    >= 7.7e-10 away on either engine — ~700x clear. ``+ 0.0`` on both
+    sides normalizes IEEE -0.0 to +0.0 before hashing."""
+    from lakehouse_architecture_spark.operators.embedding import (
+        embedding_moments,
+    )
+
+    t = tables(spark, sf_dir)
+    n, mean, cov = embedding_moments(t["embeddings"], "embedding", 64)
+    rows = [(-2, 0, float(n))]
+    rows += [(-1, j, round(float(mean[j]), 6) + 0.0) for j in range(64)]
+    rows += [
+        (i, j, round(float(cov[i, j]), 6) + 0.0)
+        for i in range(64)
+        for j in range(64)
+    ]
+    return spark.createDataFrame(
+        rows, "i long, j long, moment double"
+    ).orderBy("i", "j")
+
+
+_Q_EMB_COV_SQL = """
+WITH e AS (
+  SELECT embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+grid AS (
+  SELECT CAST(i.i - 1 AS BIGINT) AS i, CAST(j.j - 1 AS BIGINT) AS j,
+         ROUND(covar_samp(CAST(embedding[i.i] AS DOUBLE),
+                          CAST(embedding[j.j] AS DOUBLE)), 6) + 0.0 AS moment
+  FROM e,
+       LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(1, 64)) AS j) j
+  GROUP BY 1, 2
+),
+means AS (
+  SELECT CAST(-1 AS BIGINT) AS i, CAST(i.i - 1 AS BIGINT) AS j,
+         ROUND(AVG(CAST(embedding[i.i] AS DOUBLE)), 6) + 0.0 AS moment
+  FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 2
+),
+cnt AS (
+  SELECT CAST(-2 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+         CAST(COUNT(*) AS DOUBLE) AS moment
+  FROM e
+)
+SELECT i, j, moment FROM cnt
+UNION ALL SELECT i, j, moment FROM means
+UNION ALL SELECT i, j, moment FROM grid
+ORDER BY i, j
+"""
+
+
 def _l2_chain(a: str, b: str, n: int = 8) -> str:
     """Left-associative squared-L2 chain — the exact IEEE addition order of
     operators/pq._sqdist's sequential fold."""
@@ -204,6 +265,8 @@ FEATURES_QUERIES: list[QuerySpec] = [
     QuerySpec("q_mutual_info", "MI(event_type; user bucket) in bits", _q_mutual_info, _Q_MUTUAL_INFO_SQL),
     QuerySpec("q_pq_knn", "product-quantization ADC top-k (PQ ANN)", _q_pq_knn, _Q_PQ_KNN_SQL),
     # rows-only (driver records the weaker check): eigendecomposition is
-    # not expressible in the DuckDB oracle; see tests/test_embedding.py
+    # not expressible in the DuckDB oracle; see tests/test_embedding.py.
+    # The covariance HALF of the same pipeline IS exactly gated: q_emb_cov.
     QuerySpec("q_pca_whiten", "PCA-whitened embeddings (Arrow partial covariance + driver eigh)", _q_pca_whiten, None),
+    QuerySpec("q_emb_cov", "embedding moments grid (n, mean, covariance) — exact oracle for the covariance half of PCA", _q_emb_cov, _Q_EMB_COV_SQL),
 ]

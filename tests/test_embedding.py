@@ -91,3 +91,31 @@ def test_pca_whiten_query_shape(spark):
     assert len(rows) == 500
     assert df.columns == ["vec_id", "pc1", "pc2"]
     assert all(r["pc1"] is not None and r["pc2"] is not None for r in rows)
+
+
+def test_embedding_moments_large_dim_packed_collect(spark):
+    """Round 9 (r7 directive #3): at dim >= 512 the driver fetch is dim+2
+    ARRAY rows (re-packed executor-side), not dim-squared scalar rows, and
+    the numbers still match numpy exactly."""
+    dim, n = 512, 40
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(n, dim)) * 3 + 1.5
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_n, mean, cov = embedding_moments(df, "embedding", dim)
+    assert got_n == n
+    assert mean.shape == (dim,) and cov.shape == (dim, dim)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-6)
+    assert np.allclose(cov, np.cov(x, rowvar=False), atol=1e-4)
+
+
+def test_embedding_moments_dim_ceiling(spark):
+    from lakehouse_architecture_spark.operators.embedding import (
+        MAX_MOMENTS_DIM,
+    )
+
+    df, _ = _emb_df(spark, n=5)
+    with pytest.raises(ValueError, match="dim must be in"):
+        embedding_moments(df, "embedding", MAX_MOMENTS_DIM + 1)
+    with pytest.raises(ValueError, match="dim must be in"):
+        embedding_moments(df, "embedding", 0)
