@@ -96,12 +96,88 @@ def _verification_history(repo: str | None = None) -> dict[str, tuple[int, int]]
     return hist
 
 
+def _stale_names(
+    module_mtime: dict[str, float],
+    green_record_mtime: dict[str, float],
+    slack_sec: float = 60.0,
+) -> set[str]:
+    """Names whose defining module was edited AFTER the driver record that
+    last verified them green (round 9, r7 directive #8): such queries'
+    green history describes code that no longer exists, so they re-enter
+    the 50-query window the round they change instead of waiting out the
+    age-based rotation. ``slack_sec`` absorbs checkout/clone skew, where
+    every file's mtime lands within seconds of every other's — a fresh
+    clone must NOT mark the whole registry stale (that would freeze the
+    rotation at declared order). Pure function; the fs glue is in
+    :func:`_rotation_order`."""
+    return {
+        name
+        for name, mt in module_mtime.items()
+        if name in green_record_mtime
+        and mt > green_record_mtime[name] + slack_sec
+    }
+
+
 def _rotation_order(specs: tuple[QuerySpec, ...]) -> list[QuerySpec]:
     hist = _verification_history()
-    return sorted(
-        specs,
-        key=lambda s: (*hist.get(s.name, (0, 0)), specs.index(s)),
-    )
+    stale = _edited_since_green(specs, hist)
+
+    def key(s: QuerySpec):
+        n, last = hist.get(s.name, (0, 0))
+        if s.name in stale:
+            # ahead even of never-green entries: edited-while-claimed-green
+            # is the highest-risk state the registry can be in
+            n, last = 0, -1
+        return (n, last, specs.index(s))
+
+    return sorted(specs, key=key)
+
+
+def _edited_since_green(
+    specs: tuple[QuerySpec, ...],
+    hist: dict[str, tuple[int, int]],
+    repo: str | None = None,
+) -> set[str]:
+    """Filesystem glue for :func:`_stale_names`: per green spec, the mtime
+    of the module defining its builder vs the mtime of the
+    ``CORRECTNESS_r{last_green}.json`` that vouched for it. Any failure
+    (missing file, odd module) degrades to not-stale — rotation falls back
+    to the age-based order rather than erroring."""
+    import glob
+    import os
+    import re
+    import sys
+
+    if repo is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    round_mtime: dict[int, float] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            try:
+                round_mtime[int(m.group(1))] = os.path.getmtime(path)
+            except OSError:
+                continue
+    module_mtime: dict[str, float] = {}
+    green_record_mtime: dict[str, float] = {}
+    for s in specs:
+        if s.name not in hist:
+            continue
+        _n, last = hist[s.name]
+        if last not in round_mtime:
+            continue
+        try:
+            mod = sys.modules.get(s.build.__module__)
+            src = getattr(mod, "__file__", None)
+            if not src:
+                continue
+            module_mtime[s.name] = os.path.getmtime(src)
+        except OSError:
+            continue
+        green_record_mtime[s.name] = round_mtime[last]
+    return _stale_names(module_mtime, green_record_mtime)
 
 
 ALL_QUERIES: dict[str, QuerySpec] = {

@@ -124,6 +124,61 @@ def main() -> int:
             }
         )
 
+    # Whitening A/B (round 9, r7 directive #5): PCA-whiten the corpus and
+    # re-run the same IVF configs in whitened space, scored against
+    # whitened-space brute-force truth — measures whether decorrelation
+    # makes the k-means cells rounder (Jegou et al. 2011 apply whitening
+    # before quantization for exactly this reason). Both arms also run
+    # with kmeans-trained centroids, since a trained quantizer is where
+    # rounder cells would show up.
+    from lakehouse_architecture_spark.operators.embedding import pca_whiten
+    from lakehouse_architecture_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    t0 = time.time()
+    wh = (
+        pca_whiten(emb, "vec_id", "embedding", dim=dim, k=dim)
+        .withColumnRenamed("whitened", "embedding")
+        .cache()
+    )
+    wh.count()
+    t_whiten = time.time() - t0
+    wq = wh.join(queries.select("vec_id"), "vec_id").cache()
+    wtruth: dict[int, set] = {}
+    for r in brute_force_knn(wh, wq, k=k).collect():
+        wtruth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    arms = [
+        ("raw", emb, queries, truth, None),
+        ("whitened", wh, wq, wtruth, None),
+        ("raw+kmeans", emb, queries, truth, kmeans_centroids(emb, n_cells=16)),
+        (
+            "whitened+kmeans",
+            wh,
+            wq,
+            wtruth,
+            kmeans_centroids(wh, n_cells=16),
+        ),
+    ]
+    for label, corpus, qs, tr, cents in arms:
+        for nprobe in (1, 2, 4):
+            t0 = time.time()
+            rows = ivf_knn(
+                corpus, qs, n_cells=16, k=k, nprobe=nprobe, centroids=cents
+            ).collect()
+            results.append(
+                {
+                    "method": f"ivf-{label}(cells=16,nprobe={nprobe})",
+                    "recall_at_k": round(recall_at_k(tr, rows, k), 4),
+                    "sec": round(time.time() - t0, 2),
+                    "whiten_sec": round(t_whiten, 2)
+                    if label.startswith("whitened")
+                    else 0.0,
+                }
+            )
+
     for r in results:
         print(json.dumps({"corpus": n, "k": k, "brute_sec": round(t_brute, 2), **r}))
     spark.stop()
