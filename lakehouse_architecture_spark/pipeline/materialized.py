@@ -52,6 +52,23 @@ class MaterializedAggregate:
         self.view = VersionedTable(source.spark, view_path, keys=group_cols)
         self.group_cols = group_cols
         self.sum_cols = sum_cols
+        # pre-built, reusable Column trees (round 9): Columns are immutable
+        # expression trees analyzed per-plan, so building them once in
+        # __init__ instead of per refresh cuts the py4j round-trips that
+        # dominate refresh's driver-side fixed cost (round-6 cProfile: the
+        # plan CONSTRUCTION, not the job, is the refresh-vs-rebuild gap at
+        # fixture scale — one JVM call per F.col/alias/arithmetic)
+        self._agg_exprs = [F.sum("n").alias("n")] + [
+            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols
+        ]
+        self._signed_pos = [
+            F.lit(1).cast("bigint").alias("n"),
+            *[F.col(c).alias(f"sum_{c}") for c in sum_cols],
+        ]
+        self._signed_neg = [
+            F.lit(-1).cast("bigint").alias("n"),
+            *[(F.col(c) * -1).alias(f"sum_{c}") for c in sum_cols],
+        ]
 
     # -- state --------------------------------------------------------------
     def refreshed_through(self) -> int | None:
@@ -71,32 +88,19 @@ class MaterializedAggregate:
 
     # -- aggregation --------------------------------------------------------
     def _agg(self, df: DataFrame, sign: int = 1) -> DataFrame:
-        cols = [F.lit(sign).cast("bigint").alias("n")] + [
-            (F.col(c) * sign).alias(f"sum_{c}") for c in self.sum_cols
-        ]
+        cols = self._signed_pos if sign == 1 else self._signed_neg
         signed = df.select(*self.group_cols, *cols)
-        return signed.groupBy(*self.group_cols).agg(
-            F.sum("n").alias("n"),
-            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
-        )
+        return signed.groupBy(*self.group_cols).agg(*self._agg_exprs)
 
     def _delta_agg(self, pre: DataFrame, post: DataFrame) -> DataFrame:
         """Per-group (n, sum_*) delta from pre-images (negated) and
         post-images — ONE row-level signed union and ONE hash aggregate,
         not two separate aggregates glued by a union (one shuffle over the
         churn instead of two)."""
-        def signed(df: DataFrame, sign: int) -> DataFrame:
-            return df.select(
-                *self.group_cols,
-                F.lit(sign).cast("bigint").alias("n"),
-                *[(F.col(c) * sign).alias(f"sum_{c}") for c in self.sum_cols],
-            )
-
-        rows = signed(pre, -1).unionByName(signed(post, 1))
-        return rows.groupBy(*self.group_cols).agg(
-            F.sum("n").alias("n"),
-            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+        rows = pre.select(*self.group_cols, *self._signed_neg).unionByName(
+            post.select(*self.group_cols, *self._signed_pos)
         )
+        return rows.groupBy(*self.group_cols).agg(*self._agg_exprs)
 
     def read(self) -> DataFrame:
         return self.view.read()
@@ -243,10 +247,7 @@ class MaterializedAggregate:
             merged = (
                 view.unionByName(delta)
                 .groupBy(*self.group_cols)
-                .agg(
-                    F.sum("n").alias("n"),
-                    *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
-                )
+                .agg(*self._agg_exprs)
                 .filter(F.col("n") > 0)
             )
         # full snapshot write, NOT a merge: groups whose count reached zero

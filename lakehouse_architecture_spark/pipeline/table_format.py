@@ -213,11 +213,28 @@ class VersionedTable:
 
     # -- reads --------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
-        """Latest snapshot, or time-travel to ``version``."""
+        """Latest snapshot, or time-travel to ``version``. Uses the schema
+        stashed at commit time when present (skips the parquet
+        footer-inference job — fixed driver cost on every read); snapshots
+        written before the stash existed fall back to inference."""
+        import json
+        import os
+
         v = self.latest_version() if version is None else version
         if v is None or v not in self.versions():
             raise FileNotFoundError(f"{self.path}: no version {version!r}")
-        return self.spark.read.parquet(self._vdir(v))
+        d = self._vdir(v)
+        r = self.spark.read
+        sp = os.path.join(d, "_schema.json")
+        if os.path.exists(sp):
+            from pyspark.sql.types import StructType
+
+            try:
+                with open(sp) as f:
+                    r = r.schema(StructType.fromJson(json.load(f)))
+            except (OSError, ValueError, KeyError):
+                r = self.spark.read  # corrupt stash: fall back to inference
+        return r.parquet(d)
 
     def history(self) -> list[dict]:
         """One record per version: number, commit mtime, file count/bytes.
@@ -272,7 +289,9 @@ class VersionedTable:
 
             try:
                 validate(
-                    self.spark.read.parquet(tmp),
+                    # the staged bytes were just written from df, so its
+                    # plan schema is authoritative — skip footer inference
+                    self.spark.read.schema(df.schema).parquet(tmp),
                     [Expectation(n, p, "fail") for n, p in sorted(cons.items())],
                 )
             except ExpectationsViolated:
@@ -295,6 +314,17 @@ class VersionedTable:
                     {"pre": pre.schema.jsonValue(), "post": post.schema.jsonValue()},
                     f,
                 )
+        # stash the snapshot schema alongside the data (same trick as the
+        # change feed's _schemas.json): read() can then hand Spark the
+        # schema up front and skip the footer-inference job — ~0.1-0.2 s
+        # of fixed driver cost per read at the local job floor, paid by
+        # EVERY consumer (IVM refresh, time travel, CDC) otherwise.
+        # Per-version by construction, so schema evolution stays correct:
+        # time travel sees the schema as of each version.
+        import json as _sjson
+
+        with open(os.path.join(tmp, "_schema.json"), "w") as f:
+            _sjson.dump(df.schema.jsonValue(), f)
         if epoch is not None:
             # provenance marker staged INSIDE the tmp dir so the atomic
             # rename commits data + marker together (streaming sinks use
