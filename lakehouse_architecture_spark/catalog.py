@@ -236,10 +236,18 @@ class Catalog:
         token = f"{col}="
 
         def _num(v) -> float | None:
+            import math
+
             try:
-                return float(v)
+                f = float(v)
             except (TypeError, ValueError):
                 return None
+            # a literal "NaN" partition value must NOT make the layout
+            # numeric: Spark's ordering puts NaN LARGEST (NaN >= 5 is
+            # true for the residual filter), while any float compare here
+            # would say False and silently drop the partition — route
+            # such layouts to the conservative no-prune fallback instead
+            return None if math.isnan(f) else f
 
         # pass 1: collect (value, parquet files) per partition directory
         parts: list[tuple[str, list[str]]] = []

@@ -69,6 +69,17 @@ def embedding_moments(df: DataFrame, vec_col: str, dim: int):
         )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate across the WHOLE partition and emit ONE cell set:
+        # emitting per Arrow batch would put (dim² + dim + 1) shuffle rows
+        # on the wire per ~10k-row batch (16.7M rows/batch at dim=4096);
+        # per-partition accumulation divides shuffle volume by the
+        # batches-per-partition factor. Batch matmuls accumulate into one
+        # float64 grid in deterministic batch order (parquet row order is
+        # stable), so the result is run-to-run identical and the decimal
+        # reduce downstream stays order-insensitive across partitions.
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        n_part = 0
         for pdf in batches:
             vecs = [
                 v
@@ -78,18 +89,20 @@ def embedding_moments(df: DataFrame, vec_col: str, dim: int):
             if not vecs:
                 continue
             x = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
-            s = x.sum(axis=0)
-            ss = x.T @ x  # dim×dim, batch-local — never shuffled per row
-            idx = list(range(dim)) + [
-                dim + i * dim + j for i in range(dim) for j in range(dim)
-            ]
-            val = list(s) + list(ss.ravel())
-            yield pd.DataFrame(
-                {
-                    "cell": idx + [-1],
-                    "val": val + [float(len(vecs))],
-                }
-            )
+            s += x.sum(axis=0)
+            ss += x.T @ x  # dim×dim, partition-local — never shuffled per row
+            n_part += len(vecs)
+        if not n_part:
+            return
+        idx = list(range(dim)) + [
+            dim + i * dim + j for i in range(dim) for j in range(dim)
+        ]
+        yield pd.DataFrame(
+            {
+                "cell": idx + [-1],
+                "val": list(s) + list(ss.ravel()) + [float(n_part)],
+            }
+        )
 
     cells = (
         df.select(vec_col)

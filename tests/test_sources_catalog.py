@@ -422,3 +422,13 @@ def test_catalog_partition_range_numeric_not_lexicographic(spark, tmp_path):
     assert {
         r["rid"] for r in cat.read("mixed", where=("k", "a5", "a7")).collect()
     } == {1, 3}  # string bounds on string layout: lexicographic, correct
+
+    # a literal "NaN" partition value must not sniff as a numeric layout
+    # (Spark's residual orders NaN LARGEST, a float compare would say
+    # False and silently drop the partition) -> conservative NO-PRUNE
+    spec3 = cat.define("nanp", partition_by=("m",))
+    df3 = spark.createDataFrame(
+        [(1, "5"), (2, "NaN"), (3, "7")], "rid int, m string"
+    )
+    df3.write.partitionBy("m").parquet(spec3.path)
+    assert cat._partition_admitted_files(spec3, ("m", 4, 8)) is None
