@@ -279,6 +279,12 @@ class Catalog:
                 return None  # non-string values vs string layout: no prune
         else:
             _, lo, hi = pred
+            if lo is None and hi is None:
+                # degenerate unbounded range = no constraint: admit every
+                # partition INCLUDING a hive null partition (a range
+                # admit() would exclude it, silently dropping NULL-key
+                # rows that nothing in the predicate filters)
+                return None
             if numeric_layout:
                 nlo, nhi = _num(lo), _num(hi)
                 if (lo is not None and nlo is None) or (

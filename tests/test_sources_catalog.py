@@ -432,3 +432,8 @@ def test_catalog_partition_range_numeric_not_lexicographic(spark, tmp_path):
     )
     df3.write.partitionBy("m").parquet(spec3.path)
     assert cat._partition_admitted_files(spec3, ("m", 4, 8)) is None
+
+    # degenerate unbounded range (None, None) = no constraint: must be a
+    # no-op prune (full scan), not a range admit that would silently
+    # exclude a hive null partition
+    assert cat._partition_admitted_files(spec, ("hour", None, None)) is None
