@@ -55,6 +55,15 @@ HEADLINE = [
     # graph plans would be invisible to the graded bench
     "q_percentile",
     "q_triangles",
+    # round 10 (VERDICT r9 #1): the embedding/correlation family got its
+    # plans reshaped in r9 (partition-local moment partials, array-row
+    # driver fetch) with no bench-tracked floor — a future plan regression
+    # there (e.g. the shuffle reverting to per-batch dim² cells) would be
+    # invisible without these rows. Floors recorded via tools/bench_band.py
+    # (see README bench-band note).
+    "q_emb_cov",
+    "q_corr_matrix",
+    "q_pca_whiten",
 ]
 
 

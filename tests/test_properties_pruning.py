@@ -28,7 +28,6 @@ Spark-semantics model notes:
 
 from __future__ import annotations
 
-import math
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -39,7 +38,11 @@ from lakehouse_architecture_spark.catalog import Catalog, TableSpec
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 # layout values: unpadded ints, zero-padded ints, floats, ISO-date-ish
-# strings, arbitrary words, and the hive null marker
+# strings, arbitrary words, and the hive null marker — plus (round 10)
+# the adversarial spellings ADVICE r9 flagged: Java-lenient numerics
+# (Infinity, whitespace padding, d/f suffixes), Python-only numerics
+# (underscores), non-canonical dates, and values Spark hive-escapes on
+# write (':', '#', '%', spaces)
 _num_vals = st.one_of(
     st.integers(0, 10_000).map(str),
     st.integers(0, 99).map(lambda i: f"{i:02d}"),
@@ -51,8 +54,25 @@ _str_vals = st.one_of(
         alphabet="abcxyz0123456789", min_size=1, max_size=6
     ).filter(lambda s: not s.isdigit()),
 )
+_tricky_vals = st.sampled_from(
+    [
+        "Infinity",
+        "-Infinity",
+        "NaN",
+        " 5 ",
+        "1.5d",
+        "1_000",
+        "9_0",
+        "0x1p3",
+        "2024-1-5",  # non-canonical date: Spark renders it zero-padded
+        "a b",  # escaped on write
+        "x:y",
+        "100%",
+        "k=v",
+    ]
+)
 _values = st.lists(
-    st.one_of(_num_vals, _str_vals, st.just(HIVE_NULL)),
+    st.one_of(_num_vals, _str_vals, _tricky_vals, st.just(HIVE_NULL)),
     min_size=1,
     max_size=8,
     unique=True,
@@ -61,15 +81,32 @@ _bound = st.one_of(
     st.none(),
     st.integers(-5, 10_000),
     st.floats(-5, 200, allow_nan=False),
-    st.sampled_from(["2024-01-07", "5", "a5", "zz"]),
+    st.sampled_from(
+        ["2024-01-07", "2024-1-7", "5", "a5", "zz", "a b", "Infinity"]
+    ),
 )
+
+# the strict grammar the implementation types layouts with — the model
+# must use the SAME typing or it would grade numeric layouts as string
+_STRICT_NUM = Catalog._STRICT_NUM
 
 
 def _is_num(v: str) -> bool:
-    try:
-        return not math.isnan(float(v))
-    except ValueError:
-        return False
+    return bool(_STRICT_NUM.match(v))
+
+
+# Spark's ExternalCatalogUtils.escapePathName character set (Linux) —
+# layouts on disk hold ESCAPED values; the logical value is what the
+# residual filter sees
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {
+    chr(i) for i in range(1, 0x20)
+}
+
+
+def _escape_hive(v: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in v
+    )
 
 
 def _model_satisfies(val: str, pred: tuple, numeric_layout: bool) -> bool:
@@ -106,9 +143,13 @@ def _model_satisfies(val: str, pred: tuple, numeric_layout: bool) -> bool:
 
 
 def _build_layout(tmp_path, values: list[str]) -> TableSpec:
+    """Write the layout the way Spark would: LOGICAL values are hive-
+    escaped into the directory names (the hive null marker is itself a
+    literal directory name, never escaped)."""
     spec = TableSpec(name="t", path=str(tmp_path / "t"), partition_by=("k",))
     for i, v in enumerate(values):
-        d = os.path.join(spec.path, f"k={v}")
+        disk = v if v == HIVE_NULL else _escape_hive(v)
+        d = os.path.join(spec.path, f"k={disk}")
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, f"part-{i}.parquet"), "w") as f:
             f.write("x")
@@ -135,7 +176,8 @@ def test_range_pruning_never_drops_a_satisfying_partition(
     )
     for v in values:
         if _model_satisfies(v, ("k", lo, hi), numeric):
-            expect = os.path.join(spec.path, f"k={v}")
+            disk = v if v == HIVE_NULL else _escape_hive(v)
+            expect = os.path.join(spec.path, f"k={disk}")
             assert any(
                 f.startswith(expect + os.sep) for f in admitted
             ), f"satisfying partition k={v} dropped for bounds ({lo!r},{hi!r})"
@@ -151,7 +193,19 @@ def test_range_pruning_never_drops_a_satisfying_partition(
     inlist=st.lists(
         st.one_of(
             st.integers(0, 10_000),
-            st.sampled_from(["7", "07", "2024-01-05", "a5"]),
+            st.sampled_from(
+                [
+                    "7",
+                    "07",
+                    "2024-01-05",
+                    "2024-1-5",
+                    "a5",
+                    "a b",
+                    "x:y",
+                    "100%",
+                    "Infinity",
+                ]
+            ),
         ),
         min_size=0,
         max_size=5,
@@ -171,7 +225,8 @@ def test_inlist_pruning_never_drops_a_satisfying_partition(
     )
     for v in values:
         if _model_satisfies(v, ("k", inlist), numeric):
-            expect = os.path.join(spec.path, f"k={v}")
+            disk = v if v == HIVE_NULL else _escape_hive(v)
+            expect = os.path.join(spec.path, f"k={disk}")
             assert any(
                 f.startswith(expect + os.sep) for f in admitted
             ), f"satisfying partition k={v} dropped for IN {inlist!r}"
@@ -210,3 +265,105 @@ def test_stale_names_ignores_never_green():
     # never-green names have no record mtime and are handled by the
     # age-based order, not the staleness rule
     assert _stale_names({"a": 1000.0}, {}) == set()
+
+
+# --- compound pruning: partition x stats x bloom INTERSECT (round 10) ----
+#
+# The production path (catalog.read) INTERSECTS the per-predicate file
+# sets. Intersecting per-predicate supersets is a superset of the
+# satisfying set BY set algebra, but only if each individual admission
+# really is a superset — this end-to-end property pins the whole
+# composition: for hypothesis-generated multi-predicate where-clauses of
+# >=2 kinds, the pruned read returns EXACTLY the rows of a full scan with
+# the same residual (pruning may read extra files; the shared residual
+# then equalizes the row sets, so any difference means pruning LOST rows).
+
+import pytest
+
+_D_VALS = ["0", "1", "2", "x:y", "a b"]  # incl. hive-escaped spellings
+
+
+@pytest.fixture(scope="module")
+def compound_table(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    root = str(tmp_path_factory.mktemp("compound"))
+    cat = Catalog(spark, root)
+    cat.define("ct", partition_by=("d",), stats_cols=("v",), bloom_cols=("u",))
+    df = spark.range(2000).select(
+        F.col("id").alias("rid"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in _D_VALS]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("d"),
+        (F.col("id") % 400).cast("double").alias("v"),
+        F.concat(F.lit("u-"), (F.col("id") % 97).cast("string")).alias("u"),
+    )
+    # value-ranged files so the stats manifest has tight boxes
+    df.repartitionByRange(4, "v").write.partitionBy("d").parquet(
+        cat.table_spec("ct").path
+    )
+    rows = [
+        (r["rid"], r["d"], r["v"], r["u"])
+        for r in spark.read.parquet(cat.table_spec("ct").path).collect()
+    ]
+    return cat, rows
+
+
+_part_pred = st.one_of(
+    st.lists(st.sampled_from(_D_VALS + ["9", "zz"]), min_size=1, max_size=3)
+    .map(lambda vs: ("d", vs)),
+    st.tuples(
+        st.sampled_from(["0", "1", "2", "a", "x"]),
+        st.sampled_from(["1", "2", "z", "x:z"]),
+    ).map(lambda t: ("d", min(t), max(t))),
+)
+_stats_pred = st.tuples(
+    st.floats(-10, 400, allow_nan=False),
+    st.floats(-10, 420, allow_nan=False),
+).map(lambda t: ("v", min(t), max(t)))
+_bloom_pred = st.one_of(
+    st.integers(0, 110).map(lambda i: ("u", f"u-{i}", f"u-{i}")),
+    st.lists(
+        st.integers(0, 110).map(lambda i: f"u-{i}"), min_size=1, max_size=3
+    ).map(lambda vs: ("u", vs)),
+)
+
+
+def _py_satisfies(row, pred) -> bool:
+    rid, d, v, u = row
+    val = {"d": d, "v": v, "u": u}[pred[0]]
+    if len(pred) == 2:
+        return val in pred[1]
+    _, lo, hi = pred
+    return (lo is None or val >= lo) and (hi is None or val <= hi)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preds=st.lists(
+        st.one_of(_part_pred, _stats_pred, _bloom_pred),
+        min_size=2,
+        max_size=3,
+    ).filter(lambda ps: len({p[0] for p in ps}) >= 2)
+)
+def test_compound_pruned_read_equals_full_scan_residual(
+    compound_table, preds
+):
+    cat, rows = compound_table
+    got = {r["rid"] for r in cat.read("ct", where=preds).collect()}
+    want = {
+        rid
+        for rid, d, v, u in rows
+        if all(_py_satisfies((rid, d, v, u), p) for p in preds)
+    }
+    assert got == want, (
+        f"compound pruning changed the result for {preds!r}: "
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )

