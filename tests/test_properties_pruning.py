@@ -367,3 +367,33 @@ def test_compound_pruned_read_equals_full_scan_residual(
         f"compound pruning changed the result for {preds!r}: "
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )
+
+
+# --- unescape round-trip (round 10) ---------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x7E),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_unescape_inverts_spark_escaping(v):
+    """unescape(escape(v)) == v for every ASCII value — the pair of
+    functions must agree on the %XX grammar exactly or pruning compares
+    a different value than Spark's residual."""
+    assert Catalog._unescape_hive(_escape_hive(v)) == v
+
+
+def test_unescape_leaves_non_escape_percents_alone():
+    # '%' not followed by two hex digits passes through — Spark's
+    # unescapePathName behaves identically, so external layouts with raw
+    # percent signs compare consistently
+    assert Catalog._unescape_hive("100%") == "100%"
+    assert Catalog._unescape_hive("%zz") == "%zz"
+    assert Catalog._unescape_hive("a%2") == "a%2"
+    assert Catalog._unescape_hive("a%25b") == "a%b"
+    assert Catalog._unescape_hive("x%3Ay") == "x:y"
+    assert Catalog._unescape_hive("x%3ay") == "x:y"  # lowercase hex too

@@ -559,3 +559,89 @@ def test_plain_read_schema_stash(spark, tmp_path):
     cat.write(spark.range(5).selectExpr("id", "cast(id as double) as v2"), "sst")
     assert "sst" not in cat._schemas
     assert "v2" in cat.read("sst").columns
+
+
+def test_partition_typing_matches_spark_inference(spark, tmp_path):
+    """Round 10: the driver-side layout-typing probe must never claim
+    semantics Spark's own partition-type inference contradicts. For each
+    tricky layout, either our classification agrees with the dtype Spark
+    infers from the same directories, or pruning degrades to no-prune
+    (None) — the conservative contract, checked here against the REAL
+    engine rather than a model."""
+    import os
+
+    from lakehouse_architecture_spark.catalog import Catalog, TableSpec
+
+    cases = [
+        # (layout values as written to disk, expected Spark dtype prefix)
+        (["5", "07", "121"], "int"),            # unpadded ints
+        (["1.5", "2.25"], "double"),            # fractional
+        (["5", "abc"], "string"),               # mixed -> widened string
+        (["1_000", "9_0"], "string"),           # Java rejects underscores
+        (["Infinity", "5"], "double"),          # Java-lenient double
+        (["2024-01-05", "2024-02-01"], "date"), # canonical ISO dates
+    ]
+    for i, (vals, want_prefix) in enumerate(cases):
+        path = str(tmp_path / f"t{i}")
+        for j, v in enumerate(vals):
+            d = os.path.join(path, f"k={v}")
+            os.makedirs(d)
+            spark.createDataFrame([(j,)], "rid int").write.parquet(
+                d, mode="overwrite"
+            )
+        dtype = dict(spark.read.parquet(path).dtypes).get("k")
+        assert dtype.startswith(want_prefix), (vals, dtype, want_prefix)
+
+        cat = Catalog(None)
+        spec = TableSpec(name=f"t{i}", path=path, partition_by=("k",))
+        admitted = cat._partition_admitted_files(spec, ("k", "0", "99999"))
+        if dtype.startswith("int") or dtype.startswith("double"):
+            # numeric per Spark: our probe must either prune numerically
+            # (all-strict layouts) or refuse (lenient spellings) — never
+            # compare lexicographically. Verify via a probe that would
+            # betray a lexicographic compare: BETWEEN 07 AND 9 admits
+            # "121" lexicographically ("121" > "07" and < "9") but not
+            # numerically.
+            a2 = cat._partition_admitted_files(spec, ("k", 7, 9))
+            if a2 is not None:
+                assert not any("k=121" in f for f in a2), a2
+        if dtype == "string" and admitted is not None:
+            # our string path only engages when NOTHING in the layout is
+            # numeric to Spark — otherwise it must have returned None
+            assert not any(
+                Catalog._JAVA_LENIENT_NUM.match(v) for v in vals
+            ), vals
+
+
+def test_partition_index_deep_append_needs_refresh(spark, tmp_path):
+    """Documents the cache-staleness contract for NESTED layouts: a file
+    appended out-of-band BELOW depth 1 (date=/hour=) does not propagate
+    an mtime to the shallow signature, so the cached partition index
+    stays stale until refresh_stats() — the same contract the stats and
+    bloom manifests have always had. Engine writes are never affected
+    (write() drops the cache outright)."""
+    import os
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("deep", partition_by=("d", "h"))
+    df = spark.createDataFrame(
+        [(i, str(i % 2), str(i % 3)) for i in range(12)],
+        "rid int, d string, h string",
+    )
+    df.write.partitionBy("d", "h").parquet(spec.path)
+    assert {
+        r["rid"] for r in cat.read("deep", where=("h", ["1"])).collect()
+    } == {i for i in range(12) if i % 3 == 1}
+
+    # out-of-band append INTO an existing leaf partition: not visible to
+    # the shallow signature...
+    leaf = os.path.join(spec.path, "d=0", "h=1")
+    spark.createDataFrame([(100,)], "rid int").write.mode("append").parquet(
+        leaf
+    )
+    # ...until refresh_stats drops the cached index
+    cat.refresh_stats("deep")
+    got = {r["rid"] for r in cat.read("deep", where=("h", ["1"])).collect()}
+    assert 100 in got, got
