@@ -161,6 +161,7 @@ def pca_whiten(
     dim: int,
     k: int,
     eps: float = 1e-9,
+    moments: tuple | None = None,
 ) -> DataFrame:
     """Project embeddings onto their top-``k`` principal axes and rescale
     to unit variance (PCA whitening): ``w = diag(1/sqrt(λ+eps)) · Vᵀ ·
@@ -176,7 +177,11 @@ def pca_whiten(
 
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}]: {k}")
-    _, mean, cov = embedding_moments(df, vec_col, dim)
+    # callers that already ran embedding_moments (e.g. to inspect the
+    # eigen-spectrum) pass it in and skip the second full scan
+    _, mean, cov = (
+        moments if moments is not None else embedding_moments(df, vec_col, dim)
+    )
     lam, vec = np.linalg.eigh(cov)  # ascending eigenvalues
     order = np.argsort(lam)[::-1][:k]
     lam_k = lam[order]

@@ -190,6 +190,85 @@ ORDER BY i, j
 """
 
 
+def _q_whiten_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-gate the eigendecomposition invariants that ARE
+    SQL-expressible (round 10, VERDICT r9 #5), shrinking q_pca_whiten's
+    rows-only surface to eigenvector ORIENTATION alone:
+
+    * (i=-1, j=-1) — Σ of ALL 64 eigenvalues, which must equal
+      trace(cov); the oracle computes the trace INDEPENDENTLY as
+      Σ_d var_samp(embedding[d]) in DuckDB, so a wrong eigh input or a
+      drifted moments pass breaks the hash. Margin (measured, fixed
+      data): engines agree to ~1e-16, nearest round-6 boundary 8.7e-3
+      away at sf0.001 (1.2e-1 at sf0.01) — >1e7x clear of the
+      decimal-reduce's 1e-12 deviation.
+    * (i, j) for 0<=i<=j<8 — covar_samp of whitened components i,j:
+      exactly 1 on the diagonal (unit variance: λ/(λ+eps) with
+      min top-8 λ≈0.02 » eps=1e-9 → 1-5e-8, rounds to 1.0) and 0 off it
+      (orthogonality); the oracle is the identity matrix by definition
+      of whitening. A sign flip cannot break this (covariance is
+      sign-squared) — orientation stays pinned by
+      tests/test_embedding.py's deterministic-sign tests.
+
+    ``+ 0.0`` normalizes IEEE -0.0 before hashing (q_emb_cov recipe).
+    """
+    from lakehouse_architecture_spark.operators.embedding import (
+        embedding_moments,
+        pca_whiten,
+    )
+    import numpy as np
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    moments = embedding_moments(emb, "embedding", 64)
+    lam = np.linalg.eigvalsh(moments[2])
+    wh = pca_whiten(emb, "vec_id", "embedding", dim=64, k=8, moments=moments)
+    ys = wh.select(*[F.col("whitened")[i].alias(f"y{i}") for i in range(8)])
+    grid = ys.agg(
+        *[
+            F.round(F.covar_samp(f"y{i}", f"y{j}"), 6).alias(f"c_{i}_{j}")
+            for i in range(8)
+            for j in range(i, 8)
+        ]
+    ).first()
+    rows = [(-1, -1, round(float(lam.sum()), 6) + 0.0)]
+    rows += [
+        (i, j, float(grid[f"c_{i}_{j}"]) + 0.0)
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    return spark.createDataFrame(
+        rows, "i long, j long, value double"
+    ).orderBy("i", "j")
+
+
+_Q_WHITEN_INVARIANTS_SQL = """
+WITH e AS (
+  SELECT embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+tr AS (
+  SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+         ROUND(SUM(v), 6) + 0.0 AS value
+  FROM (
+    SELECT var_samp(CAST(embedding[d.d] AS DOUBLE)) AS v
+    FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
+    GROUP BY d.d
+  )
+),
+grid AS (
+  SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+         CASE WHEN i.i = j.j THEN 1.0 ELSE 0.0 END AS value
+  FROM LATERAL (SELECT unnest(generate_series(0, 7)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+  WHERE j.j >= i.i
+)
+SELECT i, j, value FROM tr
+UNION ALL SELECT i, j, value FROM grid
+ORDER BY i, j
+"""
+
+
 def _l2_chain(a: str, b: str, n: int = 8) -> str:
     """Left-associative squared-L2 chain — the exact IEEE addition order of
     operators/pq._sqdist's sequential fold."""
@@ -269,4 +348,5 @@ FEATURES_QUERIES: list[QuerySpec] = [
     # The covariance HALF of the same pipeline IS exactly gated: q_emb_cov.
     QuerySpec("q_pca_whiten", "PCA-whitened embeddings (Arrow partial covariance + driver eigh)", _q_pca_whiten, None),
     QuerySpec("q_emb_cov", "embedding moments grid (n, mean, covariance) — exact oracle for the covariance half of PCA", _q_emb_cov, _Q_EMB_COV_SQL),
+    QuerySpec("q_whiten_invariants", "eigh invariants: sum(eigenvalues)=trace via independent oracle variances; whitened covariance = identity", _q_whiten_invariants, _Q_WHITEN_INVARIANTS_SQL),
 ]

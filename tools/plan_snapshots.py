@@ -55,6 +55,14 @@ QUERIES = [
     "q_degree_dist",
     "q_levenshtein_block",
     "q_sax",
+    # round 10: the r9-reshaped embedding/correlation family is now
+    # bench-tracked (VERDICT r9 #1) — snapshot its plans so a shape
+    # regression (e.g. moments reverting to per-batch dim² shuffle rows)
+    # shows up as a PLANS.md diff, not just a bench drift
+    "q_emb_cov",
+    "q_corr_matrix",
+    "q_pca_whiten",
+    "q_whiten_invariants",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
