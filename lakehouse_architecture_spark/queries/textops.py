@@ -679,6 +679,11 @@ def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 50 == 0),
         n_cells=_IVF_CELLS,
         k=3,
+        # centroids=None pins the SEEDED (lowest-id) quantizer: the SQL
+        # oracle below replicates it exactly, which Lloyd's iterations
+        # would not allow; the trained "kmeans" DEFAULT is gated by the
+        # recall-floor tests (tests/test_operators.py) instead
+        centroids=None,
     ).select("query_id", "neighbor_id", "cell", "cos", "rank").orderBy(
         "query_id", "rank"
     )

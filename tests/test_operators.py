@@ -599,13 +599,72 @@ def test_ivf_nprobe_monotone_recall(spark):
         got = pairs(rows)
         return sum(len(truth[q] & got.get(q, set())) for q in truth) / denom
 
-    r1 = recall(ivf_knn(emb, queries, n_cells=8, k=k, nprobe=1).collect())
-    r2 = recall(ivf_knn(emb, queries, n_cells=8, k=k, nprobe=2).collect())
-    r8 = recall(ivf_knn(emb, queries, n_cells=8, k=k, nprobe=8).collect())
+    # centroids=None: the seeded quantizer isolates the nprobe mechanics
+    # from training (the trained DEFAULT has its own recall-floor test)
+    r1 = recall(
+        ivf_knn(emb, queries, n_cells=8, k=k, nprobe=1, centroids=None).collect()
+    )
+    r2 = recall(
+        ivf_knn(emb, queries, n_cells=8, k=k, nprobe=2, centroids=None).collect()
+    )
+    r8 = recall(
+        ivf_knn(emb, queries, n_cells=8, k=k, nprobe=8, centroids=None).collect()
+    )
     assert r1 <= r2 <= r8, (r1, r2, r8)
     assert r8 == 1.0  # probing every cell IS brute force
     rq = recall(quantized_knn(emb, queries, k=k).collect())
     assert rq >= 0.8, rq
+
+
+def test_ivf_trained_default_recall_floor(spark):
+    """Round 10 (VERDICT r9 #3): the DEFAULT quantizer is now k-means-
+    trained — the r9 A/B measured +0.06..+0.08 recall at every nprobe
+    over lowest-id seeding, at train-only cost. Pin that on the fixed
+    sf0.1 fixture (everything deterministic: lowest-id init, id
+    tiebreaks): the trained default must (a) beat the seeded quantizer
+    at each probed nprobe and (b) stay above the measured floor
+    (trained nprobe=1 recall measured 0.2500, seeded 0.1875; nprobe=4
+    trained 0.6125 — floors carry a safety margin only against future
+    library-version jitter, not real drift)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.1", "embeddings.parquet")
+    ).cache()
+    queries = emb.orderBy(F.col("vec_id").desc()).limit(32).cache()
+    k = 5
+
+    def pairs(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = pairs(brute_force_knn(emb, queries, k=k).collect())
+    denom = sum(len(v) for v in truth.values())
+
+    def recall(rows):
+        got = pairs(rows)
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / denom
+
+    for nprobe, floor in ((1, 0.22), (4, 0.55)):
+        seeded = recall(
+            ivf_knn(
+                emb, queries, n_cells=16, k=k, nprobe=nprobe, centroids=None
+            ).collect()
+        )
+        trained = recall(
+            ivf_knn(emb, queries, n_cells=16, k=k, nprobe=nprobe).collect()
+        )
+        assert trained >= seeded, (nprobe, trained, seeded)
+        assert trained >= floor, (nprobe, trained, floor)
 
 
 def test_kmeans_centroids_recover_clusters(spark):

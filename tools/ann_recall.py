@@ -68,10 +68,12 @@ def main() -> int:
     results = []
     for nprobe in (1, 2, 4):
         t0 = time.time()
+        # default quantizer (k-means-trained since round 10) — the
+        # seeded-vs-trained A/B lives in the arms section below
         rows = ivf_knn(emb, queries, n_cells=16, k=k, nprobe=nprobe).collect()
         results.append(
             {
-                "method": f"ivf(cells=16,nprobe={nprobe})",
+                "method": f"ivf-default(cells=16,nprobe={nprobe})",
                 "recall_at_k": round(recall_at_k(truth, rows, k), 4),
                 "sec": round(time.time() - t0, 2),
             }
