@@ -645,3 +645,39 @@ def test_partition_index_deep_append_needs_refresh(spark, tmp_path):
     cat.refresh_stats("deep")
     got = {r["rid"] for r in cat.read("deep", where=("h", ["1"])).collect()}
     assert 100 in got, got
+
+
+def test_partition_date_layout_noncanonical_bound_no_prune(spark, tmp_path):
+    """Round 10: an all-canonical-ISO date layout is typed DATE by Spark,
+    so the residual compares a bound like '2024-1-7' AS A DATE (it keeps
+    2024-01-05) — while a lexicographic prune would have dropped that
+    partition ('2024-0...' < '2024-1' as strings). Verified live against
+    Spark: such bounds must force the no-prune path; canonical bounds may
+    prune (lexicographic == date order on canonical spellings)."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("dates", partition_by=("k",))
+    df = spark.createDataFrame(
+        [(0, "2024-01-05"), (1, "2024-01-10"), (2, "2024-02-01")],
+        "rid int, k string",
+    )
+    df.write.partitionBy("k").parquet(spec.path)
+    assert dict(spark.read.parquet(spec.path).dtypes)["k"] == "date"
+
+    # non-canonical bound: no pruning, and the read agrees with Spark's
+    # date-typed residual (keeps 2024-01-05)
+    assert (
+        cat._partition_admitted_files(spec, ("k", "2024-1-1", "2024-1-7"))
+        is None
+    )
+    got = cat.read("dates", where=("k", "2024-1-1", "2024-1-7"))
+    assert {r["rid"] for r in got.collect()} == {0}
+
+    # canonical bounds prune and still agree
+    adm = cat._partition_admitted_files(
+        spec, ("k", "2024-01-01", "2024-01-07")
+    )
+    assert adm is not None and any("2024-01-05" in f for f in adm)
+    got2 = cat.read("dates", where=("k", "2024-01-01", "2024-01-07"))
+    assert {r["rid"] for r in got2.collect()} == {0}
