@@ -489,9 +489,81 @@ class Catalog:
                 out.update(pq)
         return out
 
+    def _column_type_string(self, spec: TableSpec, col: str) -> str | None:
+        """``simpleString()`` of the column's Spark type, from the stashed
+        schema (one plain read stashes it on first use)."""
+        schema = self._schemas.get(spec.name)
+        if schema is None:
+            schema = self._plain_read(spec).schema
+        try:
+            return schema[col].dataType.simpleString()
+        except KeyError:
+            return None
+
+    _NUMERIC_TYPE_PREFIXES = (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+        "long",
+        "float",
+        "double",
+        "decimal",
+    )
+
+    def _bloom_probe_compatible(
+        self, spec: TableSpec, col: str, values: list
+    ) -> bool:
+        """Bloom probes hash PYTHON-side (``manifest._bloom_canon``), so a
+        probe value whose canonical form differs from the stored cells'
+        is a silent FALSE NEGATIVE — e.g. the string ``'5'`` probed
+        against an int column hashes ``s:5`` while the cells stored
+        ``i:5``, admitting no files even though Spark's residual
+        ``col = '5'`` casts and matches (round 10; the same
+        representation-mismatch family as the hive-escape bug). Numeric
+        probes on numeric columns are safe (`_bloom_canon` folds
+        ``5``/``5.0``/``Decimal('5.00')`` to one form), string probes on
+        string columns are exact, date/timestamp probes are safe for
+        real date/datetime objects (both sides hash ``str(value)``);
+        everything else degrades to no-prune."""
+        import datetime
+        import decimal
+
+        dt = self._column_type_string(spec, col)
+        if dt is None:
+            return False
+
+        def ok(v) -> bool:
+            if type(v).__module__ == "numpy":
+                item = getattr(v, "item", None)
+                if item is not None:
+                    v = item()
+            if dt == "string":
+                return isinstance(v, str)
+            if dt == "boolean":
+                return isinstance(v, bool)
+            if dt.startswith(self._NUMERIC_TYPE_PREFIXES):
+                return isinstance(
+                    v, (int, float, decimal.Decimal)
+                ) and not isinstance(v, bool)
+            if dt == "date":
+                return isinstance(v, datetime.date) and not isinstance(
+                    v, datetime.datetime
+                )
+            if dt.startswith("timestamp"):
+                return isinstance(v, datetime.datetime)
+            return False
+
+        return all(ok(v) for v in values)
+
     def _admitted_files(self, name: str, spec: TableSpec, pred: tuple):
         """File set that can satisfy ``pred``, or None when the predicate's
-        column has no usable manifest (no pruning — full candidate set)."""
+        column has no usable manifest (no pruning — full candidate set).
+
+        Stats-manifest comparisons run IN Spark (same cast/NaN semantics
+        as the residual, so type mismatches are safe there); bloom probes
+        hash Python-side and therefore gate on
+        :meth:`_bloom_probe_compatible` first."""
         from lakehouse_architecture_spark.sources.manifest import (
             bloom_admitted_files,
             bloom_pruned_files,
@@ -507,6 +579,8 @@ class Catalog:
             if not values:
                 return None
             if col in spec.bloom_cols:
+                if not self._bloom_probe_compatible(spec, col, values):
+                    return None  # representation mismatch: no pruning
                 # ONE executor-side manifest pass for the whole list
                 return set(
                     bloom_admitted_files(self.bloom_manifest(name, col), values)
@@ -518,6 +592,8 @@ class Catalog:
             return None
         _, lo, hi = pred
         if col in spec.bloom_cols and lo is not None and lo == hi:
+            if not self._bloom_probe_compatible(spec, col, [lo]):
+                return None  # representation mismatch: no pruning
             return set(bloom_pruned_files(self.bloom_manifest(name, col), lo))
         if col in spec.stats_cols and (lo is not None or hi is not None):
             return set(pruned_files(self.manifest(name), col, lo, hi))

@@ -681,3 +681,102 @@ def test_partition_date_layout_noncanonical_bound_no_prune(spark, tmp_path):
     assert adm is not None and any("2024-01-05" in f for f in adm)
     got2 = cat.read("dates", where=("k", "2024-01-01", "2024-01-07"))
     assert {r["rid"] for r in got2.collect()} == {0}
+
+
+def test_bloom_probe_type_mismatch_degrades_to_full_scan(spark, tmp_path):
+    """Round 10: bloom probes hash Python-side, so a probe value whose
+    canonical form differs from the stored cells' (string '5' vs int
+    column) is a silent false negative — reproduced before the fix: the
+    read returned 0 of 10 matching rows. A representation mismatch must
+    degrade to no-prune; matched representations must still prune."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.define("bt", bloom_cols=("u",))
+    df = spark.range(100).selectExpr("id as rid", "cast(id % 10 as int) as u")
+    cat.write(df, "bt")
+
+    # string probe on an int column: residual casts and matches — the
+    # read must return those rows, not silently drop them
+    got = {r["rid"] for r in cat.read("bt", where=("u", "5", "5")).collect()}
+    want = {r["rid"] for r in cat.read("bt").filter("u = '5'").collect()}
+    assert got == want and len(got) == 10
+
+    # the mismatch path is no-prune, visibly
+    assert cat._admitted_files("bt", cat.table_spec("bt"), ("u", "5", "5")) is None
+    assert cat._admitted_files("bt", cat.table_spec("bt"), ("u", ["5", 7])) is None
+    # bool is int's subclass but hashes differently: also no-prune
+    assert cat._admitted_files("bt", cat.table_spec("bt"), ("u", True, True)) is None
+
+    # matched representations still route through the bloom (a set, and
+    # int/float fold to the same canonical form)
+    assert cat._admitted_files("bt", cat.table_spec("bt"), ("u", 5, 5)) is not None
+    assert cat._admitted_files("bt", cat.table_spec("bt"), ("u", [5.0, 7])) is not None
+    got2 = {r["rid"] for r in cat.read("bt", where=("u", [5.0, 7])).collect()}
+    assert got2 == {r["rid"] for r in df.filter("u in (5, 7)").collect()}
+
+    # string bloom column: string probes prune, numeric probes degrade
+    cat.define("bs", bloom_cols=("s",))
+    dfs = spark.range(60).selectExpr("id as rid", "cast(id % 6 as string) as s")
+    cat.write(dfs, "bs")
+    assert cat._admitted_files("bs", cat.table_spec("bs"), ("s", ["3"])) is not None
+    assert cat._admitted_files("bs", cat.table_spec("bs"), ("s", [3])) is None
+    got3 = {r["rid"] for r in cat.read("bs", where=("s", 3, 3)).collect()}
+    assert got3 == {r["rid"] for r in dfs.filter("s = 3").collect()}
+
+
+def test_stats_pruning_nan_parity_with_spark_pushdown(spark, tmp_path):
+    """Adjudication (round 10): parquet stats EXCLUDE NaN (pyarrow writes
+    min=1/max=2 for [1.0, NaN, 2.0]), and Spark's in-memory comparison
+    treats NaN as LARGEST (NaN >= 10 is true) — so one might expect an
+    open-top range pruned by max_v to lose NaN rows. Measured: Spark's
+    OWN parquet pushdown drops the same row group on the identical full
+    scan (v >= 10 over that file returns [] both ways), so the manifest
+    prune exactly matches what Spark-over-parquet does with or without
+    the manifest. The invariant the engine owns — pruned read ==
+    full scan + residual ON THE SAME FILES — holds; pinned here so a
+    future Spark change in NaN pushdown surfaces as a test diff."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("nt", stats_cols=("v",))
+    os.makedirs(spec.path)
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array([1, 2, 3]),
+                "v": pa.array([1.0, float("nan"), 2.0], type=pa.float64()),
+            }
+        ),
+        os.path.join(spec.path, "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array([4, 5]),
+                "v": pa.array([50.0, 60.0], type=pa.float64()),
+            }
+        ),
+        os.path.join(spec.path, "b.parquet"),
+    )
+    pruned = sorted(
+        r["rid"] for r in cat.read("nt", where=("v", 10.0, None)).collect()
+    )
+    full = sorted(
+        r["rid"] for r in cat.read("nt").filter("v >= 10.0").collect()
+    )
+    assert pruned == full == [4, 5]
+    # both-bounded ranges are NaN-safe by construction (NaN fails <= hi)
+    pruned2 = sorted(
+        r["rid"] for r in cat.read("nt", where=("v", 0.0, 5.0)).collect()
+    )
+    full2 = sorted(
+        r["rid"]
+        for r in cat.read("nt").filter("v >= 0.0 and v <= 5.0").collect()
+    )
+    assert pruned2 == full2
