@@ -412,6 +412,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 3,
+    max_train_rows: int | None = 65536,
 ) -> DataFrame:
     """Lloyd's k-means refinement of the IVF coarse quantizer, entirely in
     DataFrame operators (no driver-side vector math, no MLlib dependency).
@@ -431,12 +432,30 @@ def kmeans_centroids(
     Deterministic: init = the n_cells lowest-id vectors, ties in
     assignment break on cent_id. Empty cells keep their previous centroid.
 
+    ``max_train_rows`` caps the TRAINING set (round 10): Lloyd's
+    iterations otherwise re-scan the whole corpus ``iters`` times to fit
+    a codebook of a few dozen vectors — at 100 TB that is three full
+    passes for 16 centroids. The cap takes the ``max_train_rows``
+    lowest-``xxhash64(id)`` vectors (deterministic pseudo-random sample,
+    one partial-top-k pass, ties broken by id; the standard FAISS
+    practice of training the coarse quantizer on a corpus sample).
+    ``None`` trains on everything. Fixture corpora (≤ 2k vectors) sit
+    under the default cap, so small-scale results are bit-identical.
+
     Returns (cent_id, cvec array<double>).
     """
     vecs = spread(df).select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    if max_train_rows is not None:
+        vecs = (
+            vecs.orderBy(
+                F.xxhash64(F.col("vid")).asc(), F.col("vid").asc()
+            )
+            .limit(max_train_rows)
+        )
+        vecs = truncate_lineage(vecs, eager=True)
     cents = (
         vecs.orderBy(F.col("vid").asc())
         .limit(n_cells)

@@ -147,7 +147,15 @@ def pruned_files(
     manifest: DataFrame, col: str, lo: float | None = None, hi: float | None = None
 ) -> list[str]:
     """Files whose [min, max] box can intersect [lo, hi]. Files with NULL
-    bounds are kept (no stats = cannot prune — never lose rows)."""
+    bounds are kept (no stats = cannot prune — never lose rows).
+
+    NaN adjudication (round 10): parquet stats EXCLUDE NaN (pyarrow
+    writes min=1/max=2 for [1, NaN, 2]) while Spark's in-memory compare
+    orders NaN largest — but Spark's OWN parquet pushdown drops the same
+    row groups on an identical full scan, so pruning here returns exactly
+    what the unpruned scan + residual returns on the same files (pinned:
+    tests/test_sources_catalog.py::
+    test_stats_pruning_nan_parity_with_spark_pushdown)."""
     keep = manifest
     if lo is not None:
         keep = keep.filter(

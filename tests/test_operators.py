@@ -809,3 +809,44 @@ def test_asof_join_null_value_cols_stay_row_atomic(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, "k", "lt", "rt", ["__rt"])
+
+
+def test_kmeans_train_cap_deterministic_and_engaged(spark):
+    """Round 10: the coarse-quantizer training set is capped by a
+    deterministic hash sample (FAISS-style) so Lloyd's iterations never
+    re-scan a 100 TB corpus for a 16-vector codebook. Same cap twice →
+    identical centroids; capped training still produces n_cells usable
+    centroids; cap above the corpus size is a no-op vs uncapped."""
+    import random
+
+    from lakehouse_architecture_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    random.seed(11)
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = [0.0] * 9
+        v[c * 3] = 1.0
+        v[c * 3 + 1] = random.uniform(0, 0.2)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def centmap(cdf):
+        return {
+            r.cent_id: tuple(round(x, 9) for x in r.cvec)
+            for r in cdf.collect()
+        }
+
+    a = centmap(kmeans_centroids(df, n_cells=3, iters=2, max_train_rows=64))
+    b = centmap(kmeans_centroids(df, n_cells=3, iters=2, max_train_rows=64))
+    assert a == b  # deterministic under the cap
+    assert len(a) == 3
+    # the capped codebook still recovers the three cluster axes
+    axes = sorted(max(range(9), key=lambda i: v[i]) for v in a.values())
+    assert axes == [0, 3, 6], axes
+
+    full = centmap(kmeans_centroids(df, n_cells=3, iters=2, max_train_rows=None))
+    big = centmap(kmeans_centroids(df, n_cells=3, iters=2, max_train_rows=10_000))
+    assert big == full  # cap above corpus size = no-op
