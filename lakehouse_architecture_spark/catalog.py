@@ -426,6 +426,32 @@ class Catalog:
             parts.append((val, pq))
 
         real_vals = [v for v, _ in parts if v != self._HIVE_NULL]
+
+        # datetime.date bounds/IN-values on an all-pure-date layout
+        # compare as their ISO strings (round 10): the layout is typed
+        # DATE by Spark, the residual compares dates, and lexicographic
+        # order on canonical 'YYYY-MM-DD' IS date order. Only plain dates
+        # qualify — a datetime bound renders with a time part, which
+        # sorts AFTER the bare date string while Spark compares midnight
+        # EQUAL to it, so datetimes keep degrading to no-prune.
+        import datetime
+
+        def _dstr(b):
+            if (
+                isinstance(b, datetime.date)
+                and not isinstance(b, datetime.datetime)
+            ):
+                return b.isoformat()
+            return b
+
+        if real_vals and all(
+            re.fullmatch(r"\d{4}-\d{2}-\d{2}", v) for v in real_vals
+        ):
+            if len(pred) == 2:
+                pred = (col, [_dstr(v) for v in pred[1]])
+            else:
+                pred = (col, _dstr(pred[1]), _dstr(pred[2]))
+
         numeric_layout = bool(real_vals) and all(
             self._STRICT_NUM.match(v) for v in real_vals
         )

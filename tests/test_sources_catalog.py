@@ -780,3 +780,43 @@ def test_stats_pruning_nan_parity_with_spark_pushdown(spark, tmp_path):
         for r in cat.read("nt").filter("v >= 0.0 and v <= 5.0").collect()
     )
     assert pruned2 == full2
+
+
+def test_partition_prune_with_python_date_bounds(spark, tmp_path):
+    """Round 10: datetime.date bounds on an all-pure-date partition
+    layout prune (ISO strings order like dates); datetime bounds keep
+    degrading to no-prune (midnight renders after the bare date string
+    but Spark compares it equal)."""
+    import datetime
+    import os
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("dp", partition_by=("d",))
+    df = spark.createDataFrame(
+        [(0, "2024-01-05"), (1, "2024-01-10"), (2, "2024-02-01")],
+        "rid int, d string",
+    )
+    df.write.partitionBy("d").parquet(spec.path)
+    n_total = sum(
+        1
+        for _r, _d, fs in os.walk(spec.path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    lo, hi = datetime.date(2024, 1, 1), datetime.date(2024, 1, 7)
+    adm = cat._partition_admitted_files(spec, ("d", lo, hi))
+    assert adm is not None and any("2024-01-05" in f for f in adm)
+    got = cat.read("dp", where=("d", lo, hi))
+    assert {r["rid"] for r in got.collect()} == {0}
+    assert got.select(F.input_file_name()).distinct().count() < n_total
+
+    # IN-list of dates
+    inl = cat.read("dp", where=("d", [datetime.date(2024, 1, 10)]))
+    assert {r["rid"] for r in inl.collect()} == {1}
+
+    # datetime bounds: conservative no-prune, result still correct
+    dt_lo = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    assert cat._partition_admitted_files(spec, ("d", dt_lo, None)) is None
