@@ -43,6 +43,18 @@ def connected_components(
     Returns (node, component). Nodes = everything appearing in ``edges``;
     isolated documents (no edges) keep themselves as canonical and don't
     need to enter the computation.
+
+    Convergence (round 10): each round does one neighbor-min propagation
+    (one hop) PLUS one pointer-jumping shortcut — every node re-labels to
+    its label's label — so chain length halves per round and convergence
+    is O(log diameter), not O(diameter): the default 20 rounds covers any
+    component a dedup graph can produce (diameter up to ~2^20) instead of
+    silently mislabeling a 25-hop duplicate chain. The propagation step's
+    fixed point is the proof of correctness (stable ⟹ adjacent labels
+    equal ⟹ whole component carries its min id); the shortcut only
+    accelerates. If the loop exhausts WITHOUT reaching the fixed point
+    the function raises — a partially-propagated labeling silently merges
+    or splits dedup clusters, which is never acceptable.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -55,6 +67,7 @@ def connected_components(
     )
     labels = truncate_lineage(labels)
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -77,7 +90,28 @@ def connected_components(
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+        # pointer jumping: component <- component's current component.
+        # Labels only ever point at reachable lower ids, so composing two
+        # hops stays a reachable lower id — monotone, and chains halve.
+        lmap = labels.select(
+            F.col("node").alias("__cn"), F.col("component").alias("__cc")
+        )
+        labels = truncate_lineage(
+            labels.join(lmap, labels.component == lmap.__cn, "left")
+            .select(
+                "node",
+                F.coalesce("__cc", "component").alias("component"),
+            )
+        )
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter > 2^iterations); raise "
+            "max_iterations — returning a partial labeling would silently "
+            "merge/split components"
+        )
     return labels
 
 

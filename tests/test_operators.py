@@ -850,3 +850,29 @@ def test_kmeans_train_cap_deterministic_and_engaged(spark):
     full = centmap(kmeans_centroids(df, n_cells=3, iters=2, max_train_rows=None))
     big = centmap(kmeans_centroids(df, n_cells=3, iters=2, max_train_rows=10_000))
     assert big == full  # cap above corpus size = no-op
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Round 10: min-label propagation alone moves ONE hop per round, so a
+    chain longer than max_iterations was silently mislabeled (25-hop
+    duplicate chains are rare but real). Pointer jumping halves chains
+    each round: a 60-node path now converges well inside 8 rounds, and a
+    genuinely-too-low budget raises instead of returning a partial
+    labeling."""
+    import pytest
+
+    from lakehouse_architecture_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a int, id_b int"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iterations=8).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 60
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2).collect()
