@@ -295,3 +295,57 @@ def test_dsir_scores_shift_invariant_to_doc_ids(spark, texts, flags):
         for r in dsir_scores(df2, "doc_id", "text", F.col("tgt")).collect()
     }
     assert s1 == s2
+
+
+# --- exact_quantiles vs Spark percentile (round 10) ------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-1000, 1000).map(float),
+            st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+            st.sampled_from([0.0, -0.0, 1e-6, 123.456]),  # tie fodder
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    groups=st.integers(1, 3),
+    qs=st.lists(
+        st.floats(0.0, 1.0, allow_nan=False), min_size=1, max_size=4
+    ),
+    bw=st.sampled_from([0.7, 13.0, 250.0, 10_000.0]),
+)
+def test_exact_quantiles_bitmatch_spark_percentile(spark, vals, groups, qs, bw):
+    """Randomized parity for the bounded-state quantile path: the claim is
+    BIT-compatibility with Spark's Percentile interpolation at any
+    bucket_width — ties, negative values, -0.0, single-element groups,
+    q=0/1 endpoints, widths from finer-than-data to one-bucket-holds-all.
+    (The plan guard forbids raw-row percentile in production queries;
+    this test is the only place the two paths legitimately meet.)"""
+    rows = [(i % groups, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    names = {f"q{i}": q for i, q in enumerate(qs)}
+
+    from lakehouse_architecture_spark.operators.skew import exact_quantiles
+
+    got = {
+        r["g"]: [r[n] for n in names]
+        for r in exact_quantiles(df, ["g"], "v", names, bw).collect()
+    }
+    agg = [
+        F.expr(f"percentile(v, {q!r})").alias(n) for n, q in names.items()
+    ]
+    want = {
+        r["g"]: [r[n] for n in names]
+        for r in df.groupBy("g").agg(*agg).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert a == b or (a is None and b is None), (g, got[g], want[g])
