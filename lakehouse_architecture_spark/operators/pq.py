@@ -88,6 +88,7 @@ def pq_codebooks(
     m: int = 8,
     ksub: int = 16,
     iters: int = 0,
+    max_train_rows: int | None = 65536,
 ) -> DataFrame:
     """Per-subspace codebooks ``(sub, code, cvec)``.
 
@@ -96,7 +97,13 @@ def pq_codebooks(
     ``iters>0``: Lloyd refinement, all ``m`` subspaces trained jointly in
     one DataFrame per iteration (assignment joins the broadcast codebook
     on ``sub``; means aggregate on (sub, code, pos) — key space
-    m × ksub × d_sub, tiny at any corpus size).
+    m × ksub × d_sub, tiny at any corpus size). Like
+    ``similarity.kmeans_centroids`` (round 10), the refinement trains on
+    at most ``max_train_rows`` vectors — the lowest-``xxhash64(id)``
+    sample, deterministic with id tiebreaks — so fitting m × ksub
+    codewords never re-scans the full corpus per iteration; the seed and
+    the ``iters=0`` path always use the full corpus, and corpora under
+    the cap are unaffected.
 
     The trained dimension is pinned to the LOWEST-ID vector's length
     (deterministic); vectors of any other length are excluded from
@@ -124,8 +131,19 @@ def pq_codebooks(
         ),
         eager=True,
     )
+    train = subs
+    if iters > 0 and max_train_rows is not None:
+        ids = (
+            subs.select("vid")
+            .distinct()
+            .orderBy(F.xxhash64(F.col("vid")).asc(), F.col("vid").asc())
+            .limit(max_train_rows)
+        )
+        train = truncate_lineage(
+            subs.join(F.broadcast(ids), "vid", "left_semi"), eager=True
+        )
     for _ in range(iters):
-        scored = subs.join(F.broadcast(cb), "sub").withColumn(
+        scored = train.join(F.broadcast(cb), "sub").withColumn(
             "d", _sqdist(F.col("sv"), F.col("cvec"))
         )
         assigned = top_k_per_group(
