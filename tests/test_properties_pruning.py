@@ -397,3 +397,81 @@ def test_unescape_leaves_non_escape_percents_alone():
     assert Catalog._unescape_hive("a%25b") == "a%b"
     assert Catalog._unescape_hive("x%3Ay") == "x:y"
     assert Catalog._unescape_hive("x%3ay") == "x:y"  # lowercase hex too
+
+
+# --- date-partitioned reads under fuzzed bound spellings (round 10) -------
+
+
+@pytest.fixture(scope="module")
+def date_table(spark, tmp_path_factory):
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    root = str(tmp_path_factory.mktemp("dates"))
+    cat = Catalog(spark, root)
+    cat.define("dt", partition_by=("d",))
+    rows = [
+        (i, f"2024-{m:02d}-{dd:02d}")
+        for i, (m, dd) in enumerate(
+            [(1, 5), (1, 10), (1, 28), (2, 1), (2, 14), (3, 3)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "rid int, d string")
+    df.write.partitionBy("d").parquet(cat.table_spec("dt").path)
+    return cat, rows
+
+
+_date_bound = st.one_of(
+    st.none(),
+    st.dates(
+        min_value=__import__("datetime").date(2023, 12, 1),
+        max_value=__import__("datetime").date(2024, 4, 1),
+    ),
+    st.dates(
+        min_value=__import__("datetime").date(2023, 12, 1),
+        max_value=__import__("datetime").date(2024, 4, 1),
+    ).map(lambda d: d.isoformat()),
+    # non-canonical spelling: Spark casts it to the same date in the
+    # residual; the engine must degrade to no-prune rather than compare
+    # it lexicographically
+    st.dates(
+        min_value=__import__("datetime").date(2024, 1, 1),
+        max_value=__import__("datetime").date(2024, 3, 28),
+    ).map(lambda d: f"{d.year}-{d.month}-{d.day}"),
+)
+
+
+def _as_date(b):
+    import datetime
+
+    if isinstance(b, datetime.date):
+        return b
+    y, m, d = (int(x) for x in b.split("-"))
+    return datetime.date(y, m, d)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lo=_date_bound, hi=_date_bound)
+def test_date_partition_range_matches_spark_residual(date_table, lo, hi):
+    """The pruned read over a DATE-typed partition layout must return
+    exactly the rows Spark's own date-compare residual keeps, for every
+    bound spelling: date objects, canonical ISO strings (both may
+    prune), and non-canonical strings (must degrade to no-prune, since
+    Spark casts them to dates while the path values compare as text)."""
+    cat, rows = date_table
+    got = {
+        r["rid"]
+        for r in cat.read("dt", where=("d", lo, hi)).collect()
+    }
+    dlo = None if lo is None else _as_date(lo)
+    dhi = None if hi is None else _as_date(hi)
+    want = {
+        rid
+        for rid, v in rows
+        if (dlo is None or _as_date(v) >= dlo)
+        and (dhi is None or _as_date(v) <= dhi)
+    }
+    assert got == want, (lo, hi, sorted(got), sorted(want))
