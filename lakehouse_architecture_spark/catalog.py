@@ -239,44 +239,135 @@ class Catalog:
     )
 
     #: broad "could Spark parse this as a date/timestamp" probe vs the
-    #: canonical zero-padded renderings (date, or timestamp without a
-    #: fractional part) where Spark's cast-to-string round-trips to the
-    #: exact same spelling — only then does a raw lexicographic compare
-    #: provably equal Spark's residual semantics (round 10)
+    #: canonical zero-padded renderings (bare date, or space-separated
+    #: timestamp without a fractional part) where Spark's cast-to-string
+    #: round-trips to the exact same spelling — only then does a raw
+    #: lexicographic compare provably equal Spark's residual semantics
+    #: (round 10). The sniff strips whitespace first: Spark's cast TRIMS
+    #: before parsing, so ``' 2024-01-05'`` is date-typed despite the pad
+    #: (and, being non-canonical raw, must degrade to no-prune).
     _DATEISH = re.compile(r"\d{1,4}-\d{1,2}-\d{1,2}(?:[ T].*)?\Z")
-    _DATE_CANON = re.compile(r"\d{4}-\d{2}-\d{2}(?: \d{2}:\d{2}:\d{2})?\Z")
+    _DATE_CANON_VAL = re.compile(r"\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2})?\Z")
 
-    def _string_layout_unsafe(self, real_vals: list[str], pred: tuple) -> bool:
-        """True when a string-typed layout's lexicographic compare is NOT
-        provably Spark's residual semantics, because date inference may
-        retype or re-render values:
+    #: string-bound spellings Spark's string→DATE/TIMESTAMP cast accepts
+    #: that we can canonicalize to the layout's own form: bare date,
+    #: space- or T-separated timestamp, optional fractional seconds
+    _TEMPORAL_BOUND = re.compile(
+        r"(\d{4}-\d{2}-\d{2})(?:[ T](\d{2}:\d{2}:\d{2})(\.\d+)?)?\Z"
+    )
 
-        * a date-ish value in a NON-canonical spelling (``2024-1-5``) —
-          Spark may parse it as a date and render it zero-padded, so the
-          raw path value never equals what the residual compares;
-        * an ALL-date-like layout (Spark types the column DATE/TIMESTAMP
-          and casts the caller's bounds) with a bound that is not itself a
-          canonical date string — ``lo='2024-1-7'`` would compare as a
-          DATE in the residual but lexicographically here, in a different
-          order.
+    def _canon_temporal_bound(self, form: str, b, is_lo: bool):
+        """Rewrite one range bound into the layout form's canonical string
+        so a raw lexicographic compare against the path values equals
+        Spark's residual, or ``None`` when no provable rewrite exists.
 
-        Plain-word layouts and canonical-ISO layouts with canonical
-        bounds return False (prune normally)."""
-        dateish = [v for v in real_vals if self._DATEISH.match(v)]
-        if not dateish:
-            return False
-        if not all(self._DATE_CANON.match(v) for v in dateish):
-            return True
-        if len(dateish) < len(real_vals):
-            # mixed with plain strings: Spark widens to STRING; canonical
-            # date literals render back to the identical raw spelling
-            return False
-        bounds = pred[1] if len(pred) == 2 else [
-            b for b in pred[1:] if b is not None
-        ]
-        return not all(
-            isinstance(b, str) and self._DATE_CANON.match(b) for b in bounds
-        )
+        Spark's coercion is DIRECTIONAL (round 11, ADVICE r10 — all
+        verified live in test_partition_cross_form_bounds_match_spark):
+
+        * string bound vs DATE column: the STRING casts down to DATE,
+          truncating any time part — ``date_col >= '2024-01-05 10:00:00'``
+          KEEPS partition 2024-01-05 → truncate the bound to its date;
+        * string bound vs TIMESTAMP column: the string casts to timestamp
+          (bare date → midnight) → pad to ``'YYYY-MM-DD 00:00:00'``;
+          T separators cast the same as spaces → normalize to a space;
+          fractional seconds compare chronologically, and lexicographic
+          order agrees with second-precision values once trailing zeros
+          are stripped (``'...00.000'`` would sort after the equal
+          ``'...00'``);
+        * datetime.datetime bound vs DATE column: the COLUMN casts up to
+          a midnight timestamp, so a lo with any time-of-day excludes
+          that whole day (the opposite of the string case!) → next day;
+        * date/datetime objects vs TIMESTAMP column: typed compare at
+          midnight / at the rendered instant.
+        """
+        import datetime
+
+        if b is None:
+            return None
+        if isinstance(b, str):
+            m = self._TEMPORAL_BOUND.match(b)
+            if not m:
+                return None  # spelling the cast may reject or re-render
+            d, t, frac = m.groups()
+            if form == "date":
+                return d  # string→DATE cast truncates the time part
+            if t is None:
+                return f"{d} 00:00:00"  # bare date casts to midnight
+            s = f"{d} {t}"
+            if frac:
+                frac = frac.rstrip("0")
+                if frac != ".":
+                    s += frac
+            return s
+        if isinstance(b, datetime.datetime):
+            if form == "date":
+                # DATE column casts UP to midnight timestamp: midnight
+                # bounds behave like the bare date; a lo with any
+                # time-of-day excludes its own day, a hi still admits it
+                d = b.date()
+                if is_lo and (b.hour or b.minute or b.second or b.microsecond):
+                    try:
+                        d = d + datetime.timedelta(days=1)
+                    except OverflowError:
+                        return None
+                return d.isoformat()
+            s = b.strftime("%Y-%m-%d %H:%M:%S")
+            if b.microsecond:
+                s += f".{b.microsecond:06d}".rstrip("0")
+            return s
+        if isinstance(b, datetime.date):
+            return (
+                b.isoformat() if form == "date" else f"{b.isoformat()} 00:00:00"
+            )
+        return None
+
+    def _canon_temporal_pred(self, form: str, pred: tuple):
+        """Rewrite a predicate's bounds for an all-canonical DATE- or
+        TIMESTAMP-typed partition layout (``form`` in {'date', 'ts'}) so
+        the generic raw-string compare below equals Spark's residual, or
+        ``None`` → no pruning.
+
+        IN-lists get the OPPOSITE treatment from ranges, and their
+        coercion is ANSI-DEPENDENT (verified live, round 11): with
+        ``spark.sql.ansi.enabled=false`` Spark widens ``In`` over a
+        datetime-typed column and strings to STRING — the column renders
+        its canonical spelling, which on a canonical layout IS the raw
+        path value, so a timestamp-spelled value on a date layout matches
+        nothing — while under ANSI the STRINGS cast to the column's type
+        instead (``k IN ('2024-01-05 00:00:00')`` on a date column
+        MATCHES 2024-01-05). The engine pins ANSI off, but the ambient
+        session conf is not this method's to assume, so string IN-values
+        admit the UNION of both semantics (raw spelling ∪ cast-equality
+        canonical form) — a conservative superset under either conf; the
+        residual enforces the exact one. date objects compare typed →
+        canonical form. Mixed/other value types have no cheaply-provable
+        rewrite."""
+        import datetime
+
+        if len(pred) == 2:
+            vals = list(pred[1])
+            if all(isinstance(v, str) for v in vals):
+                canon: list[str] = []
+                for v in vals:
+                    canon.append(v)  # widen-to-string semantics (ANSI off)
+                    c = self._canon_temporal_bound(form, v, is_lo=False)
+                    if c is not None and c != v:
+                        canon.append(c)  # cast-equality semantics (ANSI on)
+                return (pred[0], canon)
+            if all(
+                isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime)
+                for v in vals
+            ):
+                sfx = "" if form == "date" else " 00:00:00"
+                return (pred[0], [v.isoformat() + sfx for v in vals])
+            return None
+        col, lo, hi = pred
+        clo = self._canon_temporal_bound(form, lo, is_lo=True)
+        chi = self._canon_temporal_bound(form, hi, is_lo=False)
+        if (lo is not None and clo is None) or (hi is not None and chi is None):
+            return None
+        return (col, clo, chi)
 
     @staticmethod
     def _unescape_hive(v: str) -> str:
@@ -427,31 +518,6 @@ class Catalog:
 
         real_vals = [v for v, _ in parts if v != self._HIVE_NULL]
 
-        # datetime.date bounds/IN-values on an all-pure-date layout
-        # compare as their ISO strings (round 10): the layout is typed
-        # DATE by Spark, the residual compares dates, and lexicographic
-        # order on canonical 'YYYY-MM-DD' IS date order. Only plain dates
-        # qualify — a datetime bound renders with a time part, which
-        # sorts AFTER the bare date string while Spark compares midnight
-        # EQUAL to it, so datetimes keep degrading to no-prune.
-        import datetime
-
-        def _dstr(b):
-            if (
-                isinstance(b, datetime.date)
-                and not isinstance(b, datetime.datetime)
-            ):
-                return b.isoformat()
-            return b
-
-        if real_vals and all(
-            re.fullmatch(r"\d{4}-\d{2}-\d{2}", v) for v in real_vals
-        ):
-            if len(pred) == 2:
-                pred = (col, [_dstr(v) for v in pred[1]])
-            else:
-                pred = (col, _dstr(pred[1]), _dstr(pred[2]))
-
         numeric_layout = bool(real_vals) and all(
             self._STRICT_NUM.match(v) for v in real_vals
         )
@@ -465,8 +531,30 @@ class Catalog:
                 # Java-lenient, where NaN/Infinity semantics diverge):
                 # no pruning
                 return None
-            if self._string_layout_unsafe(real_vals, pred):
-                return None
+            # date/timestamp typing (round 11, ADVICE r10): sniff on the
+            # STRIPPED value (Spark's cast trims before parsing), require
+            # the RAW value canonical (else the re-rendered literal never
+            # equals the path string → no-prune)
+            dateish = [
+                v for v in real_vals if self._DATEISH.match(v.strip())
+            ]
+            if dateish:
+                if not all(self._DATE_CANON_VAL.match(v) for v in dateish):
+                    return None  # non-canonical / T-sep / padded spellings
+                if len(dateish) == len(real_vals):
+                    # Spark types the column DATE (all bare) or TIMESTAMP
+                    # (all with a time part); a MIX widens to timestamp and
+                    # re-renders the bare dates ('2024-01-05' →
+                    # '2024-01-05 00:00:00' ≠ the raw path) → no-prune
+                    forms = {"ts" if " " in v else "date" for v in dateish}
+                    if len(forms) > 1:
+                        return None
+                    pred = self._canon_temporal_pred(forms.pop(), pred)
+                    if pred is None:
+                        return None
+                # else: mixed with plain words → Spark widens to STRING
+                # and the canonical literals render round-trip, so the
+                # generic raw-string compare below is exact
 
         if len(pred) == 2:  # IN-list
             if numeric_layout:

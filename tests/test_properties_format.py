@@ -1,0 +1,276 @@
+"""Model-based sequence fuzz for the copy-on-write VersionedTable
+(round 11).
+
+The existing table-format tests pin single scenarios (one merge, one
+restore, one vacuum). This fuzz drives hypothesis-generated OPERATION
+SEQUENCES — write / merge(±delete, ±change-log) / restore / compact /
+vacuum in any order — against a plain Python dict-of-dicts model, then
+checks every surviving snapshot, the version bookkeeping, CDC between
+the oldest and newest survivors, and the change-feed fold identity
+(base − pre-keys + post == the merged snapshot) for every logged merge.
+Sequencing bugs (a restore after a vacuum renumbering wrongly, a merge
+against a compacted base, a change feed surviving a restore) are
+exactly what single-scenario tests cannot see.
+
+Semantics modeled (pipeline/table_format.py, operators/upsert.py):
+* ``merge`` with ``delete_condition="val < 0"``: matched keys whose
+  update row has a negative val are deleted; unmatched negative rows are
+  ignored; everything else upserts.
+* ``restore(v)`` re-commits snapshot v as a NEW latest version.
+* ``compact`` rewrites the latest snapshot (content-identical).
+* ``vacuum(keep_last=k)`` drops all but the newest k versions and
+  returns exactly the dropped numbers; dropped versions become
+  unreadable, survivors keep their numbers.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 50)),
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+_merge_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-5, 50)),
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("write"), _rows),
+        st.tuples(st.just("merge"), _merge_rows, st.booleans()),
+        st.tuples(st.just("restore"), st.integers(0, 7)),
+        st.tuples(st.just("compact")),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _mk_df(spark, rows):
+    return spark.createDataFrame(rows, "k int, val int")
+
+
+def _model_merge(base: dict, rows: list) -> dict:
+    out = dict(base)
+    for k, val in rows:
+        if val < 0:
+            out.pop(k, None)  # delete matched, never insert
+        else:
+            out[k] = val
+    return out
+
+
+def _model_diff(a: dict, b: dict) -> set:
+    out = set()
+    for k in b.keys() - a.keys():
+        out.add((k, "added"))
+    for k in a.keys() - b.keys():
+        out.add((k, "removed"))
+    for k in a.keys() & b.keys():
+        if a[k] != b[k]:
+            out.add((k, "changed"))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_versioned_table_op_sequences_match_model(spark, ops):
+    path = tempfile.mkdtemp(prefix="vt_fuzz_")
+    try:
+        t = VersionedTable(spark, path, ["k"])
+        model: dict[int, dict] = {}
+        merge_logs: dict[int, tuple[dict, list]] = {}
+        dropped_all: list[int] = []
+
+        for op in ops:
+            kind = op[0]
+            if kind == "write":
+                v = t.write(_mk_df(spark, op[1]))
+                model[v] = dict(op[1])
+            elif kind == "merge":
+                rows, log = op[1], op[2]
+                base = model[max(model)] if model else {}
+                v = t.merge(
+                    _mk_df(spark, rows),
+                    delete_condition="val < 0",
+                    log_changes=log,
+                )
+                model[v] = _model_merge(base, rows)
+                if log:
+                    merge_logs[v] = (dict(base), rows)
+            elif kind == "restore":
+                if not model:
+                    continue
+                vs = sorted(model)
+                src = vs[op[1] % len(vs)]
+                v = t.restore(src)
+                model[v] = dict(model[src])
+            elif kind == "compact":
+                if not model:
+                    continue
+                v = t.compact(target_files=1)
+                model[v] = dict(model[max(model)])
+            elif kind == "vacuum":
+                if not model:
+                    continue
+                keep = op[1]
+                dropped = t.vacuum(keep_last=keep, tmp_min_age_s=0.0)
+                vs = sorted(model)
+                assert dropped == vs[:-keep], (dropped, vs, keep)
+                dropped_all.extend(dropped)
+                for d in dropped:
+                    del model[d]
+
+        # -- bookkeeping: exactly the surviving versions, in order --------
+        assert t.versions() == sorted(model), (t.versions(), sorted(model))
+        assert [h["version"] for h in t.history()] == sorted(model)
+
+        # -- every surviving snapshot equals its model --------------------
+        for v in sorted(model):
+            got = {(r["k"], r["val"]) for r in t.read(v).collect()}
+            assert got == set(model[v].items()), (v, got, model[v])
+
+        # -- CDC between the oldest and newest survivors ------------------
+        if len(model) >= 2:
+            a, b = min(model), max(model)
+            diff = {
+                (r["k"], r["status"]) for r in t.read_changes(a, b).collect()
+            }
+            assert diff == _model_diff(model[a], model[b]), (a, b, diff)
+
+        # -- change-feed fold identity for every surviving logged merge ---
+        for v, (base, rows) in merge_logs.items():
+            if v not in model:
+                continue  # vacuumed away with its snapshot
+            cf = t.change_feed(v)
+            assert cf is not None, f"logged merge v={v} lost its feed"
+            pre = {(r["k"], r["val"]) for r in cf[0].collect()}
+            post = {(r["k"], r["val"]) for r in cf[1].collect()}
+            ukeys = {k for k, _ in rows}
+            assert pre == {(k, base[k]) for k in ukeys if k in base}, (v, pre)
+            assert post == {(k, val) for k, val in rows if val >= 0}, (v, post)
+            folded = {k: val for k, val in base.items() if k not in ukeys}
+            folded.update({k: val for k, val in post})
+            assert folded == model[v], (v, folded, model[v])
+
+        # -- vacuumed versions are really unreadable (numbers never reused)
+        for gone in dropped_all[:2]:
+            with pytest.raises(FileNotFoundError):
+                t.read(gone)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# --- incremental view maintenance under the same op sequences -------------
+#
+# MaterializedAggregate folds change feeds when a pending version logged
+# one and falls back to snapshot hash-diffing when it didn't — a refresh
+# after a MIX of logged merges, unlogged merges, restores, and compactions
+# exercises fold-path selection and telescoping that the fixed-scenario
+# tests can't. Ground truth after every refresh: a full GROUP BY recompute
+# of the current source snapshot.
+
+_ivm_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("write"), _rows),
+        st.tuples(st.just("merge"), _merge_rows, st.booleans()),
+        st.tuples(st.just("restore"), st.integers(0, 7)),
+        st.tuples(st.just("compact")),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        st.tuples(st.just("refresh")),
+    ),
+    min_size=2,
+    max_size=6,
+).filter(lambda ops: any(o[0] in ("write", "merge") for o in ops))
+
+
+def _ivm_df(spark, rows):
+    # derive a group column from the key so merges move mass BETWEEN
+    # groups as keys change value
+    return spark.createDataFrame(
+        [(k, f"g{k % 3}", val) for k, val in rows], "k int, g string, val int"
+    )
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ivm_ops)
+def test_materialized_refresh_matches_recompute_under_op_sequences(spark, ops):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.pipeline.materialized import (
+        MaterializedAggregate,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivm_fuzz_")
+    try:
+        src = VersionedTable(spark, f"{path}/src", ["k"])
+        view = MaterializedAggregate(
+            src, f"{path}/view", group_cols=["g"], sum_cols=["val"]
+        )
+
+        def check_view():
+            got = {
+                (r["g"], r["n"], r["sum_val"]) for r in view.read().collect()
+            }
+            want = {
+                (r["g"], r["n"], r["sum_val"])
+                for r in src.read()
+                .groupBy("g")
+                .agg(F.count("*").alias("n"), F.sum("val").alias("sum_val"))
+                .collect()
+            }
+            assert got == want, (got, want)
+
+        for op in ops:
+            kind = op[0]
+            if kind == "write":
+                src.write(_ivm_df(spark, op[1]))
+            elif kind == "merge":
+                src.merge(
+                    _ivm_df(spark, op[1]),
+                    delete_condition="val < 0",
+                    log_changes=op[2],
+                )
+            elif kind == "restore":
+                vs = src.versions()
+                if vs:
+                    src.restore(vs[op[1] % len(vs)])
+            elif kind == "compact":
+                if src.versions():
+                    src.compact(target_files=1)
+            elif kind == "vacuum":
+                # may drop the view's refreshed_through version — refresh
+                # must degrade to a full rebuild, never error
+                if src.versions():
+                    src.vacuum(keep_last=op[1], tmp_min_age_s=0.0)
+            elif kind == "refresh":
+                if src.versions():
+                    view.refresh()
+                    check_view()
+
+        if src.versions():
+            view.refresh()
+            check_view()
+            # refresh is idempotent once current
+            assert view.refresh() is None
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

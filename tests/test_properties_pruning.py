@@ -420,16 +420,19 @@ def date_table(spark, tmp_path_factory):
     return cat, rows
 
 
+_fuzz_dates = st.dates(
+    min_value=__import__("datetime").date(2023, 12, 1),
+    max_value=__import__("datetime").date(2024, 4, 1),
+)
+_fuzz_datetimes = st.datetimes(
+    min_value=__import__("datetime").datetime(2023, 12, 1, 0, 0, 0),
+    max_value=__import__("datetime").datetime(2024, 4, 1, 23, 59, 59),
+).map(lambda t: t.replace(microsecond=0))
+
 _date_bound = st.one_of(
     st.none(),
-    st.dates(
-        min_value=__import__("datetime").date(2023, 12, 1),
-        max_value=__import__("datetime").date(2024, 4, 1),
-    ),
-    st.dates(
-        min_value=__import__("datetime").date(2023, 12, 1),
-        max_value=__import__("datetime").date(2024, 4, 1),
-    ).map(lambda d: d.isoformat()),
+    _fuzz_dates,
+    _fuzz_dates.map(lambda d: d.isoformat()),
     # non-canonical spelling: Spark casts it to the same date in the
     # residual; the engine must degrade to no-prune rather than compare
     # it lexicographically
@@ -437,41 +440,142 @@ _date_bound = st.one_of(
         min_value=__import__("datetime").date(2024, 1, 1),
         max_value=__import__("datetime").date(2024, 3, 28),
     ).map(lambda d: f"{d.year}-{d.month}-{d.day}"),
+    # timestamp-spelled strings (ADVICE r10): space- and T-separated,
+    # midnight and arbitrary times, with and without fractional seconds —
+    # the spellings whose cross-form cast exposed the lexicographic bug
+    _fuzz_datetimes.map(lambda t: t.strftime("%Y-%m-%d %H:%M:%S")),
+    _fuzz_datetimes.map(lambda t: t.strftime("%Y-%m-%dT%H:%M:%S")),
+    _fuzz_dates.map(lambda d: f"{d.isoformat()} 00:00:00"),
+    _fuzz_datetimes.map(lambda t: t.strftime("%Y-%m-%d %H:%M:%S") + ".500"),
+    # datetime OBJECTS flip the cast direction (the column casts up to a
+    # midnight timestamp) — a different admit rule from ts-spelled strings
+    _fuzz_datetimes,
+    _fuzz_datetimes.map(lambda t: t.replace(microsecond=250000)),
 )
 
 
-def _as_date(b):
-    import datetime
-
-    if isinstance(b, datetime.date):
-        return b
-    y, m, d = (int(x) for x in b.split("-"))
-    return datetime.date(y, m, d)
+def _residual_truth(spark_df, where):
+    """Ground truth = the ENGINE's residual applied to an unpruned scan:
+    exactly live Spark's typing + coercion, with no hand model to drift."""
+    return {r["rid"] for r in Catalog._apply_residual(spark_df, [where]).collect()}
 
 
 @settings(
-    max_examples=20,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(lo=_date_bound, hi=_date_bound)
-def test_date_partition_range_matches_spark_residual(date_table, lo, hi):
+def test_date_partition_range_matches_spark_residual(spark, date_table, lo, hi):
     """The pruned read over a DATE-typed partition layout must return
-    exactly the rows Spark's own date-compare residual keeps, for every
-    bound spelling: date objects, canonical ISO strings (both may
-    prune), and non-canonical strings (must degrade to no-prune, since
-    Spark casts them to dates while the path values compare as text)."""
+    exactly the rows Spark's own residual keeps on a full scan, for every
+    bound spelling: date/datetime objects, canonical ISO strings,
+    timestamp-spelled strings in every separator/fraction form (all may
+    prune under the form-typed canonicalization), and non-canonical
+    strings (must degrade to no-prune)."""
     cat, rows = date_table
-    got = {
-        r["rid"]
-        for r in cat.read("dt", where=("d", lo, hi)).collect()
-    }
-    dlo = None if lo is None else _as_date(lo)
-    dhi = None if hi is None else _as_date(hi)
-    want = {
-        rid
-        for rid, v in rows
-        if (dlo is None or _as_date(v) >= dlo)
-        and (dhi is None or _as_date(v) <= dhi)
-    }
+    where = ("d", lo, hi)
+    got = {r["rid"] for r in cat.read("dt", where=where).collect()}
+    full = spark.read.parquet(cat.table_spec("dt").path)
+    want = _residual_truth(full, where)
     assert got == want, (lo, hi, sorted(got), sorted(want))
+
+
+@pytest.fixture(scope="module")
+def ts_table(spark, tmp_path_factory):
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    root = str(tmp_path_factory.mktemp("tstamps"))
+    cat = Catalog(spark, root)
+    cat.define("tt", partition_by=("t",))
+    vals = [
+        "2024-01-05 00:00:00",
+        "2024-01-05 10:30:00",
+        "2024-01-28 23:59:59",
+        "2024-02-14 08:00:00",
+        "2024-03-03 12:00:01",
+    ]
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame(rows, "rid int, t string")
+    df.write.partitionBy("t").parquet(cat.table_spec("tt").path)
+    return cat, rows
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lo=_date_bound, hi=_date_bound)
+def test_ts_partition_range_matches_spark_residual(spark, ts_table, lo, hi):
+    """Same contract over a TIMESTAMP-typed layout (ADVICE r10 low: the
+    fixture the old suite lacked), fuzzed with bare-date bounds (cast to
+    midnight), timestamp strings, T-forms, fractions, and date/datetime
+    objects."""
+    cat, rows = ts_table
+    where = ("t", lo, hi)
+    got = {r["rid"] for r in cat.read("tt", where=where).collect()}
+    full = spark.read.parquet(cat.table_spec("tt").path)
+    want = _residual_truth(full, where)
+    assert got == want, (lo, hi, sorted(got), sorted(want))
+
+
+# --- compound pruning over a TEMPORAL partition column (round 11) ---------
+#
+# Same composition property, but the partition dimension is a DATE-typed
+# layout fuzzed with every cross-form bound spelling from _date_bound
+# (ADVICE r10) — ground truth is the engine residual on a full scan, so
+# the test needs no hand model of Spark's cast directionality.
+
+
+@pytest.fixture(scope="module")
+def compound_temporal_table(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("compound_t"))
+    cat = Catalog(spark, root)
+    cat.define(
+        "ctt", partition_by=("day",), stats_cols=("v",), bloom_cols=("u",)
+    )
+    df = spark.range(2000).select(
+        F.col("id").alias("rid"),
+        F.date_format(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("id") % 6 * 9).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        (F.col("id") % 400).cast("double").alias("v"),
+        F.concat(F.lit("u-"), (F.col("id") % 97).cast("string")).alias("u"),
+    )
+    df.repartitionByRange(4, "v").write.partitionBy("day").parquet(
+        cat.table_spec("ctt").path
+    )
+    return cat
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=_date_bound,
+    hi=_date_bound,
+    other=st.one_of(_stats_pred, _bloom_pred),
+)
+def test_compound_temporal_pruned_read_equals_residual(
+    spark, compound_temporal_table, lo, hi, other
+):
+    cat = compound_temporal_table
+    preds = [("day", lo, hi), other]
+    got = {r["rid"] for r in cat.read("ctt", where=preds).collect()}
+    full = spark.read.parquet(cat.table_spec("ctt").path)
+    want = {
+        r["rid"] for r in Catalog._apply_residual(full, preds).collect()
+    }
+    assert got == want, (
+        f"temporal compound pruning changed the result for {preds!r}: "
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )

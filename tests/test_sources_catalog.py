@@ -817,6 +817,253 @@ def test_partition_prune_with_python_date_bounds(spark, tmp_path):
     inl = cat.read("dp", where=("d", [datetime.date(2024, 1, 10)]))
     assert {r["rid"] for r in inl.collect()} == {1}
 
-    # datetime bounds: conservative no-prune, result still correct
+    # datetime bounds prune too (round 11): the DATE column casts UP to a
+    # midnight timestamp, so a midnight lo admits its own day while a lo
+    # with any time-of-day excludes it — both verified against the live
+    # residual below
     dt_lo = datetime.datetime(2024, 1, 1, 0, 0, 0)
-    assert cat._partition_admitted_files(spec, ("d", dt_lo, None)) is None
+    adm2 = cat._partition_admitted_files(spec, ("d", dt_lo, None))
+    assert adm2 is not None and len(adm2) == n_total
+    dt_mid = datetime.datetime(2024, 1, 5, 10, 0, 0)
+    adm3 = cat._partition_admitted_files(spec, ("d", dt_mid, None))
+    assert adm3 is not None and not any("2024-01-05" in f for f in adm3)
+    for b in (dt_lo, dt_mid):
+        got_b = {r["rid"] for r in cat.read("dp", where=("d", b, None)).collect()}
+        want_b = {
+            r["rid"]
+            for r in spark.read.parquet(spec.path)
+            .filter(F.col("d") >= F.lit(b))
+            .collect()
+        }
+        assert got_b == want_b, (b, got_b, want_b)
+
+
+def _pruned_read_matches_residual(spark, cat, name, where):
+    """The engine's pruned read must return exactly what the engine's own
+    residual keeps on a FULL scan — the conservative-superset contract,
+    checked against live Spark's partition typing + coercion."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    spec = cat.table_spec(name)
+    got = {r["rid"] for r in cat.read(name, where=where).collect()}
+    full = spark.read.parquet(spec.path)
+    want = {
+        r["rid"]
+        for r in Catalog._apply_residual(full, [where]).collect()
+    }
+    assert got == want, (name, where, sorted(got), sorted(want))
+    return got
+
+
+def test_partition_cross_form_bounds_match_spark(spark, tmp_path):
+    """Round 11 (ADVICE r10 high): a bound spelled in the OTHER temporal
+    form must not prune lexicographically. Verified live:
+
+    * DATE layout — string bounds cast DOWN to date (time part truncated:
+      ``>= '2024-01-05 10:00:00'`` keeps 2024-01-05), but IN-lists widen
+      to STRING (a timestamp-spelled IN value matches nothing);
+    * TIMESTAMP layout — a bare-date bound casts to midnight
+      (``<= '2024-01-05'`` keeps the midnight partition), T-separated and
+      fractional spellings cast like spaces/instants, IN widens to string;
+    * a MIXED date+timestamp layout widens to timestamp and re-renders
+      the bare dates → pruning must refuse.
+    """
+    import datetime
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    dspec = cat.define("xd", partition_by=("d",))
+    spark.createDataFrame(
+        [(0, "2024-01-05"), (1, "2024-01-10"), (2, "2024-02-01")],
+        "rid int, d string",
+    ).write.partitionBy("d").parquet(dspec.path)
+    assert dict(spark.read.parquet(dspec.path).dtypes)["d"] == "date"
+
+    # the advisor's exact repro: timestamp-spelled lo on a date layout
+    # must keep 2024-01-05 (string casts down to the date)
+    got = _pruned_read_matches_residual(
+        spark, cat, "xd", ("d", "2024-01-05 00:00:00", None)
+    )
+    assert got == {0, 1, 2}
+    got = _pruned_read_matches_residual(
+        spark, cat, "xd", ("d", "2024-01-05 10:00:00", "2024-01-05 10:00:00")
+    )
+    assert got == {0}  # truncation keeps the day for BOTH bounds
+    _pruned_read_matches_residual(
+        spark, cat, "xd", ("d", "2024-01-04T23:59:59", "2024-01-31T00:00:00")
+    )
+    _pruned_read_matches_residual(
+        spark, cat, "xd", ("d", None, "2024-01-05 00:00:00.000")
+    )
+    # IN widens to string: the timestamp spelling matches nothing, and the
+    # pruner agrees without over-admitting
+    assert (
+        _pruned_read_matches_residual(
+            spark, cat, "xd", ("d", ["2024-01-05 00:00:00"])
+        )
+        == set()
+    )
+    assert _pruned_read_matches_residual(
+        spark, cat, "xd", ("d", ["2024-01-05", "2024-02-01"])
+    ) == {0, 2}
+    # and the range cases above really did prune (not the None fallback)
+    adm = cat._partition_admitted_files(
+        dspec, ("d", "2024-01-05 00:00:00", "2024-01-10 00:00:00")
+    )
+    assert adm is not None and not any("2024-02-01" in f for f in adm)
+
+    # --- timestamp layout ---
+    tspec = cat.define("xt", partition_by=("t",))
+    spark.createDataFrame(
+        [
+            (0, "2024-01-05 00:00:00"),
+            (1, "2024-01-05 10:30:00"),
+            (2, "2024-02-01 23:59:59"),
+        ],
+        "rid int, t string",
+    ).write.partitionBy("t").parquet(tspec.path)
+    assert dict(spark.read.parquet(tspec.path).dtypes)["t"] == "timestamp"
+
+    # the advisor's second repro: bare-date hi keeps the midnight partition
+    got = _pruned_read_matches_residual(spark, cat, "xt", ("t", None, "2024-01-05"))
+    assert got == {0}
+    _pruned_read_matches_residual(spark, cat, "xt", ("t", "2024-01-05", None))
+    _pruned_read_matches_residual(
+        spark, cat, "xt", ("t", None, "2024-01-05T10:30:00")
+    )
+    _pruned_read_matches_residual(
+        spark, cat, "xt", ("t", None, "2024-01-05 10:30:00.5")
+    )
+    _pruned_read_matches_residual(
+        spark, cat, "xt", ("t", None, "2024-01-05 10:30:00.000")
+    )
+    _pruned_read_matches_residual(
+        spark, cat, "xt", ("t", datetime.date(2024, 1, 5), None)
+    )
+    _pruned_read_matches_residual(
+        spark,
+        cat,
+        "xt",
+        ("t", None, datetime.datetime(2024, 1, 5, 10, 30, 0, 500000)),
+    )
+    # IN widens to string on the timestamp side too
+    assert _pruned_read_matches_residual(spark, cat, "xt", ("t", ["2024-01-05"])) == set()
+    assert _pruned_read_matches_residual(
+        spark, cat, "xt", ("t", ["2024-01-05 00:00:00"])
+    ) == {0}
+    adm = cat._partition_admitted_files(tspec, ("t", None, "2024-01-05"))
+    assert adm is not None and not any("2024-02-01" in f for f in adm)
+
+    # --- mixed bare-date + timestamp layout: typed timestamp, bare dates
+    # re-render with a midnight suffix → pruning must refuse ---
+    mspec = cat.define("xm", partition_by=("m",))
+    spark.createDataFrame(
+        [(0, "2024-01-05"), (1, "2024-01-06 10:00:00")],
+        "rid int, m string",
+    ).write.partitionBy("m").parquet(mspec.path)
+    assert dict(spark.read.parquet(mspec.path).dtypes)["m"] == "timestamp"
+    assert (
+        cat._partition_admitted_files(mspec, ("m", "2024-01-05", None)) is None
+    )
+    _pruned_read_matches_residual(spark, cat, "xm", ("m", "2024-01-05", None))
+
+
+def test_partition_in_list_cross_form_under_ansi(spark, tmp_path):
+    """Round 11: ``In`` coercion is ANSI-dependent — ANSI casts string
+    values to the column's type (a timestamp-spelled value MATCHES its
+    date partition), non-ANSI widens everything to string (it matches
+    nothing). The pruner admits the union of both semantics, so the read
+    agrees with the residual under EITHER ambient conf; verified here by
+    flipping the session conf live."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    dspec = cat.define("ad", partition_by=("d",))
+    spark.createDataFrame(
+        [(0, "2024-01-05"), (1, "2024-01-10"), (2, "2024-02-01")],
+        "rid int, d string",
+    ).write.partitionBy("d").parquet(dspec.path)
+    tspec = cat.define("at", partition_by=("t",))
+    spark.createDataFrame(
+        [(0, "2024-01-05 00:00:00"), (1, "2024-01-05 10:30:00")],
+        "rid int, t string",
+    ).write.partitionBy("t").parquet(tspec.path)
+
+    cases = [
+        ("ad", ("d", ["2024-01-05 00:00:00"])),
+        ("ad", ("d", ["2024-01-05T00:00:00", "2024-02-01"])),
+        ("at", ("t", ["2024-01-05"])),
+        ("at", ("t", ["2024-01-05 10:30:00"])),
+    ]
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            for name, where in cases:
+                _pruned_read_matches_residual(spark, cat, name, where)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+    # and under ANSI the cross-form value really does MATCH (the union
+    # admitted its partition — raw-equality-only pruning would have
+    # returned zero rows here, silently)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r["rid"]
+            for r in cat.read("ad", where=("d", ["2024-01-05 00:00:00"])).collect()
+        }
+        assert got == {0}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+
+
+def test_partition_invalid_date_layout_stays_superset(spark, tmp_path):
+    """A canonical-LOOKING value Spark's cast rejects ('2024-02-30') makes
+    the whole layout STRING-typed — the residual then compares raw
+    strings, not dates. The driver can't cheaply detect calendar validity,
+    so its date-form canonicalization must still admit a SUPERSET of what
+    the string residual keeps (truncating a ts-spelled bound only widens
+    the range on 10-char values). Pinned live, both forms."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("xbad", partition_by=("d",))
+    spark.createDataFrame(
+        [(0, "2024-01-05"), (1, "2024-02-30"), (2, "2024-03-01")],
+        "rid int, d string",
+    ).write.partitionBy("d").parquet(spec.path)
+    assert dict(spark.read.parquet(spec.path).dtypes)["d"] == "string"
+
+    for where in [
+        ("d", "2024-01-05 10:00:00", None),
+        ("d", None, "2024-02-30 00:00:00"),
+        ("d", "2024-01-05", "2024-02-30"),
+        ("d", ["2024-02-30", "2024-01-05 00:00:00"]),
+    ]:
+        _pruned_read_matches_residual(spark, cat, "xbad", where)
+
+
+def test_partition_padded_date_value_no_prune(spark, tmp_path):
+    """A whitespace-padded partition value (' 2024-01-05') is still
+    date-typed by Spark (the cast TRIMS before parsing) and re-renders
+    unpadded — the raw path value never equals the residual's literal, so
+    pruning must refuse rather than compare the padded string."""
+    import os
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    spec = cat.define("xpad", partition_by=("d",))
+    os.makedirs(spec.path, exist_ok=True)
+    for j, v in enumerate([" 2024-01-05", "2024-01-10"]):
+        spark.createDataFrame([(j,)], "rid int").write.parquet(
+            os.path.join(spec.path, f"d={v}")
+        )
+    dtype = dict(spark.read.parquet(spec.path).dtypes)["d"]
+    if dtype.startswith("date"):
+        assert (
+            cat._partition_admitted_files(spec, ("d", "2024-01-01", None))
+            is None
+        )
+    _pruned_read_matches_residual(spark, cat, "xpad", ("d", "2024-01-01", None))
