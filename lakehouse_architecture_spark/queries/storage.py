@@ -301,6 +301,61 @@ ORDER BY event_id
 """
 
 
+def _q_partition_pruned_xform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_partition_pruned read with CROSS-FORM temporal bounds (round
+    11, ADVICE r10): the lo is a timestamp-SPELLED string — Spark casts it
+    down to DATE, truncating the time part, so 2024-01-05 is kept despite
+    the 10:00:00 — and the hi is a datetime OBJECT — the DATE column casts
+    UP to a midnight timestamp, so 2024-01-12 is kept because midnight
+    precedes 15:30. Both bounds canonicalize to the layout's form and
+    still PRUNE partition directories (no degrade to a full scan); the
+    value predicate intersects by min/max manifest as before. The oracle
+    states the resolved date window directly."""
+    import datetime
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    path = _partitioned_events_copy(spark, sf_dir)
+    cat = Catalog(spark)
+    cat.define(
+        "pevents_x",
+        relpath=path,
+        partition_by=("date",),
+        stats_cols=("value",),
+    )
+    return (
+        cat.read(
+            "pevents_x",
+            where=[
+                (
+                    "date",
+                    "2024-01-05 10:00:00",
+                    datetime.datetime(2024, 1, 12, 15, 30, 0),
+                ),
+                ("value", 100.0, 400.0),
+            ],
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value"), 4).alias("value"),
+            F.date_format(F.col("date"), "yyyy-MM-dd").alias("date_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_Q_PARTITION_PRUNED_XFORM_SQL = """
+SELECT event_id, user_id,
+       ROUND(value, 4) AS value,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date_s
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+  AND value BETWEEN 100 AND 400
+ORDER BY event_id
+"""
+
+
 def _q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global row_number over ALL lineitem rows ordered by
     (l_extendedprice, l_orderkey, l_linenumber) WITHOUT a single-partition
@@ -386,5 +441,12 @@ STORAGE_QUERIES = [
         "compound hive-partition + min/max-manifest pruned read",
         _q_partition_pruned,
         _Q_PARTITION_PRUNED_SQL,
+    ),
+    # round-11 addition (cross-form temporal bounds — ADVICE r10)
+    QuerySpec(
+        "q_partition_pruned_xform",
+        "partition-pruned read with cross-form temporal bounds",
+        _q_partition_pruned_xform,
+        _Q_PARTITION_PRUNED_XFORM_SQL,
     ),
 ]

@@ -579,3 +579,108 @@ def test_compound_temporal_pruned_read_equals_residual(
         f"temporal compound pruning changed the result for {preds!r}: "
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )
+
+
+# --- catalog op-sequence fuzz: writes x appends x refresh x pruned reads --
+#
+# The manifests and the partition index are CACHES with an invalidation
+# contract: Catalog.write drops them, out-of-band appends require
+# refresh_stats. Single-scenario tests pin each contract edge; this fuzz
+# composes them — random sequences of engine writes (overwrite + append),
+# out-of-band appends (followed by the contractual refresh_stats), and
+# pruned reads on the partition column (cross-form temporal bounds
+# included), the stats column, and the bloom column. Every read must
+# return exactly what the engine residual keeps on a fresh full scan.
+
+_seq_day = st.sampled_from(
+    ["2024-01-05", "2024-01-10", "2024-01-28", "2024-02-01"]
+)
+_seq_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), _seq_day, st.floats(0, 400, allow_nan=False), st.integers(0, 20)),
+    min_size=1,
+    max_size=6,
+)
+_seq_read = st.one_of(
+    st.tuples(
+        st.just("day"),
+        st.sampled_from(
+            [
+                ("2024-01-05", "2024-01-28"),
+                ("2024-01-05 10:00:00", "2024-02-01 00:00:00"),
+                ("2024-01-04T00:00:00", "2024-01-28T23:59:59"),
+                (None, "2024-01-10"),
+            ]
+        ),
+    ),
+    st.tuples(st.just("v"), st.tuples(st.floats(0, 200, allow_nan=False), st.floats(200, 420, allow_nan=False))),
+    st.tuples(st.just("u"), st.lists(st.integers(0, 25), min_size=1, max_size=3)),
+)
+_seq_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("write"), _seq_rows),
+        st.tuples(st.just("append"), _seq_rows),
+        st.tuples(st.just("oob_append"), _seq_rows),
+        st.tuples(st.just("read"), _seq_read),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _seq_df(spark, rows):
+    return spark.createDataFrame(
+        [(rid, d, v, f"u-{u}") for rid, d, v, u in rows],
+        "rid int, day string, v double, u string",
+    )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_seq_ops, first=_seq_rows)
+def test_catalog_op_sequences_reads_match_residual(
+    spark, tmp_path_factory, ops, first
+):
+    import tempfile as _tf
+    import shutil as _sh
+
+    root = _tf.mkdtemp(prefix="cat_seq_")
+    try:
+        cat = Catalog(spark, root)
+        spec = cat.define(
+            "sq", partition_by=("day",), stats_cols=("v",), bloom_cols=("u",)
+        )
+        cat.write(_seq_df(spark, first), "sq")
+        for op in ops:
+            kind = op[0]
+            if kind == "write":
+                cat.write(_seq_df(spark, op[1]), "sq")
+            elif kind == "append":
+                cat.write(_seq_df(spark, op[1]), "sq", mode="append")
+            elif kind == "oob_append":
+                # out-of-band: bypass the catalog, then honor the contract
+                _seq_df(spark, op[1]).write.mode("append").partitionBy(
+                    "day"
+                ).parquet(spec.path)
+                cat.refresh_stats("sq")
+            else:
+                col, arg = op[1]
+                if col == "day":
+                    where = ("day", arg[0], arg[1])
+                elif col == "v":
+                    where = ("v", min(arg), max(arg))
+                else:
+                    where = ("u", [f"u-{i}" for i in arg])
+                got = sorted(
+                    r["rid"] for r in cat.read("sq", where=where).collect()
+                )
+                full = spark.read.parquet(spec.path)
+                want = sorted(
+                    r["rid"]
+                    for r in Catalog._apply_residual(full, [where]).collect()
+                )
+                assert got == want, (where, got[:8], want[:8])
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
