@@ -309,6 +309,12 @@ class Catalog:
                     s += frac
             return s
         if isinstance(b, datetime.datetime):
+            if b.tzinfo is not None:
+                # an AWARE datetime is an instant: Spark renders it in the
+                # session timezone, which need not match the bound's own
+                # wall-clock fields — no provable driver-side compare
+                # without replicating the TZ conversion → no-prune
+                return None
             if form == "date":
                 # DATE column casts UP to midnight timestamp: midnight
                 # bounds behave like the bare date; a lo with any
@@ -320,7 +326,14 @@ class Catalog:
                     except OverflowError:
                         return None
                 return d.isoformat()
-            s = b.strftime("%Y-%m-%d %H:%M:%S")
+            # explicit zero-padded rendering, NOT strftime: glibc %Y does
+            # not pad years < 1000, and a '999-01-01 ...' lo would sort
+            # lexicographically ABOVE every modern date, silently dropping
+            # satisfying partitions (isoformat()/Spark both render 0999)
+            s = (
+                f"{b.year:04d}-{b.month:02d}-{b.day:02d} "
+                f"{b.hour:02d}:{b.minute:02d}:{b.second:02d}"
+            )
             if b.microsecond:
                 s += f".{b.microsecond:06d}".rstrip("0")
             return s

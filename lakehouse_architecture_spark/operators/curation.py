@@ -325,8 +325,9 @@ def dsir_scores(
     driver-side scalars. Docs with no tokens are dropped (no score is
     definable for them).
 
-    Output: (id, n_tokens, dsir_score), score quantized via decimal sums
-    for engine-portable determinism.
+    Output: (id, n_tokens, dsir_score), score derived from decimal sums
+    and FLOOR-quantized at 1e-6 for engine-portable determinism (round-
+    half-up on a double diverges across engines at half boundaries).
     """
     from lakehouse_architecture_spark.functions.aggregates import davg
     from lakehouse_architecture_spark.operators.partitioning import spread
@@ -363,7 +364,16 @@ def dsir_scores(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(davg("w"), 6).alias("dsir_score"),
+            # FLOOR-quantized at 1e-6, not ROUND: half-up rounding of a
+            # double is boundary-fragile across engines (Spark rounds the
+            # double's shortest decimal string via BigDecimal, DuckDB the
+            # binary value — a mean landing on the …5e-7 half diverged at
+            # sf0.1, doc 4470), while floor of the identical IEEE double
+            # is bit-deterministic everywhere. + 0.0 folds the negative
+            # zero a tiny-negative mean floors to (sf0.1, doc 4163).
+            (F.floor(davg("w") * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+                "dsir_score"
+            ),
         )
         .withColumnRenamed("id", id_col)
     )

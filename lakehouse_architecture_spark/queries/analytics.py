@@ -1108,7 +1108,7 @@ w AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       ROUND({davg_sql('w')}, 6) AS dsir_score
+       FLOOR(({davg_sql('w')}) * 1000000.0) / 1000000.0 + 0.0 AS dsir_score
 FROM tok JOIN w USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id

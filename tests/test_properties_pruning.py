@@ -451,6 +451,22 @@ _date_bound = st.one_of(
     # midnight timestamp) — a different admit rule from ts-spelled strings
     _fuzz_datetimes,
     _fuzz_datetimes.map(lambda t: t.replace(microsecond=250000)),
+    # ancient years (strftime('%Y') does not zero-pad below 1000 — the
+    # r11 rendering bug) and timezone-AWARE instants (must degrade to
+    # no-prune; the residual is still the ground truth either way)
+    st.sampled_from(
+        [
+            __import__("datetime").datetime(999, 6, 15, 10, 0, 0),
+            __import__("datetime").datetime(99, 12, 31, 23, 59, 59),
+        ]
+    ),
+    _fuzz_datetimes.map(
+        lambda t: t.replace(
+            tzinfo=__import__("datetime").timezone(
+                __import__("datetime").timedelta(hours=7)
+            )
+        )
+    ),
 )
 
 

@@ -969,6 +969,53 @@ def test_partition_cross_form_bounds_match_spark(spark, tmp_path):
     _pruned_read_matches_residual(spark, cat, "xm", ("m", "2024-01-05", None))
 
 
+def test_partition_ancient_year_datetime_bounds(spark, tmp_path):
+    """Round 11: datetime bounds with years < 1000 must render
+    zero-padded ('0999-…') — glibc strftime('%Y') does not pad, and an
+    unpadded '999-01-01 …' lo sorts lexicographically ABOVE every modern
+    date, silently dropping satisfying partitions. Pinned against the
+    live residual on date and timestamp layouts."""
+    import datetime
+
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    dspec = cat.define("yd", partition_by=("d",))
+    spark.createDataFrame(
+        [(0, "2024-01-05"), (1, "2024-01-10")], "rid int, d string"
+    ).write.partitionBy("d").parquet(dspec.path)
+    tspec = cat.define("yt", partition_by=("t",))
+    spark.createDataFrame(
+        [(0, "2024-01-05 00:00:00"), (1, "2024-01-05 10:30:00")],
+        "rid int, t string",
+    ).write.partitionBy("t").parquet(tspec.path)
+
+    ancient = [
+        datetime.datetime(999, 1, 1, 0, 0, 0),
+        datetime.datetime(999, 6, 15, 10, 0, 0),
+        datetime.datetime(99, 12, 31, 23, 59, 59),
+    ]
+    for b in ancient:
+        got = _pruned_read_matches_residual(spark, cat, "yd", ("d", b, None))
+        assert got == {0, 1}, (b, got)  # every modern partition satisfies
+        got = _pruned_read_matches_residual(spark, cat, "yt", ("t", b, None))
+        assert got == {0, 1}, (b, got)
+        # and as a hi bound nothing satisfies
+        assert (
+            _pruned_read_matches_residual(spark, cat, "yt", ("t", None, b))
+            == set()
+        )
+
+    # timezone-AWARE datetimes are instants rendered in the session TZ —
+    # no provable wall-clock compare, so pruning must refuse (and the read
+    # still agrees with the residual)
+    aware = datetime.datetime(
+        2024, 1, 5, 10, 30, 0, tzinfo=datetime.timezone(datetime.timedelta(hours=7))
+    )
+    assert cat._partition_admitted_files(tspec, ("t", aware, None)) is None
+    _pruned_read_matches_residual(spark, cat, "yt", ("t", aware, None))
+
+
 def test_partition_in_list_cross_form_under_ansi(spark, tmp_path):
     """Round 11: ``In`` coercion is ANSI-dependent — ANSI casts string
     values to the column's type (a timestamp-spelled value MATCHES its
