@@ -725,6 +725,53 @@ def test_bloom_probe_type_mismatch_degrades_to_full_scan(spark, tmp_path):
     assert got3 == {r["rid"] for r in dfs.filter("s = 3").collect()}
 
 
+def test_stats_pruning_negzero_parity_with_pushdown(spark, tmp_path):
+    """Round 11 adjudication (same family as the NaN one below): Spark's
+    in-memory compare treats -0.0 == 0.0, but its OWN parquet pushdown
+    compares row-group stats in total order (-0.0 < 0.0) and skips the
+    0.0 row groups for an ``= -0.0`` / ``<= -0.0`` predicate — on FULL
+    scans and pruned reads alike. The engine contract is parity with
+    Spark-over-parquet, not with IEEE: the pruned read must return
+    exactly what the plain scan + identical residual returns, and the
+    stats manifest itself must not be the thing dropping files."""
+    from lakehouse_architecture_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.define("nz", stats_cols=("v",))
+    df = spark.range(20).select(
+        F.col("id").alias("rid"), (F.col("id") % 4).cast("double").alias("v")
+    )
+    cat.write(df, "nz")
+    spec = cat.table_spec("nz")
+
+    for where in [("v", -0.0, -0.0), ("v", None, -0.0), ("v", -0.0, None)]:
+        # manifest admission is a superset (the boxes compare IN Spark,
+        # where -0.0 == 0.0 — it admits the 0.0 files)
+        adm = cat._admitted_files("nz", spec, where)
+        assert adm is not None and len(adm) > 0
+        got = {r["rid"] for r in cat.read("nz", where=where).collect()}
+        want = {
+            r["rid"]
+            for r in Catalog._apply_residual(
+                spark.read.parquet(spec.path), [where]
+            ).collect()
+        }
+        assert got == want, (where, sorted(got)[:5], sorted(want)[:5])
+
+    # documents the Spark behavior this parity is pinned against: the
+    # IN-MEMORY compare always keeps the 0.0 rows for = -0.0, while the
+    # parquet scan may keep OR drop them depending on the file layout
+    # (row-group min/max skipping uses total order where -0.0 < +0.0;
+    # dictionary-page filtering compares primitively — measured: the same
+    # 20 rows return 0 matches written as 4 files and 5 matches written
+    # as 8). The engine never has to resolve that: pruned and full scans
+    # read the same parquet through the same reader, so the loop above is
+    # the whole contract.
+    plain = spark.read.parquet(spec.path).filter(F.col("v") == F.lit(-0.0))
+    in_mem = df.filter(F.col("v") == F.lit(-0.0))
+    assert in_mem.count() == 5 and plain.count() in (0, 5)
+
+
 def test_stats_pruning_nan_parity_with_spark_pushdown(spark, tmp_path):
     """Adjudication (round 10): parquet stats EXCLUDE NaN (pyarrow writes
     min=1/max=2 for [1.0, NaN, 2.0]), and Spark's in-memory comparison
