@@ -261,7 +261,13 @@ def triangle_stats(
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+        # coalesce: SUM over an empty node table (a degenerate input of
+        # only self-loops) is NULL, and a NULL wedge count reads as
+        # "unknown" where the true answer is 0 (round 11, caught by the
+        # random-graph fuzz)
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0).cast("bigint")
+        ).alias("n_wedges"),
     )
     ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (

@@ -199,3 +199,85 @@ def test_asof_join_matches_pandas_merge_asof(spark, ls, rs, direction, tol):
         for r in m.itertuples()
     }
     assert got == want
+
+
+# --- graph operators vs brute force (round 11) -----------------------------
+#
+# connected_components was rewritten in round 10 (pointer jumping,
+# O(log diameter)); the scenario tests pin a chain and a clique. This
+# fuzz drives RANDOM multigraphs (self-loops, duplicate and reversed
+# edges included) against a plain Python union-find with min-id
+# canonicals, and triangle_stats against an O(n^3) brute force.
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from lakehouse_architecture_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want, (sorted(got)[:8], sorted(want)[:8])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from lakehouse_architecture_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    row = triangle_stats(df).collect()[0]
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in simple for n in e}
+    adj = {n: set() for n in nodes}
+    for a, b in simple:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for x, y, z in combinations(sorted(nodes), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    wedges = sum(d * (d - 1) // 2 for d in (len(adj[n]) for n in nodes))
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(simple)
+    assert row["n_triangles"] == tri, (row["n_triangles"], tri)
+    assert row["n_wedges"] == wedges, (row["n_wedges"], wedges)
