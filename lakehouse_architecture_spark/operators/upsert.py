@@ -87,15 +87,27 @@ def snapshot_diff(
     columns, in name order) BEFORE the join — so the shuffle carries
     (key, 60-bit hash), not full rows, no matter how wide the table. For a
     count-only report, aggregate the result on ``status``.
+
+    Row canonicalization is LENGTH-PREFIXED (round 11): each value
+    frames as ``<char length>:<value>`` and NULL as the bare marker
+    ``n``, so no value content can shift a column boundary — the old
+    separator-joined form collided ``('a\\x1f', 'b')`` with
+    ``('a', '\\x1fb')`` (and NULL with a literal ``'\\x00'`` string),
+    reporting a changed row as ``same`` and silently corrupting any CDC
+    or incremental-view fold built on the diff.
     """
     cmp_cols = compare_cols or sorted(c for c in before.columns if c not in keys)
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
         from lakehouse_architecture_spark.functions.hashing import md5_hash64
 
-        row = F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cmp_cols]
-        )
+        def framed(c: str):
+            s = F.col(c).cast("string")
+            return F.when(s.isNull(), F.lit("n")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+
+        row = F.concat_ws("\x1f", *[framed(c) for c in cmp_cols])
         return df.select(*keys, md5_hash64(row).alias(out))
 
     b = hashed(before, "h_before")

@@ -123,10 +123,14 @@ def _rotation_order(specs: tuple[QuerySpec, ...]) -> list[QuerySpec]:
     stale = _edited_since_green(specs, hist)
 
     def key(s: QuerySpec):
-        n, last = hist.get(s.name, (0, 0))
-        if s.name in stale:
-            # ahead even of never-green entries: edited-while-claimed-green
-            # is the highest-risk state the registry can be in
+        # never-green first (the driver has NO evidence about them at
+        # all), edited-while-claimed-green second, then least/oldest
+        # green. Round 11: stale used to outrank never-green, but a round
+        # that edits a few large query modules marks dozens of entries
+        # stale and floods the window, pushing never-verified queries out
+        # indefinitely — the one state the window must never allow.
+        n, last = hist.get(s.name, (0, -2))
+        if s.name in stale and (n, last) != (0, -2):
             n, last = 0, -1
         return (n, last, specs.index(s))
 

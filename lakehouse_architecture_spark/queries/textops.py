@@ -1071,10 +1071,17 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(before, after, ["doc_id"], ["lang", "source", "text"])
 
 
+# length-prefixed framing in lockstep with operators/upsert.snapshot_diff
+# (round 11): '<len>:<value>' per value, bare 'n' for NULL — no value
+# content can shift a column boundary
+_DIFF_FRAME = (
+    "CASE WHEN {c} IS NULL THEN 'n' ELSE CONCAT(CAST(LENGTH(CAST({c} AS"
+    " VARCHAR)) AS VARCHAR), ':', CAST({c} AS VARCHAR)) END"
+)
 _DIFF_ROWHASH = _HASH64.format(
-    expr="concat_ws(chr(31), COALESCE(CAST(lang AS VARCHAR), chr(0)),"
-    " COALESCE(CAST(source AS VARCHAR), chr(0)),"
-    " COALESCE(CAST(text AS VARCHAR), chr(0)))"
+    expr="concat_ws(chr(31), "
+    + ", ".join(_DIFF_FRAME.format(c=c) for c in ("lang", "source", "text"))
+    + ")"
 )
 _Q_SNAPSHOT_DIFF_SQL = f"""
 WITH after_t AS (

@@ -876,3 +876,29 @@ def test_connected_components_long_chain_converges(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=2).collect()
+
+
+def test_snapshot_diff_separator_injection_reports_changed(spark):
+    """Round 11: the row hash frames each value with its length, so value
+    content containing the old field separator (or the old NULL marker)
+    cannot shift a column boundary — ('a\\x1f', 'b') vs ('a', '\\x1fb')
+    hashed IDENTICALLY under the separator-joined form and reported a
+    changed row as 'same', silently corrupting CDC/IVM folds built on the
+    diff."""
+    from lakehouse_architecture_spark.operators.upsert import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a\x1f", "b"), (2, None, "y"), (3, "p", "q")],
+        "k int, c1 string, c2 string",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", "\x1fb"), (2, "\x00", "y"), (3, "p", "q")],
+        "k int, c1 string, c2 string",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(before, after, ["k"]).collect()
+    }
+    # k=1: boundary shift; k=2: NULL vs a literal control char — both are
+    # real changes; k=3 is untouched
+    assert got == {1: "changed", 2: "changed", 3: "same"}, got
