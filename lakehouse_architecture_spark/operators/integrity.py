@@ -29,13 +29,25 @@ from lakehouse_architecture_spark.functions.hashing import md5_hash64
 FP_MOD = 2_147_483_647
 
 _SEP = "\x1f"
-_NULL = "<<NULL>>"
+
+
+def _framed(c: Column) -> Column:
+    """``<char length>:<value>`` per value, bare ``n`` for NULL (round 11,
+    in lockstep with ``operators/upsert.snapshot_diff`` and the
+    q_dataset_fingerprint oracle): length-prefixed framing makes the
+    canonicalization injective per field — the old separator-joined form
+    let value content shift a column boundary (``('a\\x1f', 'b')`` ==
+    ``('a', '\\x1fb')``) and a NULL collide with a literal marker string,
+    SYSTEMATIC collisions on top of the fingerprint's inherent modular
+    birthday ones."""
+    s = c.cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+    )
 
 
 def _row_hash(cols: list[Column]) -> Column:
-    canon = F.concat_ws(
-        _SEP, *[F.coalesce(c.cast("string"), F.lit(_NULL)) for c in cols]
-    )
+    canon = F.concat_ws(_SEP, *[_framed(c) for c in cols])
     return md5_hash64(canon) % FP_MOD
 
 
@@ -59,7 +71,7 @@ def column_fingerprints(df: DataFrame, cols: list[str] | None = None) -> DataFra
     names = list(df.columns) if cols is None else cols
     aggs = []
     for c in names:
-        h = md5_hash64(F.coalesce(F.col(c).cast("string"), F.lit(_NULL))) % FP_MOD
+        h = md5_hash64(_framed(F.col(c))) % FP_MOD
         aggs.append(
             (F.sum(h.cast("decimal(38,0)")) % FP_MOD).cast("bigint").alias(f"__fp_{c}")
         )

@@ -193,15 +193,21 @@ def _q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fp_canon_sql() -> str:
     from lakehouse_architecture_spark.functions.hashing import md5_hash64_sql
 
+    # length-prefixed framing in lockstep with operators/integrity._framed
+    # (round 11): '<len>:<value>' per value, bare 'n' for NULL
+    frame = (
+        "CASE WHEN {v} IS NULL THEN 'n'"
+        " ELSE CONCAT(CAST(LENGTH({v}) AS VARCHAR), ':', {v}) END"
+    )
     ints = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
     decs = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     strs = ["l_returnflag", "l_linestatus", "l_shipdate"]
-    parts = [f"coalesce(CAST({c} AS VARCHAR), '<<NULL>>')" for c in ints]
+    parts = [frame.format(v=f"CAST({c} AS VARCHAR)") for c in ints]
     parts += [
-        f"coalesce(CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR), '<<NULL>>')"
+        frame.format(v=f"CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)")
         for c in decs
     ]
-    parts += [f"coalesce(CAST({c} AS VARCHAR), '<<NULL>>')" for c in strs]
+    parts += [frame.format(v=f"CAST({c} AS VARCHAR)") for c in strs]
     canon = f"concat_ws(chr(31), {', '.join(parts)})"
     return md5_hash64_sql(canon)
 

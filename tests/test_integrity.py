@@ -38,10 +38,11 @@ def test_fingerprint_detects_content_change(spark):
 def test_fingerprint_distinguishes_null_from_literal(spark):
     a = spark.createDataFrame([(1, None)], "id long, s string")
     b = spark.createDataFrame([(1, "<<NULL>>")], "id long, s string")
-    # the null marker collides by construction — document, don't pretend:
-    # callers with adversarial string domains should pre-escape; for drift
-    # detection the collision is irrelevant. Here we just pin the behavior.
-    assert fingerprints_match(a, b)
+    # round 11: the old marker-based canonicalization collided here by
+    # construction (pinned as documented behavior); length-prefixed
+    # framing removed the collision — NULL frames as the bare 'n', the
+    # literal string as '8:<<NULL>>'
+    assert not fingerprints_match(a, b)
 
 
 def test_column_fingerprints_localize_drift(spark):
@@ -56,3 +57,28 @@ def test_column_fingerprints_localize_drift(spark):
     assert f1["t"]["fingerprint"] == f2["t"]["fingerprint"]
     assert f1["s"]["fingerprint"] != f2["s"]["fingerprint"]
     assert f1["t"]["n_nonnull"] == 2
+
+
+def test_fingerprint_separator_injection_differs(spark):
+    """Round 11 (same family as the snapshot_diff fix): length-prefixed
+    framing means value content cannot shift a column boundary and a NULL
+    cannot collide with any literal marker string — each pair below
+    hashed IDENTICALLY under the old separator-joined canonicalization."""
+    from lakehouse_architecture_spark.operators.integrity import (
+        dataset_fingerprint,
+        fingerprints_match,
+    )
+
+    a = spark.createDataFrame([("a\x1f", "b")], "c1 string, c2 string")
+    b = spark.createDataFrame([("a", "\x1fb")], "c1 string, c2 string")
+    assert not fingerprints_match(a, b)
+
+    c = spark.createDataFrame([(None, "y")], "c1 string, c2 string")
+    d = spark.createDataFrame([("<<NULL>>", "y")], "c1 string, c2 string")
+    assert not fingerprints_match(c, d)
+
+    # identical content still matches, order-insensitively
+    e = spark.createDataFrame([("p", "q"), ("r", "s")], "c1 string, c2 string")
+    f = spark.createDataFrame([("r", "s"), ("p", "q")], "c1 string, c2 string")
+    assert fingerprints_match(e, f)
+    assert dataset_fingerprint(e).collect()[0]["n_rows"] == 2
