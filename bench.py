@@ -64,6 +64,11 @@ HEADLINE = [
     "q_emb_cov",
     "q_corr_matrix",
     "q_pca_whiten",
+    # round 11: the OPH signature path exists to be FASTER than classic
+    # minhash at the same candidate semantics — benching it next to
+    # q_minhash_lsh is the point (and guards the densification join from
+    # regressing into something data-sized)
+    "q_oph_minhash",
 ]
 
 

@@ -29,6 +29,7 @@ from lakehouse_architecture_spark.functions.hashing import (
     md5_hash64,
     minhash_perm_sql,
 )
+from lakehouse_architecture_spark.materialize import materialize_small
 from lakehouse_architecture_spark.operators.partitioning import spread_by_id
 
 
@@ -584,3 +585,142 @@ def remove_duplicated_spans(
         text_col,
         F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cleaned),
     ).drop("__spans")
+
+
+def oph_bin_minima(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bins: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-Permutation Hashing bin minima: (id, bin, v) for NON-EMPTY bins.
+
+    Classic MinHash evaluates ``num_perm`` independent permutations per
+    shingle — the corpus is hashed num_perm times. OPH (Li, Owen & Zhang
+    2012) hashes each shingle ONCE, routes it to bin ``h % bins``, and
+    keeps the per-bin minimum: ``bins`` signature slots for one pass over
+    the shingles. At 100 TB that is the difference between 128 hash+min
+    updates per shingle and 1 — the hash-aggregate's CPU drops by the
+    permutation count while the shuffle stays the same (id, bins longs)
+    map-side-combined shape.
+
+    A document with fewer shingles than bins leaves some bins empty;
+    :func:`oph_densified` fills them. Docs with no shingles at all
+    (< shingle_n tokens) produce no rows, mirroring word_shingles.
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "h", md5_hash64(F.col("shingle"))
+    )
+    # one universal rehash decorrelates the md5 stream from the bin route
+    hp = F.expr(minhash_perm_sql("h", "0"))
+    return (
+        sh.select("id", hp.alias("hp"))
+        .groupBy("id", (F.col("hp") % bins).alias("bin"))
+        .agg(F.min("hp").alias("v"))
+    )
+
+
+def oph_densified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bins: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Densified OPH signature: (id, bin, v) for EVERY bin in [0, bins).
+
+    Rotation densification (Shrivastava & Li 2014): an empty bin borrows
+    the minimum of the nearest non-empty bin to its RIGHT (cyclically),
+    offset by the hop distance so that two documents' borrowed values only
+    collide when they borrowed the same value from the same relative
+    source — without the offset, a long empty run would count as
+    ``run_length`` spurious matches instead of one.
+
+    Expressed relationally (empty-slot × non-empty-bin join, pick min
+    cyclic distance) rather than as an array scan: per document the join
+    is bounded by bins², the whole step by |docs|·bins² — vanishing next
+    to the shingle aggregate — and every operator stays a Catalyst
+    hash-join/aggregate with an exact SQL mirror.
+    """
+    # the bin minima are referenced three times below (spine seed, the
+    # anti-join probe, and the donor side) — pin them so the shingle
+    # explode+aggregate (the only corpus-sized stage) executes ONCE; the
+    # pinned set is signature-sized (≤ docs × bins rows), never corpus-sized
+    present = materialize_small(oph_bin_minima(df, id_col, text_col, bins, shingle_n))
+    spine = (
+        present.select("id")
+        .distinct()
+        .select("id", F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"))
+    )
+    empty = spine.join(present, ["id", "bin"], "left_anti")
+    donors = present.select(
+        F.col("id").alias("__did"), F.col("bin").alias("__dbin"), F.col("v").alias("__dv")
+    )
+    borrowed = (
+        empty.join(donors, empty["id"] == donors["__did"])
+        .withColumn("__dist", (F.col("__dbin") - F.col("bin") + bins) % bins)
+        .groupBy("id", "bin")
+        .agg(F.min(F.struct("__dist", "__dv")).alias("__pick"))
+        .select("id", "bin", (F.col("__pick.__dv") + F.col("__pick.__dist")).alias("v"))
+    )
+    return present.unionByName(borrowed)
+
+
+def oph_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bins: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidates from densified OPH signatures, LSH-banded.
+
+    ``bins`` slots split into ``bands`` bands of r = bins/bands slots; the
+    band key is the '_'-joined slot minima in slot order. Pairs sharing ≥1
+    band are candidates; each candidate then pays one bounded signature
+    compare (join on slot, count equal values — ≤ bins rows per pair), and
+    matching_bins / bins estimates the Jaccard similarity. Returns
+    (id_a < id_b, n_shared_bands, n_equal_bins, est_jaccard).
+
+    Same sub-quadratic band-join shuffle shape as classic MinHash-LSH
+    (minhash_lsh_candidates) at 1/num_perm the signature-build CPU.
+    """
+    r = bins // bands
+    # referenced three times (banding + both sides of the slot compare)
+    sig = materialize_small(oph_densified(df, id_col, text_col, bins, shingle_n))
+    banded = (
+        sig.groupBy("id", (F.col("bin") / r).cast("int").alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bin", "v"))),
+                    lambda s: s["v"].cast("string"),
+                ),
+                "_",
+            ).alias("sig")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sa = sig.select(F.col("id").alias("id_a"), "bin", F.col("v").alias("va"))
+    sb = sig.select(F.col("id").alias("id_b"), "bin", F.col("v").alias("vb"))
+    eq = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "bin"])
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0)).alias("n_equal_bins"))
+    )
+    return eq.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        "n_equal_bins",
+        F.round(F.col("n_equal_bins") / F.lit(float(bins)), 6).alias("est_jaccard"),
+    )

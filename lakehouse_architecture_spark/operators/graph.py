@@ -287,3 +287,97 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    node: str = "node",
+    ctx: str = "ctx",
+    max_ctx_degree: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link prediction over a bipartite co-occurrence graph.
+
+    ``edges`` is the distinct (node, ctx) incidence list (e.g. part ×
+    order). For every node pair sharing ≥1 context,
+    ``score(u, w) = Σ_{ctx z ∋ u,w} 1 / ln(deg(z))`` — common contexts
+    weighted inversely by how promiscuous they are (Adamic & Adar 2003).
+    Returns (node_a < node_b, n_common, score).
+
+    Shuffle shape: degree aggregate on ctx, then the self-join on ctx —
+    each context with m nodes emits m·(m−1)/2 pair rows, so the candidate
+    space is Σ m² over contexts, NOT |nodes|². ``max_ctx_degree`` is the
+    production skew guard (same rationale as ngram_jaccard_pairs.max_df):
+    a hub context shared by 1M nodes would emit 5·10¹¹ pairs for a term
+    worth only 1/ln(10⁶) ≈ 0.07 each — drop contexts above the cap before
+    the join and the score becomes a documented lower bound.
+
+    Determinism: deg(z) ≥ 2 wherever a common context exists, so ln never
+    sees 1; each 1/ln term is rounded to 9 decimals and summed exactly in
+    DECIMAL so the result is partition-order-independent and matches the
+    SQL oracle bit-for-bit.
+    """
+    e = edges.select(F.col(node).alias("n"), F.col(ctx).alias("c")).distinct()
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    if max_ctx_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_ctx_degree)
+    weighted = e.join(deg, "c").select(
+        "n",
+        "c",
+        F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
+        .cast("decimal(38,12)")
+        .alias("w"),
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    return (
+        a.join(b, "c")
+        .filter(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("node_a"), F.col("b.n").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.col("a.w")).cast("double"), 6).alias("score"),
+        )
+    )
+
+
+def tree_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Transitive closure of a FOREST (each node ≤1 parent) with exact path
+    depth: returns (node, anc, depth) for every ancestor of every node —
+    the batch engine's answer to a recursive CTE (Spark has none; the
+    DuckDB oracle runs the same computation as WITH RECURSIVE).
+
+    Pointer doubling: with P_k = all ancestor pairs of depth ≤ k,
+    P_2k = P_k ∪ (P_k ⨝ P_k on a.anc = b.node, depth = a.depth + b.depth),
+    because any path of length L ≤ 2k splits into two halves of length
+    ≤ k. So a hierarchy of depth d needs ⌈log₂ d⌉ self-joins — 6 shuffles
+    for a 64-deep hierarchy — where naive one-hop iteration needs d. In a
+    forest each (node, depth) pair has exactly one ancestor, but the SAME
+    triple is produced by every split point of its path, so each round
+    deduplicates (one extra shuffle that keeps |P| = Σ path lengths
+    instead of multiplying it by the round count).
+
+    Lineage is truncated per round (materialize.py) — the standard guard
+    for iterative DataFrame plans.
+    """
+    paths = truncate_lineage(
+        edges.select(
+            F.col(child).alias("node"), F.col(parent).alias("anc"), F.lit(1).alias("depth")
+        ).distinct()
+    )
+    covered = 1
+    while covered < max_depth:
+        a, b = paths.alias("a"), paths.alias("b")
+        doubled = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+        )
+        grown = paths.unionByName(doubled).distinct()
+        grown = truncate_lineage(grown)
+        covered *= 2
+        paths = grown
+    return paths

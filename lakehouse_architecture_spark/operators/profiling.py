@@ -376,3 +376,86 @@ def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+#: Poisson(1) inverse-CDF thresholds on a uniform integer u ∈ [0, 1e6):
+#: k = |{t in thresholds : u >= t}| gives P(k) = e⁻¹/k! to 6 decimal
+#: places (cumulative sums of e⁻¹·1/k! × 1e6, floored — frozen integer
+#: literals so both engines compare exactly, no libm exp() involved).
+POISSON1_THRESHOLDS = (367879, 735758, 919698, 981011, 996340, 999405)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_expr,
+    value_expr,
+    n_resamples: int = 100,
+    lo_rank: int = 3,
+    hi_rank: int = 98,
+) -> DataFrame:
+    """Bootstrap confidence interval for a mean, the way it's done at
+    100 TB: the POISSON bootstrap (Chamandy et al. 2012 / Efron's
+    approximation). A classical resample draws n rows WITH replacement —
+    a global multinomial that requires coordinating counts across every
+    partition. Poisson(1) row weights are an n→∞-exact approximation that
+    is embarrassingly parallel: each row independently decides how many
+    times it appears in resample b from a hash of (row id, b), so the
+    whole procedure is one explode + one hash-aggregate, and is fully
+    deterministic/reproducible (no RNG state — reruns and the SQL oracle
+    agree bit-for-bit).
+
+    Returns one row: (n_resamples, point, lo, hi) where point is the
+    plain sample mean and [lo, hi] are the lo_rank-th / hi_rank-th
+    smallest of the resample means (defaults ≈ the 2.5th/97.5th
+    percentile of 100 resamples; integer ranks, not interpolation, keep
+    the estimator exactly portable). Ties in resample means break by
+    resample index.
+
+    Shuffle shape: the explode multiplies rows by n_resamples BEFORE the
+    aggregate, but map-side partial aggregation collapses them to
+    (n_resamples × partitions) partial rows — the shuffle carries the
+    resample count, not the corpus multiple. Aggregate the input down to
+    the analysis subset first; the window at the end orders n_resamples
+    rows (driver-trivial).
+    """
+    rows = df.select(id_expr.cast("string").alias("__hid"), value_expr.cast("double").alias("__v"))
+    expanded = rows.select(
+        "__hid",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b"),
+    ).withColumn(
+        "__u",
+        md5_hash64(F.concat_ws("_", F.col("__hid"), F.col("b").cast("string")))
+        % 1_000_000,
+    )
+    weight = sum(
+        F.when(F.col("__u") >= t, 1).otherwise(0) for t in POISSON1_THRESHOLDS
+    )
+    means = (
+        expanded.withColumn("__c", weight)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("__v") * F.col("__c")).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.sum("__c")
+            ).alias("mean_b")
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("mean_b", "b"))
+    ranked = means.select("mean_b", rn.alias("__rn"))
+    point = df.select(
+        (
+            F.sum(value_expr.cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point")
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.min(F.when(F.col("__rn") == lo_rank, F.col("mean_b"))), 4).alias("lo"),
+        F.round(F.min(F.when(F.col("__rn") == hi_rank, F.col("mean_b"))), 4).alias("hi"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_resamples", F.round("point", 4).alias("point"), "lo", "hi"
+    )

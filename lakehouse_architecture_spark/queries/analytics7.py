@@ -1,0 +1,441 @@
+"""Round-11 depth block: one-permutation-hashing MinHash (the O(tokens)
+signature path), classical seasonal decomposition, Adamic-Adar link
+prediction, forest transitive closure with exact depth (pointer doubling —
+the engine's recursive-CTE answer), a deterministic Poisson-bootstrap
+confidence interval, and a referential-integrity orphan audit across the
+star schema's FK relations.
+
+Registered last — the audited OVERFLOW block convention (analytics6.py):
+these wait beyond the driver's 50-slot window with committed
+LOCAL_ORACLE.json rows proving the local oracle check, and the round-10
+never-green-first rotation surfaces them next driver round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.dedup import oph_candidate_pairs
+from lakehouse_architecture_spark.operators.graph import adamic_adar, tree_closure
+from lakehouse_architecture_spark.operators.profiling import (
+    POISSON1_THRESHOLDS,
+    poisson_bootstrap_mean,
+)
+from lakehouse_architecture_spark.operators.timeseries import seasonal_decompose
+from lakehouse_architecture_spark.queries.base import QuerySpec, tables
+
+# shared with the classic-minhash oracle so the shingle semantics (clamped
+# n-grams, distinct, empty-filtered) can never diverge between the two
+# signature families' mirrors
+from lakehouse_architecture_spark.queries.textops import _HASH64, _SHINGLES_CTE
+
+
+# --- OPH MinHash: one hash pass instead of num_perm ------------------------
+_OPH_BINS, _OPH_BANDS = 64, 16
+
+
+def _q_oph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing near-dup candidates (operators/dedup.py:
+    oph_candidate_pairs). Same banded sub-quadratic candidate join as
+    q_minhash_lsh, but the signature build hashes each shingle ONCE and
+    routes it to one of 64 bins — at 100 TB the hash-aggregate CPU drops
+    by the permutation count (the shuffle shape is unchanged)."""
+    t = tables(spark, sf_dir)
+    return oph_candidate_pairs(
+        t["documents"], "doc_id", "text", bins=_OPH_BINS, bands=_OPH_BANDS, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+_Q_OPH_SQL = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh
+),
+hp AS (
+  SELECT doc_id,
+         ((1 * 2654435761 % 1000000007) * (h % 1000000007)
+          + (1 * 40503 % 1000000007)) % 1000000007 AS hp
+  FROM hashed
+),
+present AS (
+  SELECT doc_id, hp % {_OPH_BINS} AS bin, MIN(hp) AS v FROM hp GROUP BY 1, 2
+),
+spine AS (
+  SELECT doc_id, b.b AS bin
+  FROM (SELECT DISTINCT doc_id FROM present),
+       (SELECT unnest(generate_series(0, {_OPH_BINS - 1})) AS b) b
+),
+empty AS (
+  SELECT s.doc_id, s.bin
+  FROM spine s LEFT JOIN present p ON p.doc_id = s.doc_id AND p.bin = s.bin
+  WHERE p.v IS NULL
+),
+borrowed AS (
+  SELECT doc_id, bin, v FROM (
+    SELECT e.doc_id, e.bin,
+           p.v + ((p.bin - e.bin + {_OPH_BINS}) % {_OPH_BINS}) AS v,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.doc_id, e.bin
+             ORDER BY (p.bin - e.bin + {_OPH_BINS}) % {_OPH_BINS}, p.v
+           ) AS rn
+    FROM empty e JOIN present p ON p.doc_id = e.doc_id
+  ) WHERE rn = 1
+),
+filled AS (
+  SELECT * FROM present UNION ALL SELECT * FROM borrowed
+),
+bands AS (
+  SELECT doc_id, bin // {_OPH_BINS // _OPH_BANDS} AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY bin) AS sig
+  FROM filled GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_shared_bands,
+       CAST(SUM(CASE WHEN fa.v = fb.v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_equal_bins,
+       ROUND(SUM(CASE WHEN fa.v = fb.v THEN 1 ELSE 0 END) / {_OPH_BINS}.0, 6)
+         AS est_jaccard
+FROM cand c
+JOIN filled fa ON fa.doc_id = c.id_a
+JOIN filled fb ON fb.doc_id = c.id_b AND fb.bin = fa.bin
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+
+
+# --- classical seasonal decomposition ---------------------------------------
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event value decomposed into trend (centered 7-day MA) +
+    day-of-week seasonal + residual (operators/timeseries.py:
+    seasonal_decompose). The 100 TB step is the daily hash-aggregate; the
+    decomposition itself runs over |days| rows."""
+    t = tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"))
+    )
+    out = seasonal_decompose(daily, "day", "total", period=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "value",
+        "trend",
+        "seasonal",
+        "residual",
+    ).orderBy("day")
+
+
+_Q_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT day, value, CAST(isodow(day) AS INT) AS dow,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / 7
+         END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (SELECT *, value - trend AS d FROM tr),
+dow_means AS (
+  SELECT dow,
+         CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS s_raw
+  FROM detr WHERE d IS NOT NULL GROUP BY 1
+),
+grand AS (
+  SELECT CAST(SUM(CAST(s_raw AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS s_mean
+  FROM dow_means
+),
+seasonal AS (
+  SELECT dow, s_raw - s_mean AS seasonal FROM dow_means, grand
+)
+SELECT strftime(t.day, '%Y-%m-%d') AS day, t.dow,
+       ROUND(t.value, 4) AS value,
+       ROUND(t.trend, 4) AS trend,
+       ROUND(s.seasonal, 4) AS seasonal,
+       ROUND(t.value - t.trend - s.seasonal, 4) AS residual
+FROM detr t LEFT JOIN seasonal s ON s.dow = t.dow
+ORDER BY t.day
+"""
+
+
+# --- Adamic-Adar link prediction --------------------------------------------
+_AA_TOP = 100
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by Adamic-Adar score over the part × order
+    co-occurrence graph (operators/graph.py:adamic_adar): common orders
+    weighted by 1/ln(order's part count). Candidate space is Σ m² over
+    orders (m = parts per order), never |parts|²."""
+    t = tables(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.col("l_partkey").alias("node"), F.col("l_orderkey").alias("ctx")
+    )
+    scores = adamic_adar(edges, "node", "ctx")
+    return (
+        scores.orderBy(F.desc("score"), "node_a", "node_b")
+        .limit(_AA_TOP)
+        .select("node_a", "node_b", "n_common", "score")
+    )
+
+
+_Q_ADAMIC_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS n, l_orderkey AS c FROM lineitem
+),
+deg AS (SELECT c, COUNT(*) AS deg FROM e GROUP BY 1),
+w AS (
+  SELECT e.n, e.c,
+         CAST(ROUND(1.0 / LN(CAST(deg AS DOUBLE)), 9) AS DECIMAL(38,12)) AS w
+  FROM e JOIN deg USING (c)
+),
+pairs AS (
+  SELECT a.n AS node_a, b.n AS node_b, COUNT(*) AS n_common,
+         ROUND(CAST(SUM(a.w) AS DOUBLE), 6) AS score
+  FROM w a JOIN w b ON a.c = b.c AND a.n < b.n
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common, score
+FROM pairs
+ORDER BY score DESC, node_a, node_b
+LIMIT {_AA_TOP}
+"""
+
+
+# --- forest transitive closure (recursive-CTE parity) -----------------------
+def _q_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor closure of the binary-tree hierarchy parent(k) = k div 2
+    over part keys ≥ 2, summarized per depth. Spark has no recursive CTE;
+    tree_closure (operators/graph.py) computes the identical relation in
+    ⌈log₂ depth⌉ self-joins (pointer doubling) — the DuckDB oracle runs
+    the real WITH RECURSIVE. The depth bound comes from one scalar
+    aggregate over the dim table (max key ⇒ tree height), not a guess."""
+    t = tables(spark, sf_dir)
+    max_key = t["part"].agg(F.max("p_partkey")).collect()[0][0]
+    height = max(1, int(max_key).bit_length() - 1)  # floor(log2(max_key))
+    edges = (
+        t["part"]
+        .filter(F.col("p_partkey") >= 2)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 2").alias("parent"),
+        )
+    )
+    paths = tree_closure(edges, "child", "parent", max_depth=height)
+    return (
+        paths.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.count_distinct("node").alias("n_nodes"),
+            F.sum(F.when(F.col("anc") == 1, 1).otherwise(0)).alias("n_to_root"),
+            F.min("anc").alias("min_anc"),
+            F.max("anc").alias("max_anc"),
+        )
+        .orderBy("depth")
+    )
+
+
+_Q_TREE_CLOSURE_SQL = """
+WITH RECURSIVE r AS (
+  SELECT p_partkey AS node, p_partkey // 2 AS anc, 1 AS depth
+  FROM part WHERE p_partkey >= 2
+  UNION ALL
+  SELECT node, anc // 2, depth + 1 FROM r WHERE anc >= 2
+)
+SELECT depth,
+       COUNT(*) AS n_paths,
+       COUNT(DISTINCT node) AS n_nodes,
+       CAST(SUM(CASE WHEN anc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_to_root,
+       MIN(anc) AS min_anc,
+       MAX(anc) AS max_anc
+FROM r
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+# --- Poisson-bootstrap confidence interval ----------------------------------
+_BOOT_B, _BOOT_LO, _BOOT_HI = 100, 3, 98
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95%-ish CI for mean extended price of 1995-Q1 shipments via the
+    deterministic Poisson bootstrap (operators/profiling.py:
+    poisson_bootstrap_mean) — hash-derived Poisson(1) row weights, no RNG
+    state, embarrassingly parallel at 100 TB."""
+    t = tables(spark, sf_dir)
+    sub = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1995-03-31")
+    )
+    return poisson_bootstrap_mean(
+        sub,
+        F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")),
+        F.col("l_extendedprice"),
+        n_resamples=_BOOT_B,
+        lo_rank=_BOOT_LO,
+        hi_rank=_BOOT_HI,
+    )
+
+
+_BOOT_CASE = " + ".join(
+    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_THRESHOLDS
+)
+_Q_BOOTSTRAP_SQL = f"""
+WITH sub AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+           AS hid,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+),
+expanded AS (
+  SELECT hid, v, b.b AS b,
+         {_HASH64.format(expr="hid || '_' || CAST(b.b AS VARCHAR)")} % 1000000
+           AS u
+  FROM sub, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+means AS (
+  SELECT b,
+         CAST(SUM(CAST(v * ({_BOOT_CASE}) AS DECIMAL(38,6))) AS DOUBLE)
+           / SUM({_BOOT_CASE}) AS mean_b
+  FROM expanded GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM means
+),
+point AS (
+  SELECT CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS point
+  FROM sub
+)
+SELECT (SELECT COUNT(*) FROM ranked) AS n_resamples,
+       ROUND(point, 4) AS point,
+       (SELECT ROUND(MIN(mean_b), 4) FROM ranked WHERE rn = {_BOOT_LO}) AS lo,
+       (SELECT ROUND(MIN(mean_b), 4) FROM ranked WHERE rn = {_BOOT_HI}) AS hi
+FROM point
+"""
+
+
+# --- referential-integrity orphan audit --------------------------------------
+_RI_RELATIONS: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One audit row per FK relation of the star schema: child rows,
+    distinct child keys, and orphan rows/keys (non-NULL FKs missing from
+    the parent). Each relation is a broadcast/shuffled anti-join that AQE
+    sizes (pipeline/expectations.py:expect_ref_integrity rationale); the
+    union of seven one-row aggregates is driver-trivial. All-zero orphan
+    columns == integrity holds, and the audit proves it instead of
+    assuming it."""
+    t = tables(spark, sf_dir)
+    parts = []
+    for child, fk, parent, pk in _RI_RELATIONS:
+        c = t[child].select(F.col(fk).alias("k"))
+        p = t[parent].select(F.col(pk).alias("k")).distinct()
+        orph = c.filter(F.col("k").isNotNull()).join(p, "k", "left_anti")
+        counts = c.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count("k").alias("nonnull_fk_rows"),
+            F.count_distinct("k").alias("distinct_fks"),
+        )
+        ocounts = orph.agg(
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.count_distinct("k").alias("orphan_keys"),
+        )
+        parts.append(
+            counts.crossJoin(ocounts).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("rel"),
+                "child_rows",
+                "nonnull_fk_rows",
+                "distinct_fks",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rel")
+
+
+def _ri_sql_one(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS rel,
+       (SELECT COUNT(*) FROM {child}) AS child_rows,
+       (SELECT COUNT({fk}) FROM {child}) AS nonnull_fk_rows,
+       (SELECT COUNT(DISTINCT {fk}) FROM {child}) AS distinct_fks,
+       (SELECT COUNT(*) FROM {child}
+        WHERE {fk} IS NOT NULL
+          AND {fk} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL))
+         AS orphan_rows,
+       (SELECT COUNT(DISTINCT {fk}) FROM {child}
+        WHERE {fk} IS NOT NULL
+          AND {fk} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL))
+         AS orphan_keys
+"""
+
+
+_Q_RI_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(_ri_sql_one(*r) for r in _RI_RELATIONS)
+    + "\n) ORDER BY rel"
+)
+
+
+ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
+    QuerySpec(
+        "q_oph_minhash",
+        "one-permutation-hashing near-dup candidates (1 hash pass)",
+        _q_oph_minhash,
+        _Q_OPH_SQL,
+    ),
+    QuerySpec(
+        "q_seasonal_decompose",
+        "daily series = 7-day-MA trend + dow seasonal + residual",
+        _q_seasonal_decompose,
+        _Q_SEASONAL_SQL,
+    ),
+    QuerySpec(
+        "q_adamic_adar",
+        "Adamic-Adar link prediction over part-order co-occurrence",
+        _q_adamic_adar,
+        _Q_ADAMIC_SQL,
+    ),
+    QuerySpec(
+        "q_tree_closure",
+        "forest ancestor closure w/ depth via pointer doubling",
+        _q_tree_closure,
+        _Q_TREE_CLOSURE_SQL,
+    ),
+    QuerySpec(
+        "q_bootstrap_ci",
+        "deterministic Poisson-bootstrap CI for a subset mean",
+        _q_bootstrap_ci,
+        _Q_BOOTSTRAP_SQL,
+    ),
+    QuerySpec(
+        "q_ri_orphans",
+        "FK orphan audit across the star schema relations",
+        _q_ri_orphans,
+        _Q_RI_SQL,
+    ),
+)

@@ -1,0 +1,283 @@
+"""Round-11 depth block: OPH MinHash, seasonal decomposition, Adamic-Adar,
+forest closure, Poisson bootstrap, RI orphan audit. Hand-computable cases +
+invariants; exact end-to-end parity is the DuckDB oracle's job
+(tools/oracle_check.py, LOCAL_ORACLE.json)."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_architecture_spark.operators.dedup import (
+    oph_bin_minima,
+    oph_candidate_pairs,
+    oph_densified,
+)
+from lakehouse_architecture_spark.operators.graph import adamic_adar, tree_closure
+from lakehouse_architecture_spark.operators.profiling import poisson_bootstrap_mean
+from lakehouse_architecture_spark.operators.timeseries import seasonal_decompose
+
+from tests.conftest import SF_SMOKE
+
+_BINS = 16
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# --- OPH MinHash -------------------------------------------------------------
+
+
+def test_oph_densified_fills_every_bin(spark):
+    df = _docs(spark, [(1, "a b c d e f g h"), (2, "a b c")])
+    out = oph_densified(df, "doc_id", "text", bins=_BINS).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.id, set()).add(r.bin)
+    assert per_doc == {1: set(range(_BINS)), 2: set(range(_BINS))}
+
+
+def test_oph_densified_borrow_is_source_plus_distance(spark):
+    # doc 2 has ONE shingle -> one non-empty bin; every other bin borrows
+    # from it, value = v + cyclic distance to the right
+    df = _docs(spark, [(2, "a b c")])
+    present = oph_bin_minima(df, "doc_id", "text", bins=_BINS).collect()
+    assert len(present) == 1
+    src_bin, src_v = present[0].bin, present[0].v
+    filled = {r.bin: r.v for r in oph_densified(df, "doc_id", "text", bins=_BINS).collect()}
+    for b in range(_BINS):
+        dist = (src_bin - b + _BINS) % _BINS
+        assert filled[b] == src_v + dist
+
+
+def test_oph_identical_docs_estimate_one(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, text), (2, text)])
+    out = oph_candidate_pairs(df, "doc_id", "text", bins=_BINS, bands=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_equal_bins == _BINS
+    assert r.est_jaccard == 1.0
+    assert r.n_shared_bands == 4
+
+
+def test_oph_disjoint_docs_share_no_band(spark):
+    df = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+    )
+    out = oph_candidate_pairs(df, "doc_id", "text", bins=_BINS, bands=4).collect()
+    # disjoint shingle sets: a full-band collision of 4 borrowed/real minima
+    # is astronomically unlikely on fixed fixtures — and none occurs here
+    assert out == []
+
+
+def test_oph_estimate_tracks_true_jaccard(spark):
+    # ~75% overlapping shingle streams -> estimate should land well above
+    # the disjoint pair's and below the identical pair's
+    base = "w%d " * 40
+    a = "".join(f"w{i} " for i in range(40))
+    b = "".join(f"w{i} " for i in range(10, 50))  # 30-token overlap
+    df = _docs(spark, [(1, a.strip()), (2, b.strip())])
+    out = oph_candidate_pairs(df, "doc_id", "text", bins=_BINS, bands=4).collect()
+    if out:  # banding may or may not fire at this similarity; when it does:
+        assert 0.2 <= out[0].est_jaccard <= 1.0
+
+
+# --- seasonal decomposition ---------------------------------------------------
+
+
+def _daily(spark, values, start="2024-01-01"):
+    d0 = datetime.date.fromisoformat(start)
+    rows = [
+        Row(day=d0 + datetime.timedelta(days=i), total=float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_seasonal_constant_series_decomposes_to_zero(spark):
+    df = _daily(spark, [10.0] * 21)
+    out = {r.day: r for r in seasonal_decompose(df, "day", "total").collect()}
+    assert len(out) == 21
+    for day, r in out.items():
+        idx = (day - datetime.date(2024, 1, 1)).days
+        if 3 <= idx <= 17:  # full 7-day window exists
+            assert r.trend == pytest.approx(10.0)
+            assert r.seasonal == pytest.approx(0.0, abs=1e-9)
+            assert r.residual == pytest.approx(0.0, abs=1e-9)
+        else:
+            assert r.trend is None and r.residual is None
+
+
+def test_seasonal_pure_weekly_pattern_recovered(spark):
+    # value = 100 + weekly pattern summing to zero -> trend = 100,
+    # seasonal = the pattern, residual = 0 (on interior days)
+    pattern = [6.0, -2.0, 3.0, -4.0, 1.0, -5.0, 1.0]  # sums to 0
+    values = [100.0 + pattern[i % 7] for i in range(28)]
+    df = _daily(spark, values)
+    out = seasonal_decompose(df, "day", "total").collect()
+    by_idx = {
+        (r.day - datetime.date(2024, 1, 1)).days: r for r in out
+    }
+    for i in range(3, 25):
+        assert by_idx[i].trend == pytest.approx(100.0)
+        # 2024-01-01 is a Monday: dow index i%7 matches pattern position
+        assert by_idx[i].seasonal == pytest.approx(pattern[i % 7], abs=1e-6)
+        assert by_idx[i].residual == pytest.approx(0.0, abs=1e-6)
+
+
+def test_seasonal_dow_is_iso(spark):
+    df = _daily(spark, [1.0] * 7)  # starts Monday 2024-01-01
+    out = sorted(seasonal_decompose(df, "day", "total").collect(), key=lambda r: r.day)
+    assert [r.dow for r in out] == [1, 2, 3, 4, 5, 6, 7]
+
+
+# --- Adamic-Adar ---------------------------------------------------------------
+
+
+def test_adamic_adar_hand_case(spark):
+    # contexts: c1 = {1,2,3} (deg 3), c2 = {1,2} (deg 2)
+    edges = spark.createDataFrame(
+        [Row(node=n, ctx=c) for c, members in [(10, [1, 2, 3]), (20, [1, 2])] for n in members]
+    )
+    out = {(r.node_a, r.node_b): r for r in adamic_adar(edges, "node", "ctx").collect()}
+    w3 = round(1.0 / math.log(3), 9)
+    w2 = round(1.0 / math.log(2), 9)
+    assert out[(1, 2)].n_common == 2
+    assert out[(1, 2)].score == pytest.approx(round(w3 + w2, 6))
+    assert out[(1, 3)].score == pytest.approx(round(w3, 6))
+    assert out[(2, 3)].score == pytest.approx(round(w3, 6))
+
+
+def test_adamic_adar_hub_cap_drops_context(spark):
+    edges = spark.createDataFrame(
+        [Row(node=n, ctx=c) for c, members in [(10, [1, 2, 3]), (20, [1, 2])] for n in members]
+    )
+    out = {
+        (r.node_a, r.node_b): r
+        for r in adamic_adar(edges, "node", "ctx", max_ctx_degree=2).collect()
+    }
+    # the deg-3 context is dropped: only (1,2) remains, via c2 alone
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].score == pytest.approx(round(round(1.0 / math.log(2), 9), 6))
+
+
+def test_adamic_adar_duplicate_incidences_collapse(spark):
+    edges = spark.createDataFrame(
+        [Row(node=n, ctx=10) for n in [1, 1, 2, 2]]  # dup rows must not inflate deg
+    )
+    out = adamic_adar(edges, "node", "ctx").collect()
+    assert len(out) == 1
+    assert out[0].n_common == 1
+    assert out[0].score == pytest.approx(round(round(1.0 / math.log(2), 9), 6))
+
+
+# --- forest transitive closure ---------------------------------------------------
+
+
+def _brute_ancestors(keys):
+    out = set()
+    for k in keys:
+        node, depth = k, 0
+        while node >= 2:
+            node //= 2
+            depth += 1
+            out.add((k, node, depth))
+    return out
+
+
+@pytest.mark.parametrize("n", [2, 7, 33])
+def test_tree_closure_matches_brute_force(spark, n):
+    keys = list(range(2, 2 + n))
+    edges = spark.createDataFrame(
+        [Row(child=k, parent=k // 2) for k in keys]
+    )
+    # NOTE: edges only cover the seed keys; ancestors beyond one hop follow
+    # the k//2 chain only where intermediate nodes exist as children too —
+    # brute force must walk the same edge relation, not arithmetic
+    edge_map = {k: k // 2 for k in keys}
+
+    def walk(k):
+        d, node = 0, k
+        while node in edge_map:
+            node = edge_map[node]
+            d += 1
+            yield (k, node, d)
+
+    expected = {t for k in keys for t in walk(k)}
+    got = {
+        (r.node, r.anc, r.depth)
+        for r in tree_closure(edges, max_depth=max(1, n.bit_length())).collect()
+    }
+    assert got == expected
+
+
+def test_tree_closure_depth_exceeding_doubling_budget_is_cut(spark):
+    # a 5-deep chain with max_depth=4: paths of depth 5 must be absent
+    # (the contract is "closure up to the stated bound")
+    edges = spark.createDataFrame(
+        [Row(child=i, parent=i - 1) for i in range(1, 6)]
+    )
+    got = {(r.node, r.anc, r.depth) for r in tree_closure(edges, max_depth=4).collect()}
+    assert (5, 1, 4) in got
+    assert (5, 0, 5) not in got
+
+
+# --- Poisson bootstrap -------------------------------------------------------------
+
+
+def test_bootstrap_deterministic_and_ordered(spark):
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 37).cast("double").alias("v")
+    )
+    a = poisson_bootstrap_mean(df, F.col("id"), F.col("v"), n_resamples=50,
+                               lo_rank=2, hi_rank=49).collect()[0]
+    b = poisson_bootstrap_mean(df, F.col("id"), F.col("v"), n_resamples=50,
+                               lo_rank=2, hi_rank=49).collect()[0]
+    assert a == b  # no RNG state anywhere
+    assert a.n_resamples == 50
+    assert a.lo <= a.hi
+    # CI brackets the true mean on this well-behaved sample
+    true_mean = sum(i % 37 for i in range(400)) / 400
+    assert a.lo <= true_mean <= a.hi
+    assert a.point == pytest.approx(round(true_mean, 4))
+
+
+def test_bootstrap_weights_shift_with_resample_index(spark):
+    # two different resamples of the same tiny sample should (with near
+    # certainty) produce at least two distinct means across 50 draws
+    df = spark.range(0, 20).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    out = poisson_bootstrap_mean(df, F.col("id"), F.col("v"), n_resamples=50,
+                                 lo_rank=2, hi_rank=49).collect()[0]
+    assert out.lo < out.hi
+
+
+# --- RI orphan audit ----------------------------------------------------------------
+
+
+def test_ri_orphans_clean_fixture(spark):
+    from lakehouse_architecture_spark.queries.analytics7 import _q_ri_orphans
+
+    rows = _q_ri_orphans(spark, SF_SMOKE).collect()
+    assert len(rows) == 7
+    assert all(r.orphan_rows == 0 and r.orphan_keys == 0 for r in rows)
+    li_orders = next(r for r in rows if r.rel == "lineitem.l_orderkey->orders.o_orderkey")
+    assert li_orders.child_rows > 0
+    assert li_orders.nonnull_fk_rows == li_orders.child_rows
+
+
+def test_ri_orphans_detects_injected_orphan(spark):
+    from lakehouse_architecture_spark.pipeline.expectations import expect_ref_integrity
+
+    fact = spark.createDataFrame([Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=None)])
+    dim = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    out = expect_ref_integrity(fact, "fk", dim, "pk").collect()
+    keys = {r.orphan_key for r in out}
+    # NULL fk also reports (left_anti keeps it) — the query layer filters
+    # non-null; the raw operator surfaces everything missing from the dim
+    assert 99 in keys
