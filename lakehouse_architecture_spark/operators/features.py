@@ -22,7 +22,7 @@ comparisons).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.materialize import materialize_small
@@ -230,4 +230,53 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             (F.count_distinct("__x") - 1) * (F.count_distinct("__y") - 1)
         ).alias("dof"),
         F.max("__n").alias("n"),
+    )
+
+
+def negative_sample(
+    interactions: DataFrame,
+    users: DataFrame,
+    items: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    thin_mod: int = 16,
+) -> DataFrame:
+    """Deterministic negative sampling for recommendation/contrastive
+    training: per user, the ``k`` lowest-hash items the user has NOT
+    interacted with. No RNG state — the sample is a pure function of
+    (user, item), so retries, repartitions, and the SQL oracle all draw
+    the same negatives, and a later epoch can re-derive them.
+
+    The naive candidate space is |users|×|items|; ``thin_mod`` prunes it
+    BEFORE the join with a deterministic hash filter (keep pairs whose
+    md5 ≡ 0 mod thin_mod), cutting the cross join by that factor while
+    staying a pure function — the standard hash-prefix trick for
+    at-scale sampling. Each user's candidate pool is ≈ |items|/thin_mod;
+    callers must keep k well under that. Anti-join removes true
+    interactions AFTER thinning (cheaper: the ledger join runs on the
+    thinned set).
+
+    Returns (user, item, rk) with rk = 1..k by (hash, item) order.
+    """
+    u = users.select(F.col(user_col).alias("user")).distinct()
+    i = items.select(F.col(item_col).alias("item")).distinct()
+    cand = (
+        u.crossJoin(i)
+        .withColumn(
+            "__h",
+            md5_hash64(
+                F.concat_ws("_", F.col("user").cast("string"), F.col("item").cast("string"))
+            ),
+        )
+        .filter(F.col("__h") % thin_mod == 0)
+    )
+    seen = interactions.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    ).distinct()
+    neg = cand.join(seen, ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy("__h", "item")
+    return (
+        neg.select("user", "item", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
     )

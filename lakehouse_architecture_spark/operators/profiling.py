@@ -459,3 +459,71 @@ def poisson_bootstrap_mean(
     return ci.crossJoin(F.broadcast(point)).select(
         "n_resamples", F.round("point", 4).alias("point"), "lo", "hi"
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    floor: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current value
+    distribution — the model-monitoring complement of the binned-KS drift
+    screen (``ks_drift``): PSI = Σ_bins (p_cur − p_ref)·ln(p_cur / p_ref),
+    with the conventional read 0.1 = moderate / 0.25 = major shift.
+
+    Binning is FIXED literal arithmetic (``min(floor(v / bin_width),
+    n_bins−1)``, negatives clamp to bin 0) — not data-derived quantiles —
+    so the two sides and the SQL oracle bucket identically without any
+    coordination pass. Each side costs one hash aggregate onto ≤ n_bins
+    rows; the bin spine keeps zero-count bins in the sum, where the
+    ``floor`` share (the standard epsilon) makes ln finite. Per-bin terms
+    round to 9 dp then sum exactly in DECIMAL (the adamic_adar /
+    determinism-rules discipline for libm-adjacent sums).
+
+    Returns one row per bin plus the scalar would hide the shape — so
+    (bin, p_ref, p_cur, term) rows AND a total row with bin = −1.
+    """
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        binned = df.select(
+            F.least(
+                F.greatest(F.floor(F.col(value_col) / bin_width).cast("int"), F.lit(0)),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        )
+        counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("__n"))
+        total = binned.agg(F.count(F.lit(1)).alias("__tot"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("__n").cast("double") / F.col("__tot")).alias(name)
+        )
+
+    spine = ref.sparkSession.range(0, n_bins).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        spine.join(shares(ref, "p_ref"), "bin", "left")
+        .join(shares(cur, "p_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.greatest(F.coalesce("p_ref", F.lit(0.0)), F.lit(floor)).alias("p_ref"),
+            F.greatest(F.coalesce("p_cur", F.lit(0.0)), F.lit(floor)).alias("p_cur"),
+        )
+    )
+    terms = grid.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")),
+            9,
+        ).alias("term"),
+    )
+    total = terms.agg(
+        F.lit(-1).alias("bin"),
+        F.lit(None).cast("double").alias("p_ref"),
+        F.lit(None).cast("double").alias("p_cur"),
+        F.round(F.sum(F.col("term").cast("decimal(38,12)")).cast("double"), 6).alias(
+            "term"
+        ),
+    )
+    return terms.unionByName(total)

@@ -471,3 +471,113 @@ def seasonal_decompose(
             ),
         )
     )
+
+
+def theil_sen(
+    series: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil–Sen robust regression over an AGGREGATED series: slope =
+    median of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept =
+    median of per-point intercepts y_i − slope·x_i. Breaks down only at
+    29% outliers where OLS breaks at one.
+
+    Input contract is a collapsed series (one row per x — daily grain):
+    the pair join is |series|², which is fine at day/bucket cardinality
+    and is exactly the shape that must NEVER run on raw rows — aggregate
+    first (the q_cusum / q_acf discipline). Medians are LOWER medians
+    picked by INTEGER rank ((n+1) div 2 — div, because a double-division
+    cast truncates on Spark but rounds on DuckDB at .5), not
+    interpolation, keeping the estimator bit-portable across engines.
+
+    Returns one row: (n_points, n_pairs, slope, intercept).
+    """
+    pts = series.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("double").alias("y")
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("m")
+    )
+    ranked = slopes.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rn")
+    )
+    tot = ranked.agg(F.max("rn").alias("n_pairs"))
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("n_pairs", F.col("m").alias("slope"))
+    )
+    with_b = pts.crossJoin(F.broadcast(med)).select(
+        "n_pairs", "slope", (F.col("y") - F.col("slope") * F.col("x")).alias("b0")
+    )
+    ranked_b = with_b.select(
+        "n_pairs",
+        "slope",
+        "b0",
+        F.row_number().over(Window.orderBy("b0")).alias("rn"),
+    )
+    tot_b = ranked_b.agg(F.max("rn").alias("n_points"))
+    return (
+        ranked_b.crossJoin(F.broadcast(tot_b))
+        .filter(F.col("rn") == F.expr("(n_points + 1) div 2"))
+        .select(
+            "n_points",
+            "n_pairs",
+            F.round("slope", 6).alias("slope"),
+            F.round("b0", 6).alias("intercept"),
+        )
+    )
+
+
+def mann_kendall(
+    series: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Mann–Kendall trend test over an aggregated series: S = Σ_{i<j}
+    sign(y_j − y_i); tie-corrected variance
+    (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18; continuity-corrected
+    z = (S∓1)/√var. The nonparametric companion of :func:`theil_sen` —
+    same collapsed-series input contract (the pair join runs at
+    day-cardinality, never raw rows).
+
+    Returns one row: (n_points, s_stat, var_s, z). S and the tie sums are
+    exact integers; z is the only float and both engines compute it from
+    the same integers.
+    """
+    pts = series.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("double").alias("y")
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    s_stat = (
+        a.join(b, F.col("a.x") < F.col("b.x"))
+        .agg(F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long")).alias("s"))
+    )
+    n_row = pts.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        pts.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).alias("tie_sum")
+        )
+    )
+    joined = s_stat.crossJoin(F.broadcast(n_row)).crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_sum")
+    ).cast("double") / 18
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        F.col("n").alias("n_points"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )

@@ -17,12 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.operators.dedup import oph_candidate_pairs
+from lakehouse_architecture_spark.operators.features import negative_sample
 from lakehouse_architecture_spark.operators.graph import adamic_adar, tree_closure
 from lakehouse_architecture_spark.operators.profiling import (
     POISSON1_THRESHOLDS,
     poisson_bootstrap_mean,
+    psi_drift,
 )
-from lakehouse_architecture_spark.operators.timeseries import seasonal_decompose
+from lakehouse_architecture_spark.operators.timeseries import (
+    mann_kendall,
+    seasonal_decompose,
+    theil_sen,
+)
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 
 # shared with the classic-minhash oracle so the shingle semantics (clamped
@@ -401,6 +407,187 @@ _Q_RI_SQL = (
 )
 
 
+# --- robust trend: Theil-Sen + Mann-Kendall ---------------------------------
+_DAILY_CTE = """
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+pts AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM daily)
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("y"))
+        .select(F.datediff("day", F.lit("1970-01-01")).cast("long").alias("x"), "y")
+    )
+
+
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope/intercept of the daily event-value series
+    (operators/timeseries.py:theil_sen) — median-of-pairwise-slopes, run
+    on the collapsed day-cardinality series, never raw rows."""
+    return theil_sen(_daily_series(spark, sf_dir), "x", "y")
+
+
+_Q_THEIL_SEN_SQL = f"""
+WITH {_DAILY_CTE},
+slopes AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS m
+  FROM pts a JOIN pts b ON a.x < b.x
+),
+ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM slopes),
+med AS (
+  SELECT (SELECT MAX(rn) FROM ranked) AS n_pairs, m AS slope
+  FROM ranked
+  WHERE rn = ((SELECT MAX(rn) FROM ranked) + 1) // 2
+),
+b0s AS (
+  SELECT n_pairs, slope, y - slope * x AS b0 FROM pts, med
+),
+ranked_b AS (
+  SELECT n_pairs, slope, b0, ROW_NUMBER() OVER (ORDER BY b0) AS rn FROM b0s
+)
+SELECT (SELECT MAX(rn) FROM ranked_b) AS n_points,
+       n_pairs,
+       ROUND(slope, 6) AS slope,
+       ROUND(b0, 6) AS intercept
+FROM ranked_b
+WHERE rn = ((SELECT MAX(rn) FROM ranked_b) + 1) // 2
+"""
+
+
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the same collapsed daily series
+    (operators/timeseries.py:mann_kendall): S from pairwise signs,
+    tie-corrected variance, continuity-corrected z."""
+    return mann_kendall(_daily_series(spark, sf_dir), "x", "y")
+
+
+_Q_MANN_KENDALL_SQL = f"""
+WITH {_DAILY_CTE},
+s AS (
+  SELECT CAST(SUM(CAST(SIGN(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
+  FROM pts a JOIN pts b ON a.x < b.x
+),
+n AS (SELECT COUNT(*) AS n FROM pts),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_sum
+  FROM (SELECT COUNT(*) AS t FROM pts GROUP BY y HAVING COUNT(*) > 1)
+)
+SELECT n AS n_points, s AS s_stat,
+       ROUND(CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS DOUBLE) / 18, 6)
+         AS var_s,
+       ROUND(CASE
+         WHEN s > 0 THEN (s - 1) / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS DOUBLE) / 18)
+         WHEN s < 0 THEN (s + 1) / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS DOUBLE) / 18)
+         ELSE 0.0 END, 6) AS z
+FROM s, n, ties
+"""
+
+
+# --- PSI distribution drift ---------------------------------------------------
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event values, first half of the month
+    vs second (operators/profiling.py:psi_drift): fixed literal bins, both
+    sides one hash-agg, per-bin terms + a bin=-1 total row."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(F.dayofmonth(F.col("ts")).alias("dom"), "value")
+    ref = ev.filter(F.col("dom") <= 15)
+    cur = ev.filter(F.col("dom") > 15)
+    return psi_drift(ref, cur, "value", bin_width=50.0, n_bins=10).orderBy("bin")
+
+
+_Q_PSI_SQL = """
+WITH binned AS (
+  SELECT CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END AS side,
+         LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bin
+  FROM events
+),
+shares AS (
+  SELECT side, bin,
+         CAST(COUNT(*) AS DOUBLE)
+           / SUM(COUNT(*)) OVER (PARTITION BY side) AS p
+  FROM binned GROUP BY side, bin
+),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+grid AS (
+  SELECT s.bin,
+         GREATEST(COALESCE(r.p, 0.0), 0.0001) AS p_ref,
+         GREATEST(COALESCE(c.p, 0.0), 0.0001) AS p_cur
+  FROM spine s
+  LEFT JOIN shares r ON r.bin = s.bin AND r.side = 'ref'
+  LEFT JOIN shares c ON c.bin = s.bin AND c.side = 'cur'
+),
+terms AS (
+  SELECT bin, ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+         ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 9) AS term
+  FROM grid
+)
+SELECT * FROM (
+  SELECT bin, p_ref, p_cur, term FROM terms
+  UNION ALL
+  SELECT -1 AS bin, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+  FROM terms
+) ORDER BY bin
+"""
+
+
+# --- deterministic negative sampling ------------------------------------------
+_NEG_K, _NEG_THIN = 5, 16
+
+
+def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per selected customer, the 5 lowest-hash parts they never ordered
+    (operators/features.py:negative_sample) — RNG-free negatives for
+    contrastive training; the hash-prefix thin cuts the user×item cross
+    join 16× before the anti-join."""
+    t = tables(spark, sf_dir)
+    users = t["customer"].filter(F.col("c_custkey") % 100 == 0)
+    inter = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+    )
+    return (
+        negative_sample(
+            inter, users, t["part"], "c_custkey", "p_partkey", k=_NEG_K, thin_mod=_NEG_THIN
+        )
+        .select(F.col("user").alias("c_custkey"), F.col("item").alias("p_partkey"), "rk")
+        .orderBy("c_custkey", "rk")
+    )
+
+
+_Q_NEG_SQL = f"""
+WITH u AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+cand AS (
+  SELECT u.c_custkey, p.p_partkey,
+         {_HASH64.format(expr="CAST(u.c_custkey AS VARCHAR) || '_' || CAST(p.p_partkey AS VARCHAR)")} AS h
+  FROM u, part p
+),
+thin AS (SELECT * FROM cand WHERE h % {_NEG_THIN} = 0),
+seen AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+neg AS (
+  SELECT t.c_custkey, t.p_partkey,
+         ROW_NUMBER() OVER (PARTITION BY t.c_custkey ORDER BY t.h, t.p_partkey) AS rk
+  FROM thin t
+  LEFT JOIN seen s ON s.c_custkey = t.c_custkey AND s.p_partkey = t.p_partkey
+  WHERE s.c_custkey IS NULL
+)
+SELECT c_custkey, p_partkey, rk FROM neg WHERE rk <= {_NEG_K}
+ORDER BY c_custkey, rk
+"""
+
+
 ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec(
         "q_oph_minhash",
@@ -437,5 +624,29 @@ ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
         "FK orphan audit across the star schema relations",
         _q_ri_orphans,
         _Q_RI_SQL,
+    ),
+    QuerySpec(
+        "q_theil_sen",
+        "Theil-Sen robust slope/intercept of the daily series",
+        _q_theil_sen,
+        _Q_THEIL_SEN_SQL,
+    ),
+    QuerySpec(
+        "q_mann_kendall",
+        "Mann-Kendall trend test w/ tie-corrected variance",
+        _q_mann_kendall,
+        _Q_MANN_KENDALL_SQL,
+    ),
+    QuerySpec(
+        "q_psi_drift",
+        "Population Stability Index, first vs second half-month",
+        _q_psi_drift,
+        _Q_PSI_SQL,
+    ),
+    QuerySpec(
+        "q_negative_sample",
+        "deterministic hash-thinned negative item sampling",
+        _q_negative_sample,
+        _Q_NEG_SQL,
     ),
 )

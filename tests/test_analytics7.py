@@ -281,3 +281,112 @@ def test_ri_orphans_detects_injected_orphan(spark):
     # NULL fk also reports (left_anti keeps it) — the query layer filters
     # non-null; the raw operator surfaces everything missing from the dim
     assert 99 in keys
+
+
+# --- Theil-Sen / Mann-Kendall ---------------------------------------------------
+
+
+def _series(spark, ys):
+    return spark.createDataFrame([Row(x=i, y=float(v)) for i, v in enumerate(ys)])
+
+
+def test_theil_sen_recovers_line_through_outlier(spark):
+    from lakehouse_architecture_spark.operators.timeseries import theil_sen
+
+    ys = [3.0 * i + 2.0 for i in range(15)]
+    ys[7] = 500.0  # one gross outlier: OLS would tilt, Theil-Sen must not
+    out = theil_sen(_series(spark, ys), "x", "y").collect()[0]
+    assert out.n_points == 15
+    assert out.n_pairs == 105
+    assert out.slope == pytest.approx(3.0)
+    assert out.intercept == pytest.approx(2.0)
+
+
+def test_theil_sen_even_count_uses_lower_median(spark):
+    from lakehouse_architecture_spark.operators.timeseries import theil_sen
+
+    # 2 points -> 1 pair; 4 points -> 6 pairs (even): lower median = rank 3
+    out = theil_sen(_series(spark, [0.0, 1.0, 3.0, 6.0]), "x", "y").collect()[0]
+    # pairwise slopes: 1,1.5,2,2,2.5,3 -> lower median (rank 3) = 2
+    assert out.slope == pytest.approx(2.0)
+
+
+def test_mann_kendall_monotone_and_constant(spark):
+    from lakehouse_architecture_spark.operators.timeseries import mann_kendall
+
+    up = mann_kendall(_series(spark, range(10)), "x", "y").collect()[0]
+    assert up.s_stat == 45  # all 45 pairs increasing
+    assert up.z > 0
+    flat = mann_kendall(_series(spark, [5.0] * 10), "x", "y").collect()[0]
+    assert flat.s_stat == 0
+    assert flat.var_s == 0.0
+    assert flat.z == 0.0
+
+
+def test_mann_kendall_tie_correction(spark):
+    from lakehouse_architecture_spark.operators.timeseries import mann_kendall
+
+    # n=4 with one tie pair: var = (4*3*13 - 2*1*9)/18 = (156-18)/18
+    out = mann_kendall(_series(spark, [1.0, 2.0, 2.0, 3.0]), "x", "y").collect()[0]
+    assert out.var_s == pytest.approx(round((156 - 18) / 18, 6))
+
+
+# --- PSI drift -------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    from lakehouse_architecture_spark.operators.profiling import psi_drift
+
+    df = spark.createDataFrame([Row(v=float(i % 300)) for i in range(600)])
+    out = {r.bin: r for r in psi_drift(df, df, "v").collect()}
+    assert out[-1].term == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_shift_registers(spark):
+    from lakehouse_architecture_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame([Row(v=float(i % 100)) for i in range(500)])
+    cur = spark.createDataFrame([Row(v=300.0 + float(i % 100)) for i in range(500)])
+    out = {r.bin: r for r in psi_drift(ref, cur, "v").collect()}
+    assert out[-1].term > 0.25  # "major shift" on the conventional scale
+    # disjoint mass floors at epsilon on the empty side
+    assert out[0].p_cur == pytest.approx(0.0001)
+
+
+def test_psi_negative_values_clamp_to_bin_zero(spark):
+    from lakehouse_architecture_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame([Row(v=-50.0), Row(v=10.0)])
+    out = psi_drift(ref, ref, "v").collect()
+    bins = {r.bin for r in out}
+    assert bins == {-1, *range(10)}
+
+
+# --- negative sampling --------------------------------------------------------------
+
+
+def test_negative_sample_excludes_interactions_and_bounds_k(spark):
+    from lakehouse_architecture_spark.operators.features import negative_sample
+
+    users = spark.createDataFrame([Row(u=1), Row(u=2)])
+    items = spark.createDataFrame([Row(i=n) for n in range(200)])
+    inter = spark.createDataFrame([Row(u=1, i=n) for n in range(100)])
+    out = negative_sample(inter, users, items, "u", "i", k=3, thin_mod=2).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user, []).append(r)
+    for u, rows in per_user.items():
+        assert len(rows) <= 3
+        assert sorted(r.rk for r in rows) == list(range(1, len(rows) + 1))
+    assert all(not (r.user == 1 and r.item < 100) for r in out)
+
+
+def test_negative_sample_deterministic(spark):
+    from lakehouse_architecture_spark.operators.features import negative_sample
+
+    users = spark.createDataFrame([Row(u=7)])
+    items = spark.createDataFrame([Row(i=n) for n in range(300)])
+    inter = spark.createDataFrame([Row(u=7, i=1)])
+    a = sorted(map(tuple, negative_sample(inter, users, items, "u", "i", k=5).collect()))
+    b = sorted(map(tuple, negative_sample(inter, users, items, "u", "i", k=5).collect()))
+    assert a == b and len(a) == 5

@@ -63,6 +63,13 @@ QUERIES = [
     "q_corr_matrix",
     "q_pca_whiten",
     "q_whiten_invariants",
+    # round 11: the new bench-tracked OPH signature path plus the closure
+    # family's representative — their shapes (one shingle aggregate feeding
+    # a cached signature relation; log-round self-joins) are the scale
+    # contract
+    "q_oph_minhash",
+    "q_adamic_adar",
+    "q_bootstrap_ci",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
