@@ -347,40 +347,69 @@ _RI_RELATIONS: tuple[tuple[str, str, str, str], ...] = (
 def _q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One audit row per FK relation of the star schema: child rows,
     distinct child keys, and orphan rows/keys (non-NULL FKs missing from
-    the parent). Each relation is a broadcast/shuffled anti-join that AQE
-    sizes (pipeline/expectations.py:expect_ref_integrity rationale); the
-    union of seven one-row aggregates is driver-trivial. All-zero orphan
-    columns == integrity holds, and the audit proves it instead of
-    assuming it."""
+    the parent). All-zero orphan columns == integrity holds, and the
+    audit proves it instead of assuming it.
+
+    ONE scan per table, total: each table's scan explodes into tall
+    (relation, key) rows for every FK/PK role the table plays (lineitem
+    emits its three FK streams from one pass; orders emits its PK stream
+    for the lineitem relation AND its o_custkey FK stream); orphans are
+    then one co-partitioned anti-join on (relation, key) and the counts
+    one hash-agg onto 7 rows. The naive per-relation formulation scanned
+    the fact tables twice per relation — 20 live scans, caught by the
+    registry-wide ≤8 live-scan gate (tests/test_plans.py) — and at 100 TB
+    would re-read lineitem six times for an audit one pass can answer."""
     t = tables(spark, sf_dir)
-    parts = []
+    child_roles: dict[str, list[tuple[str, str]]] = {}
+    parent_roles: dict[str, list[tuple[str, str]]] = {}
     for child, fk, parent, pk in _RI_RELATIONS:
-        c = t[child].select(F.col(fk).alias("k"))
-        p = t[parent].select(F.col(pk).alias("k")).distinct()
-        orph = c.filter(F.col("k").isNotNull()).join(p, "k", "left_anti")
-        counts = c.agg(
-            F.count(F.lit(1)).alias("child_rows"),
-            F.count("k").alias("nonnull_fk_rows"),
-            F.count_distinct("k").alias("distinct_fks"),
+        rel = f"{child}.{fk}->{parent}.{pk}"
+        child_roles.setdefault(child, []).append((rel, fk))
+        parent_roles.setdefault(parent, []).append((rel, pk))
+
+    def tall(table: str, roles: list[tuple[str, str]]) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(rel).alias("rel"), F.col(col).cast("long").alias("k")
+                )
+                for rel, col in roles
+            ]
         )
-        ocounts = orph.agg(
-            F.count(F.lit(1)).alias("orphan_rows"),
-            F.count_distinct("k").alias("orphan_keys"),
+        return t[table].select(F.explode(arr).alias("e")).select("e.rel", "e.k")
+
+    def union_all(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    children = union_all([tall(tb, rs) for tb, rs in child_roles.items()])
+    parents = union_all([tall(tb, rs) for tb, rs in parent_roles.items()]).distinct()
+    counts = children.groupBy("rel").agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.count("k").alias("nonnull_fk_rows"),
+        F.count_distinct("k").alias("distinct_fks"),
+    )
+    orph = children.filter(F.col("k").isNotNull()).join(
+        parents, ["rel", "k"], "left_anti"
+    )
+    ocounts = orph.groupBy("rel").agg(
+        F.count(F.lit(1)).alias("orphan_rows"),
+        F.count_distinct("k").alias("orphan_keys"),
+    )
+    return (
+        counts.join(ocounts, "rel", "left")
+        .select(
+            "rel",
+            "child_rows",
+            "nonnull_fk_rows",
+            "distinct_fks",
+            F.coalesce("orphan_rows", F.lit(0)).alias("orphan_rows"),
+            F.coalesce("orphan_keys", F.lit(0)).alias("orphan_keys"),
         )
-        parts.append(
-            counts.crossJoin(ocounts).select(
-                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("rel"),
-                "child_rows",
-                "nonnull_fk_rows",
-                "distinct_fks",
-                "orphan_rows",
-                "orphan_keys",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("rel")
+        .orderBy("rel")
+    )
 
 
 def _ri_sql_one(child: str, fk: str, parent: str, pk: str) -> str:
