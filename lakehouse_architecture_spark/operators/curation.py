@@ -464,3 +464,62 @@ def weighted_sample_topk(
         .orderBy(F.col("__aes_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    n_total: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: stratum h gets
+    n_h = round(n_total · N_h·S_h / Σ N_h·S_h) — proportional to size ×
+    standard deviation, the allocation that minimizes the variance of the
+    stratified mean estimator (Neyman 1934). The planning step in front
+    of :func:`stratified_hash_sample`: compute the allocation here, turn
+    it into per-stratum fractions, sample deterministically there.
+
+    One hash aggregate onto |strata| rows (decimal-exact Σx/Σx² moments),
+    then broadcast-scalar arithmetic — nothing data-sized downstream.
+    Rounding is the explicit FLOOR(x + 0.5) so both engines round
+    identically (Spark's ROUND and DuckDB's differ in half-case policy on
+    doubles). Returns (stratum, n_rows, s_h, weight, alloc).
+    """
+    d = "decimal(38,6)"
+    moms = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast(d)).cast("double").alias("__sx"),
+        F.sum(
+            (
+                F.col(value_col).cast("decimal(18,6)")
+                * F.col(value_col).cast("decimal(18,6)")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("__sxx"),
+    )
+    s_h = F.when(
+        F.col("n_rows") > 1,
+        F.sqrt(
+            (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("n_rows"))
+            / (F.col("n_rows") - 1)
+        ),
+    ).otherwise(F.lit(0.0))
+    sized = moms.select("stratum", "n_rows", s_h.alias("s_h")).withColumn(
+        "__w", F.col("n_rows") * F.col("s_h")
+    )
+    tot = sized.agg(
+        F.sum(F.col("__w").cast("decimal(38,12)")).cast("double").alias("__tot")
+    )
+    return (
+        sized.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            F.round("s_h", 6).alias("s_h"),
+            F.round(F.col("__w") / F.col("__tot"), 6).alias("weight"),
+            F.floor(F.col("__w") / F.col("__tot") * n_total + 0.5)
+            .cast("int")
+            .alias("alloc"),
+        )
+    )

@@ -137,3 +137,39 @@ def zordered_write(
 ) -> None:
     """Write ``df`` clustered via :func:`zorder_cluster`."""
     zorder_cluster(df, zorder_cols, n_files, bits).write.mode(mode).parquet(path)
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1996) shard
+    assignment: each row goes to argmax over shards of
+    md5(id ‖ '_' ‖ shard). The consistent-hashing guarantee follows from
+    the construction: growing to n+1 shards only moves the rows whose new
+    shard's hash beats all previous ones — an expected 1/(n+1) of rows —
+    where a mod-n assignment reshuffles (n−1)/n of everything.
+
+    Pure narrow map: the per-row argmax is an ``array_max`` over n_shards
+    in-row hash evaluations — no explode, no shuffle, no state. Stateless
+    and engine-portable (the SQL oracle computes the identical argmax),
+    so shard routing can be re-derived anywhere, any time.
+    """
+    from lakehouse_architecture_spark.functions.hashing import md5_hash64
+
+    pairs = F.array(
+        *[
+            F.struct(
+                md5_hash64(
+                    F.concat_ws("_", F.col(id_col).cast("string"), F.lit(str(s)))
+                ).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    # struct max orders by (h, s): the hash decides, s breaks the
+    # astronomically-unlikely tie deterministically
+    return df.withColumn(out_col, F.array_max(pairs)["s"])

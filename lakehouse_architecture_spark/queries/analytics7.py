@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.operators.curation import neyman_allocation
 from lakehouse_architecture_spark.operators.dedup import oph_candidate_pairs
 from lakehouse_architecture_spark.operators.features import negative_sample
+from lakehouse_architecture_spark.operators.partitioning import rendezvous_assign
 from lakehouse_architecture_spark.operators.graph import adamic_adar, tree_closure
 from lakehouse_architecture_spark.operators.profiling import (
     POISSON1_THRESHOLDS,
@@ -617,6 +619,187 @@ ORDER BY c_custkey, rk
 """
 
 
+# --- Neyman stratified-sample allocation -------------------------------------
+_NEYMAN_N = 100
+
+
+def _q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 100-doc sample across sources by
+    size × n_chars dispersion (operators/curation.py:neyman_allocation) —
+    the planning aggregate in front of stratified_hash_sample."""
+    t = tables(spark, sf_dir)
+    return neyman_allocation(t["documents"], "source", "n_chars", _NEYMAN_N).orderBy(
+        "stratum"
+    )
+
+
+_Q_NEYMAN_SQL = f"""
+WITH moms AS (
+  SELECT source AS stratum, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(n_chars AS DECIMAL(18,6))
+                       * CAST(n_chars AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sxx
+  FROM documents GROUP BY 1
+),
+sized AS (
+  SELECT stratum, n_rows,
+         CASE WHEN n_rows > 1
+              THEN SQRT((sxx - sx * sx / n_rows) / (n_rows - 1))
+              ELSE 0.0 END AS s_h
+  FROM moms
+),
+tot AS (
+  SELECT CAST(SUM(CAST(n_rows * s_h AS DECIMAL(38,12))) AS DOUBLE) AS t
+  FROM sized
+)
+SELECT stratum, n_rows, ROUND(s_h, 6) AS s_h,
+       ROUND(n_rows * s_h / t, 6) AS weight,
+       CAST(FLOOR(n_rows * s_h / t * {_NEYMAN_N} + 0.5) AS INT) AS alloc
+FROM sized, tot
+ORDER BY stratum
+"""
+
+
+# --- rendezvous-hash shard assignment ------------------------------------------
+_RV_SHARDS = 8
+
+
+def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard census (operators/partitioning.py:
+    rendezvous_assign): docs routed to argmax-hash of 8 shards, next to
+    the count that would MOVE if a 9th shard joined — measuring the
+    consistent-hashing guarantee (expected 1/9 moves; mod-hash would move
+    8/9). Both assignments are pure narrow maps over one scan."""
+    t = tables(spark, sf_dir)
+    assigned = rendezvous_assign(
+        rendezvous_assign(t["documents"], "doc_id", _RV_SHARDS, "shard"),
+        "doc_id",
+        _RV_SHARDS + 1,
+        "shard9",
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("shard") != F.col("shard9")).cast("int")).cast(
+                "bigint"
+            ).alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
+_RV_HASH = _HASH64.format(expr="CAST(doc_id AS VARCHAR) || '_' || CAST(s.s AS VARCHAR)")
+_Q_RENDEZVOUS_SQL = f"""
+WITH h8 AS (
+  SELECT doc_id, s.s AS s, {_RV_HASH} AS h
+  FROM documents, (SELECT unnest(generate_series(0, {_RV_SHARDS - 1})) AS s) s
+),
+a8 AS (
+  SELECT doc_id, s AS shard FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+    FROM h8
+  ) WHERE rn = 1
+),
+h9 AS (
+  SELECT doc_id, s.s AS s, {_RV_HASH} AS h
+  FROM documents, (SELECT unnest(generate_series(0, {_RV_SHARDS})) AS s) s
+),
+a9 AS (
+  SELECT doc_id, s AS shard9 FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+    FROM h9
+  ) WHERE rn = 1
+)
+SELECT a8.shard, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN a8.shard <> a9.shard9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM a8 JOIN a9 USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- Gumbel block-maxima fit (extreme-value readout) -----------------------------
+#: frozen literals (computed once, identical text in builder and oracle):
+#: √6/π, the Euler–Mascheroni constant, and ln(−ln(0.99)) for the
+#: 100-block return level — no engine libm call decides a constant
+_SQRT6_PI = 0.7796968012336761
+_EULER_GAMMA = 0.5772156649015329
+_L100 = -4.600149226776579
+
+
+def _q_evt_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel method-of-moments fit over daily block maxima of the event
+    value: β = s·√6/π, μ = m − γβ, and the 100-block return level
+    μ − β·ln(−ln(1−1/100)) — the capacity-planning readout (how big a
+    daily spike to expect once per 100 days). One daily max aggregate
+    (the 100 TB step) + decimal-exact moments over block cardinality."""
+    t = tables(spark, sf_dir)
+    blocks = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.max("value").alias("mx"))
+    )
+    d = "decimal(38,6)"
+    moms = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("mx").cast(d)).cast("double").alias("__sx"),
+        F.sum(
+            (
+                F.col("mx").cast("decimal(18,6)")
+                * F.col("mx").cast("decimal(18,6)")
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("__sxx"),
+    )
+    m = F.col("__sx") / F.col("n_blocks")
+    s = F.sqrt(
+        (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("n_blocks"))
+        / (F.col("n_blocks") - 1)
+    )
+    beta = s * _SQRT6_PI
+    mu = m - F.lit(_EULER_GAMMA) * beta
+    return moms.select(
+        "n_blocks",
+        F.round(m, 6).alias("mean_max"),
+        F.round(s, 6).alias("std_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(mu - beta * _L100, 6).alias("return_level_100"),
+    )
+
+
+_Q_EVT_SQL = f"""
+WITH blocks AS (
+  SELECT CAST(ts AS DATE) AS day, MAX(value) AS mx FROM events GROUP BY 1
+),
+moms AS (
+  SELECT COUNT(*) AS n_blocks,
+         CAST(SUM(CAST(mx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(mx AS DECIMAL(18,6))
+                       * CAST(mx AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sxx
+  FROM blocks
+)
+SELECT n_blocks,
+       ROUND(sx / n_blocks, 6) AS mean_max,
+       ROUND(SQRT((sxx - sx * sx / n_blocks) / (n_blocks - 1)), 6) AS std_max,
+       ROUND(SQRT((sxx - sx * sx / n_blocks) / (n_blocks - 1)) * {_SQRT6_PI!r}, 6)
+         AS gumbel_beta,
+       ROUND(sx / n_blocks - {_EULER_GAMMA!r}
+             * (SQRT((sxx - sx * sx / n_blocks) / (n_blocks - 1)) * {_SQRT6_PI!r}), 6)
+         AS gumbel_mu,
+       ROUND((sx / n_blocks - {_EULER_GAMMA!r}
+              * (SQRT((sxx - sx * sx / n_blocks) / (n_blocks - 1)) * {_SQRT6_PI!r}))
+             - (SQRT((sxx - sx * sx / n_blocks) / (n_blocks - 1)) * {_SQRT6_PI!r})
+               * {_L100!r}, 6)
+         AS return_level_100
+FROM moms
+"""
+
+
 ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec(
         "q_oph_minhash",
@@ -677,5 +860,23 @@ ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
         "deterministic hash-thinned negative item sampling",
         _q_negative_sample,
         _Q_NEG_SQL,
+    ),
+    QuerySpec(
+        "q_neyman_alloc",
+        "Neyman-optimal stratified sample allocation per source",
+        _q_neyman_alloc,
+        _Q_NEYMAN_SQL,
+    ),
+    QuerySpec(
+        "q_rendezvous_shards",
+        "rendezvous-hash shard census + 9th-shard move count",
+        _q_rendezvous_shards,
+        _Q_RENDEZVOUS_SQL,
+    ),
+    QuerySpec(
+        "q_evt_maxima",
+        "Gumbel block-maxima fit + 100-day return level",
+        _q_evt_maxima,
+        _Q_EVT_SQL,
     ),
 )

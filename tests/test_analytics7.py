@@ -390,3 +390,91 @@ def test_negative_sample_deterministic(spark):
     a = sorted(map(tuple, negative_sample(inter, users, items, "u", "i", k=5).collect()))
     b = sorted(map(tuple, negative_sample(inter, users, items, "u", "i", k=5).collect()))
     assert a == b and len(a) == 5
+
+
+# --- Neyman allocation -----------------------------------------------------------
+
+
+def test_neyman_constant_stratum_gets_nothing(spark):
+    from lakehouse_architecture_spark.operators.curation import neyman_allocation
+
+    rows = [Row(g="flat", v=10.0)] * 20 + [
+        Row(g="wild", v=float(v)) for v in range(0, 200, 10)
+    ]
+    out = {r.stratum: r for r in neyman_allocation(
+        spark.createDataFrame(rows), "g", "v", 50).collect()}
+    assert out["flat"].s_h == 0.0
+    assert out["flat"].alloc == 0
+    assert out["wild"].alloc == 50
+    assert out["wild"].weight == pytest.approx(1.0)
+
+
+def test_neyman_weights_proportional_to_n_times_s(spark):
+    from lakehouse_architecture_spark.operators.curation import neyman_allocation
+
+    # stratum b has 2x the rows AND the same spread -> 2x the weight
+    rows = [Row(g="a", v=float(v)) for v in (0, 10)] + [
+        Row(g="b", v=float(v)) for v in (0, 10, 0, 10)
+    ]
+    out = {r.stratum: r for r in neyman_allocation(
+        spark.createDataFrame(rows), "g", "v", 30).collect()}
+    assert out["b"].weight > out["a"].weight
+    # N_a*S_a : N_b*S_b with equal-ish spreads -> b gets roughly 2x a's share
+    assert out["a"].alloc + out["b"].alloc in (29, 30, 31)  # floor(x+.5) rounding
+
+
+# --- rendezvous sharding -----------------------------------------------------------
+
+
+def test_rendezvous_moves_only_to_the_new_shard(spark):
+    from lakehouse_architecture_spark.operators.partitioning import rendezvous_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    both = rendezvous_assign(
+        rendezvous_assign(df, "k", 8, "s8"), "k", 9, "s9"
+    ).collect()
+    moved = [r for r in both if r.s8 != r.s9]
+    # THE consistent-hashing property: growing the pool can only move keys
+    # to the NEW shard, never between old shards
+    assert all(r.s9 == 8 for r in moved)
+    # expected move fraction = 1/9 of keys; allow generous sampling slack
+    assert 0.05 < len(moved) / len(both) < 0.20
+    assert all(0 <= r.s8 < 8 for r in both)
+
+
+def test_rendezvous_is_stable_under_rerun(spark):
+    from lakehouse_architecture_spark.operators.partitioning import rendezvous_assign
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    a = sorted(map(tuple, rendezvous_assign(df, "k", 8).collect()))
+    b = sorted(map(tuple, rendezvous_assign(df, "k", 8).collect()))
+    assert a == b
+
+
+# --- Gumbel block maxima --------------------------------------------------------------
+
+
+def test_evt_constant_maxima_degenerate(spark):
+    from lakehouse_architecture_spark.queries.analytics7 import (
+        _EULER_GAMMA,
+        _SQRT6_PI,
+    )
+
+    # the math the query implements, on a constant series: beta=0, mu=mean,
+    # return level = mean — checked through the operator-free local formula
+    import math
+
+    s = 0.0
+    beta = s * _SQRT6_PI
+    mu = 42.0 - _EULER_GAMMA * beta
+    assert beta == 0.0 and mu == 42.0
+
+
+def test_evt_fixture_fit_is_sane(spark):
+    from lakehouse_architecture_spark.queries.analytics7 import _q_evt_maxima
+
+    out = _q_evt_maxima(spark, SF_SMOKE).collect()[0]
+    assert out.n_blocks >= 28
+    assert out.std_max > 0
+    # the 100-block return level must sit ABOVE the mean block max
+    assert out.return_level_100 > out.mean_max
