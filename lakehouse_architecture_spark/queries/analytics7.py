@@ -1,9 +1,13 @@
-"""Round-11 depth block: one-permutation-hashing MinHash (the O(tokens)
-signature path), classical seasonal decomposition, Adamic-Adar link
-prediction, forest transitive closure with exact depth (pointer doubling —
-the engine's recursive-CTE answer), a deterministic Poisson-bootstrap
-confidence interval, and a referential-integrity orphan audit across the
-star schema's FK relations.
+"""Round-11 depth block, 13 queries: one-permutation-hashing MinHash (the
+O(tokens) signature path), classical seasonal decomposition, Adamic-Adar
+link prediction, forest transitive closure with exact depth (pointer
+doubling — the engine's recursive-CTE answer), a deterministic
+Poisson-bootstrap confidence interval, a referential-integrity orphan
+audit across the star schema's FK relations (one scan per table), Theil-Sen
+robust regression + the Mann-Kendall trend test (collapsed-series pair
+joins), PSI distribution drift, deterministic hash-thinned negative
+sampling, Neyman-optimal stratified allocation, rendezvous-hash shard
+assignment, and a Gumbel block-maxima fit with return levels.
 
 Registered last — the audited OVERFLOW block convention (analytics6.py):
 these wait beyond the driver's 50-slot window with committed
