@@ -248,14 +248,16 @@ def negative_sample(
     (user, item), so retries, repartitions, and the SQL oracle all draw
     the same negatives, and a later epoch can re-derive them.
 
-    The naive candidate space is |users|×|items|; ``thin_mod`` prunes it
-    BEFORE the join with a deterministic hash filter (keep pairs whose
-    md5 ≡ 0 mod thin_mod), cutting the cross join by that factor while
-    staying a pure function — the standard hash-prefix trick for
-    at-scale sampling. Each user's candidate pool is ≈ |items|/thin_mod;
-    callers must keep k well under that. Anti-join removes true
-    interactions AFTER thinning (cheaper: the ledger join runs on the
-    thinned set).
+    The candidate space is |users|×|items|, and because the thinning
+    hash depends on BOTH keys it cannot shrink the enumeration itself —
+    the cross join still streams every pair through the filter (a narrow,
+    shuffle-free scan over broadcast items). What ``thin_mod`` cuts by
+    its factor is everything AFTER the filter: the interaction anti-join,
+    the shuffle, and the per-user window all run on 1/thin_mod of the
+    pairs. Each user's candidate pool is ≈ |items|/thin_mod; callers must
+    keep k well under that. For item catalogs too large to broadcast,
+    enumerate candidates from a hash-bucketed item subset instead (the
+    same pure-function property holds per bucket).
 
     Returns (user, item, rk) with rk = 1..k by (hash, item) order.
     """

@@ -527,3 +527,44 @@ def psi_drift(
         ),
     )
     return terms.unionByName(total)
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the share of the document's distinct word
+    n-gram shingles that appear in NO other document — the inverse lens
+    of the dedup family (dup measures what is shared; novelty measures
+    what is not), and a standard curriculum/quality signal: boilerplate
+    scores ~0, original text ~1.
+
+    Two hash aggregates on the 60-bit shingle hash (per-doc distinct set,
+    then corpus document frequency) and one key join — the inverted-index
+    shape of ngram_jaccard without the pair blow-up, so there is no
+    quadratic stage to guard. Returns (id, n_shingles, n_unique,
+    novelty) with novelty = n_unique / n_shingles rounded to 6.
+    """
+    from lakehouse_architecture_spark.operators.dedup import word_shingles
+
+    sh = (
+        word_shingles(df, id_col, text_col, n)
+        .select("id", md5_hash64(F.col("shingle")).alias("h"))
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 6),
+        )
+    )

@@ -14,7 +14,7 @@ Correct for inner and left joins on equality keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.materialize import materialize_small
@@ -360,3 +360,73 @@ def exact_quantiles(
         *[F.max(F.when(F.col("__q") == F.lit(k), val)).alias(k) for k in names]
     )
     return out
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Lower weighted median per group: the first value (ordered by value)
+    whose running weight reaches half the group's total weight — WITHOUT a
+    data-sized window. The weighted sibling of :func:`two_phase_rank` /
+    :func:`exact_quantiles`:
+
+    1. one hash-agg onto (group, value-bucket) cells with decimal-exact
+       weight sums — the only pass over raw rows;
+    2. a window over the CELL table (groups × buckets rows, never data-
+       sized) locates each group's median bucket and the weight
+       accumulated strictly before it;
+    3. only the rows of that one bucket per group are re-read (semi-join
+       pushes the bucket predicate to the scan) and a window over those
+       few rows finds the exact row where cum-weight crosses W/2.
+
+    All weight arithmetic is DECIMAL(38,6) — the crossing comparison is
+    exact, so partitioning can never flip which row is the median.
+    Returns (group_cols..., total_weight, median).
+    """
+    d = "decimal(38,6)"
+    b = F.floor(F.col(value_col) / bucket_width).cast("long").alias("__b")
+    cells = (
+        df.select(*group_cols, b, F.col(weight_col).cast(d).alias("__w"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.sum("__w").alias("__cw"))
+    )
+    wspec = Window.partitionBy(*group_cols).orderBy("__b")
+    cum = cells.select(
+        *group_cols,
+        "__b",
+        (F.sum("__cw").over(wspec) - F.col("__cw")).alias("__before"),
+        F.sum("__cw").over(
+            Window.partitionBy(*group_cols).orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__tot"),
+        F.sum("__cw").over(wspec).alias("__through"),
+    )
+    half = F.col("__tot") / 2
+    med_bucket = cum.filter(
+        (F.col("__through") >= half) & (F.col("__before") < half)
+    ).select(*group_cols, "__b", "__before", "__tot")
+    in_bucket = df.select(
+        *group_cols,
+        F.floor(F.col(value_col) / bucket_width).cast("long").alias("__b"),
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast(d).alias("__w"),
+    ).join(med_bucket, [*group_cols, "__b"])
+    wrow = Window.partitionBy(*group_cols).orderBy("__v", "__w")
+    crossed = in_bucket.select(
+        *group_cols,
+        "__v",
+        "__tot",
+        (F.col("__before") + F.sum("__w").over(wrow)).alias("__cum"),
+    ).filter(F.col("__cum") >= F.col("__tot") / 2)
+    return (
+        crossed.groupBy(*group_cols)
+        .agg(
+            F.max(F.col("__tot").cast("double")).alias("total_weight"),
+            F.min("__v").alias("median"),
+        )
+    )

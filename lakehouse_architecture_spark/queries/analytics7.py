@@ -29,7 +29,9 @@ from lakehouse_architecture_spark.operators.profiling import (
     POISSON1_THRESHOLDS,
     poisson_bootstrap_mean,
     psi_drift,
+    shingle_novelty,
 )
+from lakehouse_architecture_spark.operators.skew import weighted_median
 from lakehouse_architecture_spark.operators.timeseries import (
     mann_kendall,
     seasonal_decompose,
@@ -804,6 +806,77 @@ FROM moms
 """
 
 
+# --- weighted median (bucketed two-phase) ------------------------------------
+def _q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of extended price weighted by quantity, per
+    return flag (operators/skew.py:weighted_median) — the bucketed
+    two-phase formulation: one cell aggregate over raw rows, windows over
+    the cell table, one bucket's rows re-read. The oracle states the
+    DEFINITION (min value whose running weight crosses half the total,
+    one plain window) — the hash match proves the two-phase mechanics
+    equivalent, the q_gini / two_phase_rank discipline."""
+    t = tables(spark, sf_dir)
+    return weighted_median(
+        t["lineitem"], ["l_returnflag"], "l_extendedprice", "l_quantity",
+        bucket_width=100.0,
+    ).orderBy("l_returnflag")
+
+
+_Q_WMEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(l_quantity AS DECIMAL(38,6)) AS wt
+  FROM lineitem
+),
+tot AS (
+  SELECT l_returnflag, SUM(wt) AS tot FROM w GROUP BY 1
+),
+cum AS (
+  SELECT l_returnflag, v,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt) AS c
+  FROM w
+)
+SELECT c.l_returnflag,
+       CAST(MAX(t.tot) AS DOUBLE) AS total_weight,
+       MIN(c.v) AS median
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE c.c >= t.tot / 2
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- shingle novelty ----------------------------------------------------------
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of the doc's distinct 3-gram shingles
+    appearing in no other document (operators/profiling.py:
+    shingle_novelty) — the inverse lens of the dedup family and a
+    curriculum/quality signal."""
+    t = tables(spark, sf_dir)
+    return (
+        shingle_novelty(t["documents"], "doc_id", "text", n=3)
+        .select(
+            F.col("id").alias("doc_id"), "n_shingles", "n_unique", "novelty"
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_NOVELTY_SQL = f"""
+WITH {_SHINGLES_CTE},
+shh AS (SELECT doc_id, {_HASH64.format(expr='shingle')} AS h FROM sh),
+dfreq AS (SELECT h, COUNT(*) AS df FROM shh GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS novelty
+FROM shh JOIN dfreq USING (h)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
     QuerySpec(
         "q_oph_minhash",
@@ -882,5 +955,17 @@ ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
         "Gumbel block-maxima fit + 100-day return level",
         _q_evt_maxima,
         _Q_EVT_SQL,
+    ),
+    QuerySpec(
+        "q_weighted_median",
+        "bucketed two-phase weighted median per return flag",
+        _q_weighted_median,
+        _Q_WMEDIAN_SQL,
+    ),
+    QuerySpec(
+        "q_ngram_novelty",
+        "per-doc share of corpus-unique shingles",
+        _q_ngram_novelty,
+        _Q_NOVELTY_SQL,
     ),
 )

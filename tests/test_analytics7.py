@@ -478,3 +478,68 @@ def test_evt_fixture_fit_is_sane(spark):
     assert out.std_max > 0
     # the 100-block return level must sit ABOVE the mean block max
     assert out.return_level_100 > out.mean_max
+
+
+# --- weighted median --------------------------------------------------------------
+
+
+def test_weighted_median_matches_brute_force(spark):
+    from lakehouse_architecture_spark.operators.skew import weighted_median
+
+    rows = [
+        Row(g="a", v=1.0, w=1.0),
+        Row(g="a", v=2.0, w=1.0),
+        Row(g="a", v=3.0, w=10.0),  # weight mass drags the median to 3
+        Row(g="b", v=5.0, w=2.0),
+        Row(g="b", v=7.0, w=1.0),   # half of 3 = 1.5 <= 2 -> median 5
+    ]
+    out = {r.g: r for r in weighted_median(
+        spark.createDataFrame(rows), ["g"], "v", "w", bucket_width=1.0
+    ).collect()}
+    assert out["a"].median == 3.0
+    assert out["b"].median == 5.0
+    assert out["a"].total_weight == pytest.approx(12.0)
+
+
+def test_weighted_median_unit_weights_is_lower_median(spark):
+    from lakehouse_architecture_spark.operators.skew import weighted_median
+
+    rows = [Row(g="g", v=float(v), w=1.0) for v in [10, 20, 30, 40]]
+    out = weighted_median(
+        spark.createDataFrame(rows), ["g"], "v", "w", bucket_width=7.0
+    ).collect()[0]
+    # running weight hits W/2 = 2 at the 2nd value -> lower median 20
+    assert out.median == 20.0
+
+
+def test_weighted_median_bucket_width_invariance(spark):
+    from lakehouse_architecture_spark.operators.skew import weighted_median
+
+    rows = [Row(g="g", v=float(v % 97), w=float(1 + v % 5)) for v in range(400)]
+    df = spark.createDataFrame(rows)
+    a = weighted_median(df, ["g"], "v", "w", bucket_width=1.0).collect()[0]
+    b = weighted_median(df, ["g"], "v", "w", bucket_width=23.0).collect()[0]
+    assert a.median == b.median
+    assert a.total_weight == b.total_weight
+
+
+# --- shingle novelty ----------------------------------------------------------------
+
+
+def test_novelty_extremes(spark):
+    from lakehouse_architecture_spark.operators.profiling import shingle_novelty
+
+    shared = "the quick brown fox jumps over everything"
+    df = _docs(
+        spark,
+        [
+            (1, shared),
+            (2, shared),                       # full duplicate: novelty 0
+            (3, "completely different words entirely unique here"),
+        ],
+    )
+    out = {r.id: r for r in shingle_novelty(df, "doc_id", "text").collect()}
+    assert out[1].novelty == 0.0
+    assert out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert out[3].n_unique == out[3].n_shingles
