@@ -70,6 +70,8 @@ QUERIES = [
     "q_oph_minhash",
     "q_adamic_adar",
     "q_bootstrap_ci",
+    "q_weighted_median",
+    "q_ngram_novelty",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
