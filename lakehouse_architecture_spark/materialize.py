@@ -64,6 +64,14 @@ def materialize_small(df: DataFrame) -> DataFrame:
     Only DETERMINISTIC plans may use this helper: persist recomputes lost
     partitions from lineage, so nondeterministic lineage (``rand()``,
     sampling) must go through :func:`truncate_lineage` instead.
+
+    Idempotent: composed operators routinely pass an intermediate that an
+    inner operator already pinned (e.g. exact_quantiles' counts table fed
+    into a second materializing consumer). Re-persisting an already-cached
+    DataFrame is a no-op JVM-side but logs a
+    ``CacheManager: Asked to cache already cached data`` warning per call
+    — noise that can mask a real cache-eviction signal in bench tails —
+    so an already-persisted input is returned as-is.
     """
     mode = df.sparkSession.conf.get(SMALL_INTERMEDIATE_MODE, "persist")
     if mode == "localCheckpoint":
@@ -73,6 +81,8 @@ def materialize_small(df: DataFrame) -> DataFrame:
             f"{SMALL_INTERMEDIATE_MODE}={mode!r}: expected 'persist' or "
             "'localCheckpoint'"
         )
+    if df.storageLevel != StorageLevel.NONE:
+        return df
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 

@@ -408,9 +408,15 @@ def seasonal_decompose(
     Macaulay 1931, the `seasonal_decompose` of every stats library).
 
     * trend  — centered ``period``-point moving average, defined only where
-      the full window exists (edges get NULL, never a shrunken average);
-    * seasonal — mean detrended value per day-of-week (ISO 1=Mon..7=Sun),
-      re-centered to sum to zero so trend keeps the level;
+      the full window exists (edges get NULL, never a shrunken average).
+      EVEN periods use the standard 2×m double moving average (half-weight
+      endpoints over a ``period+1``-row window — a plain ``period``-row
+      window has no center); odd periods use the plain centered MA.
+    * seasonal — mean detrended value per seasonal phase, re-centered to
+      sum to zero so trend keeps the level. For the weekly default
+      (``period=7``) the phase is the ISO day-of-week (1=Mon..7=Sun); any
+      other period keys on the 1-based row position mod ``period`` (the
+      column is still named ``dow`` for schema stability).
     * residual — value − trend − seasonal.
 
     ROWS-frame window, so the input must be one row per day with no gaps
@@ -425,17 +431,43 @@ def seasonal_decompose(
     at any corpus size. The unpartitioned window is a deliberate
     single-task stage over |days| rows, not a scale hazard.
     """
+    if period < 2:
+        raise ValueError(f"seasonal_decompose period must be >= 2, got {period}")
     half = period // 2
     w = Window.orderBy(day_col).rowsBetween(-half, half)
+    win_sum = (
+        F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double")
+    )
+    if period % 2 == 0:
+        # 2×m double moving average: the (period+1)-row window sum with the
+        # two endpoints at half weight, ÷ period. Equivalent to averaging
+        # the two adjacent period-row MAs — the classical even-period trend
+        # (a period-row ROWS window has no center row, and demanding
+        # count == period over a period+1 window never holds, which was the
+        # pre-round-12 bug: all-NULL interior trend for even periods).
+        wo = Window.orderBy(day_col)
+        lo = F.lag(F.col(value_col).cast("double"), half).over(wo)
+        hi = F.lead(F.col(value_col).cast("double"), half).over(wo)
+        trend = F.when(
+            F.count(F.lit(1)).over(w) == period + 1,
+            (win_sum - 0.5 * (lo + hi)) / period,
+        )
+    else:
+        trend = F.when(F.count(F.lit(1)).over(w) == period, win_sum / period)
+    if period == 7:
+        phase = F.weekday(F.col(day_col)) + 1
+    else:
+        # 1-based row-position phase: the series is contractually gapless,
+        # so position mod period IS the seasonal phase for any grain
+        phase = (
+            (F.row_number().over(Window.orderBy(day_col)) - 1) % period + 1
+        )
     with_trend = daily.select(
         F.col(day_col).alias("day"),
         F.col(value_col).cast("double").alias("value"),
-        F.when(
-            F.count(F.lit(1)).over(w) == period,
-            F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double")
-            / period,
-        ).alias("trend"),
-    ).withColumn("dow", F.weekday(F.col("day")) + 1)
+        trend.alias("trend"),
+        phase.alias("dow"),
+    )
     detrended = with_trend.withColumn("detr", F.col("value") - F.col("trend"))
     dow_means = (
         detrended.filter(F.col("detr").isNotNull())
@@ -473,10 +505,29 @@ def seasonal_decompose(
     )
 
 
+def _enforce_collapsed_series(pts: DataFrame, op: str, max_points: int) -> None:
+    """Trip the quadratic-stage guard: ``op`` is about to emit O(n²) pair
+    rows, which is the designed shape ONLY for a collapsed (day/bucket
+    grain) series. ``limit(max_points + 1).count()`` bounds the probe
+    itself — it scans at most one partition past the cap, never the full
+    input — so the guard costs one tiny job, not a full count of the
+    offending table."""
+    n = pts.limit(max_points + 1).count()
+    if n > max_points:
+        raise ValueError(
+            f"{op}: input has more than max_points={max_points} rows — the "
+            "pairwise stage is O(n²) and is sized for a COLLAPSED series "
+            "(one row per day/bucket). Aggregate to the analysis grain "
+            "first, or raise max_points deliberately if the quadratic cost "
+            "is understood."
+        )
+
+
 def theil_sen(
     series: DataFrame,
     x_col: str = "x",
     y_col: str = "y",
+    max_points: int | None = 10_000,
 ) -> DataFrame:
     """Theil–Sen robust regression over an AGGREGATED series: slope =
     median of all pairwise slopes (y_j−y_i)/(x_j−x_i), intercept =
@@ -486,16 +537,22 @@ def theil_sen(
     Input contract is a collapsed series (one row per x — daily grain):
     the pair join is |series|², which is fine at day/bucket cardinality
     and is exactly the shape that must NEVER run on raw rows — aggregate
-    first (the q_cusum / q_acf discipline). Medians are LOWER medians
-    picked by INTEGER rank ((n+1) div 2 — div, because a double-division
-    cast truncates on Spark but rounds on DuckDB at .5), not
-    interpolation, keeping the estimator bit-portable across engines.
+    first (the q_cusum / q_acf discipline). ``max_points`` enforces that
+    contract (default 10k points ⇒ ≤ 5·10⁷ pairs, minutes on a cluster,
+    fine locally); a raw-rows caller gets an immediate ValueError from a
+    bounded ``limit(n+1)`` probe instead of an unbounded O(n²) blow-up.
+    Pass ``max_points=None`` to disable deliberately. Medians are LOWER
+    medians picked by INTEGER rank ((n+1) div 2 — div, because a
+    double-division cast truncates on Spark but rounds on DuckDB at .5),
+    not interpolation, keeping the estimator bit-portable across engines.
 
     Returns one row: (n_points, n_pairs, slope, intercept).
     """
     pts = series.select(
         F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("double").alias("y")
     )
+    if max_points is not None:
+        _enforce_collapsed_series(pts, "theil_sen", max_points)
     a, b = pts.alias("a"), pts.alias("b")
     slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
         ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("m")
@@ -535,13 +592,15 @@ def mann_kendall(
     series: DataFrame,
     x_col: str = "x",
     y_col: str = "y",
+    max_points: int | None = 10_000,
 ) -> DataFrame:
     """Mann–Kendall trend test over an aggregated series: S = Σ_{i<j}
     sign(y_j − y_i); tie-corrected variance
     (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18; continuity-corrected
     z = (S∓1)/√var. The nonparametric companion of :func:`theil_sen` —
     same collapsed-series input contract (the pair join runs at
-    day-cardinality, never raw rows).
+    day-cardinality, never raw rows), same ``max_points`` guard against a
+    raw-rows caller (bounded probe, ValueError; ``None`` disables).
 
     Returns one row: (n_points, s_stat, var_s, z). S and the tie sums are
     exact integers; z is the only float and both engines compute it from
@@ -550,6 +609,8 @@ def mann_kendall(
     pts = series.select(
         F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("double").alias("y")
     )
+    if max_points is not None:
+        _enforce_collapsed_series(pts, "mann_kendall", max_points)
     a, b = pts.alias("a"), pts.alias("b")
     s_stat = (
         a.join(b, F.col("a.x") < F.col("b.x"))

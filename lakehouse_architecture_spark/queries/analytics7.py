@@ -1,4 +1,4 @@
-"""Round-11 depth block, 13 queries: one-permutation-hashing MinHash (the
+"""Round-11 depth block, 15 queries: one-permutation-hashing MinHash (the
 O(tokens) signature path), classical seasonal decomposition, Adamic-Adar
 link prediction, forest transitive closure with exact depth (pointer
 doubling — the engine's recursive-CTE answer), a deterministic
@@ -7,7 +7,10 @@ audit across the star schema's FK relations (one scan per table), Theil-Sen
 robust regression + the Mann-Kendall trend test (collapsed-series pair
 joins), PSI distribution drift, deterministic hash-thinned negative
 sampling, Neyman-optimal stratified allocation, rendezvous-hash shard
-assignment, and a Gumbel block-maxima fit with return levels.
+assignment, a Gumbel block-maxima fit with return levels, the bucketed
+two-phase weighted median, and shingle novelty scoring. Round 12 appends
+the capped Adamic-Adar production path and the group-level Poisson
+bootstrap.
 
 Registered last — the audited OVERFLOW block convention (analytics6.py):
 these wait beyond the driver's 50-slot window with committed

@@ -137,6 +137,48 @@ def test_seasonal_dow_is_iso(spark):
     assert [r.dow for r in out] == [1, 2, 3, 4, 5, 6, 7]
 
 
+def test_seasonal_even_period_2xm_trend(spark):
+    # linear level + zero-sum period-4 pattern: the 2×4 double MA's
+    # half-weight endpoints span exactly one full cycle, so the pattern
+    # cancels and the recovered trend is the line itself; the phase means
+    # recover the pattern and the residual vanishes — all exactly.
+    pattern = [3.0, -1.0, -4.0, 2.0]  # sums to 0
+    n = 24
+    values = [float(i) + pattern[i % 4] for i in range(n)]
+    df = _daily(spark, values)
+    out = seasonal_decompose(df, "day", "total", period=4).collect()
+    by_idx = {(r.day - datetime.date(2024, 1, 1)).days: r for r in out}
+    assert len(by_idx) == n
+    for i in range(n):
+        r = by_idx[i]
+        assert r.dow == i % 4 + 1  # row-position phase, not weekday
+        if 2 <= i <= n - 3:  # full 5-row window exists
+            assert r.trend == pytest.approx(float(i), abs=1e-6), i
+            assert r.seasonal == pytest.approx(pattern[i % 4], abs=1e-6)
+            assert r.residual == pytest.approx(0.0, abs=1e-6)
+        else:
+            assert r.trend is None and r.residual is None
+
+
+def test_seasonal_even_period_interior_trend_not_null(spark):
+    # regression for the pre-round-12 bug: even periods produced an
+    # all-NULL interior trend (count==period never held over the
+    # period+1-row window) plus two spurious near-edge values
+    df = _daily(spark, [float(i % 12) for i in range(36)])
+    out = seasonal_decompose(df, "day", "total", period=12).collect()
+    by_idx = {(r.day - datetime.date(2024, 1, 1)).days: r for r in out}
+    interior = [by_idx[i].trend for i in range(6, 30)]
+    assert all(t is not None for t in interior)
+    edges = [by_idx[i].trend for i in (0, 5, 31, 35)]
+    assert all(t is None for t in edges)
+
+
+def test_seasonal_period_below_two_raises(spark):
+    df = _daily(spark, [1.0, 2.0])
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "day", "total", period=1)
+
+
 # --- Adamic-Adar ---------------------------------------------------------------
 
 
@@ -321,6 +363,23 @@ def test_mann_kendall_monotone_and_constant(spark):
     assert flat.s_stat == 0
     assert flat.var_s == 0.0
     assert flat.z == 0.0
+
+
+def test_quadratic_trend_guard_trips_on_raw_rows(spark):
+    from lakehouse_architecture_spark.operators.timeseries import (
+        mann_kendall,
+        theil_sen,
+    )
+
+    big = spark.range(50).select(
+        F.col("id").alias("x"), F.col("id").cast("double").alias("y")
+    )
+    for op in (theil_sen, mann_kendall):
+        with pytest.raises(ValueError, match="max_points"):
+            op(big, "x", "y", max_points=49)
+        # at exactly the cap the guard stays silent, and None disables it
+        assert op(big, "x", "y", max_points=50).count() == 1
+        assert op(big, "x", "y", max_points=None).count() == 1
 
 
 def test_mann_kendall_tie_correction(spark):

@@ -40,6 +40,21 @@ def test_materialize_small_default_persists_with_lineage(spark):
         df.unpersist()
 
 
+def test_materialize_small_idempotent_on_already_persisted(spark):
+    # composed operators re-materialize an inner operator's intermediate;
+    # re-persisting would log CacheManager already-cached warnings per
+    # call (bench-tail noise) — the second call must return the SAME
+    # already-persisted frame untouched
+    spark.conf.unset(SMALL_INTERMEDIATE_MODE)
+    df = materialize_small(_small_agg(spark))
+    try:
+        again = materialize_small(df)
+        assert again is df
+        assert again.storageLevel.useDisk and again.storageLevel.useMemory
+    finally:
+        df.unpersist()
+
+
 def test_materialize_small_localcheckpoint_mode(spark):
     spark.conf.set(SMALL_INTERMEDIATE_MODE, "localCheckpoint")
     try:
