@@ -461,6 +461,89 @@ def poisson_bootstrap_mean(
     )
 
 
+def poisson_bootstrap_grouped(
+    df: DataFrame,
+    group_expr,
+    value_expr,
+    n_resamples: int = 100,
+    lo_rank: int = 3,
+    hi_rank: int = 98,
+) -> DataFrame:
+    """Group-level (cluster) Poisson bootstrap for a mean — the
+    pre-aggregated form that makes :func:`poisson_bootstrap_mean`'s
+    documented 100 TB contract ("aggregate to the analysis subset first")
+    an operator instead of a discipline. One hash-aggregate collapses the
+    input to (group, Σvalue, count) — the only corpus-sized step — then
+    every resample weight applies to a GROUP row: mean_b =
+    Σ_g w_{g,b}·sum_g / Σ_g w_{g,b}·cnt_g, so the bootstrap stage does
+    B×|groups| work instead of B×|rows|.
+
+    Statistically this is the cluster bootstrap: groups are resampled as
+    units, which is the right inference when rows within a group are
+    correlated (lines of one order, events of one user) — the row-level
+    form underestimates the CI there. On inputs where every group is a
+    single row with the same id, the two forms are bit-identical (the
+    weight hash is the same (id, b) construction; parity-tested).
+
+    Same determinism story as the row-level form: hash-derived Poisson(1)
+    weights from the frozen integer thresholds, decimal-exact sums,
+    integer-rank CI. Returns one row: (n_resamples, point, lo, hi) where
+    point is the plain grand mean Σ sum_g / Σ cnt_g.
+    """
+    groups = (
+        df.select(
+            group_expr.cast("string").alias("__g"),
+            value_expr.cast("double").alias("__v"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__v").cast("decimal(38,6)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    expanded = groups.select(
+        "__g",
+        "__s",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b"),
+    ).withColumn(
+        "__u",
+        md5_hash64(F.concat_ws("_", F.col("__g"), F.col("b").cast("string")))
+        % 1_000_000,
+    )
+    weight = sum(
+        F.when(F.col("__u") >= t, 1).otherwise(0) for t in POISSON1_THRESHOLDS
+    )
+    means = (
+        expanded.withColumn("__c", weight)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("__s") * F.col("__c")).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.sum(F.col("__n") * F.col("__c"))
+            ).alias("mean_b")
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("mean_b", "b"))
+    ranked = means.select("mean_b", rn.alias("__rn"))
+    point = groups.agg(
+        (
+            F.sum(F.col("__s").cast("decimal(38,6)")).cast("double")
+            / F.sum("__n")
+        ).alias("point")
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.min(F.when(F.col("__rn") == lo_rank, F.col("mean_b"))), 4).alias("lo"),
+        F.round(F.min(F.when(F.col("__rn") == hi_rank, F.col("mean_b"))), 4).alias("hi"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_resamples", F.round("point", 4).alias("point"), "lo", "hi"
+    )
+
+
 def psi_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -30,6 +30,7 @@ from lakehouse_architecture_spark.operators.partitioning import rendezvous_assig
 from lakehouse_architecture_spark.operators.graph import adamic_adar, tree_closure
 from lakehouse_architecture_spark.operators.profiling import (
     POISSON1_THRESHOLDS,
+    poisson_bootstrap_grouped,
     poisson_bootstrap_mean,
     psi_drift,
     shingle_novelty,
@@ -230,6 +231,55 @@ LIMIT {_AA_TOP}
 """
 
 
+_AA_CAP = 8
+
+
+def _q_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION Adamic-Adar path: same part × order co-occurrence
+    graph, with the ``max_ctx_degree`` hub guard engaged (cap 8 — drops
+    the deg ≥ 9 context tail, ~1% of orders at sf0.01). A hub context
+    with m nodes emits m(m−1)/2 pair rows for terms worth only
+    1/ln(m) each, so the cap is what keeps the candidate space flat as
+    the corpus grows; scores become a documented lower bound. This query
+    oracle-gates the capped semantics the uncapped q_adamic_adar cannot
+    see."""
+    t = tables(spark, sf_dir)
+    edges = t["lineitem"].select(
+        F.col("l_partkey").alias("node"), F.col("l_orderkey").alias("ctx")
+    )
+    scores = adamic_adar(edges, "node", "ctx", max_ctx_degree=_AA_CAP)
+    return (
+        scores.orderBy(F.desc("score"), "node_a", "node_b")
+        .limit(_AA_TOP)
+        .select("node_a", "node_b", "n_common", "score")
+    )
+
+
+_Q_ADAMIC_CAPPED_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey AS n, l_orderkey AS c FROM lineitem
+),
+deg AS (
+  SELECT c, COUNT(*) AS deg FROM e GROUP BY 1 HAVING COUNT(*) <= {_AA_CAP}
+),
+w AS (
+  SELECT e.n, e.c,
+         CAST(ROUND(1.0 / LN(CAST(deg AS DOUBLE)), 9) AS DECIMAL(38,12)) AS w
+  FROM e JOIN deg USING (c)
+),
+pairs AS (
+  SELECT a.n AS node_a, b.n AS node_b, COUNT(*) AS n_common,
+         ROUND(CAST(SUM(a.w) AS DOUBLE), 6) AS score
+  FROM w a JOIN w b ON a.c = b.c AND a.n < b.n
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common, score
+FROM pairs
+ORDER BY score DESC, node_a, node_b
+LIMIT {_AA_TOP}
+"""
+
+
 # --- forest transitive closure (recursive-CTE parity) -----------------------
 def _q_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ancestor closure of the binary-tree hierarchy parent(k) = k div 2
@@ -305,6 +355,27 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bootstrap_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level CLUSTER bootstrap of the same 1995-Q1 mean extended
+    price (operators/profiling.py:poisson_bootstrap_grouped): lineitem
+    collapses to (order, Σprice, count) first, and the Poisson(1) weight
+    applies per ORDER — B×|orders| bootstrap work instead of B×|rows|,
+    and the statistically right resampling unit when lines within an
+    order are correlated."""
+    t = tables(spark, sf_dir)
+    sub = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1995-03-31")
+    )
+    return poisson_bootstrap_grouped(
+        sub,
+        F.col("l_orderkey"),
+        F.col("l_extendedprice"),
+        n_resamples=_BOOT_B,
+        lo_rank=_BOOT_LO,
+        hi_rank=_BOOT_HI,
+    )
+
+
 _BOOT_CASE = " + ".join(
     f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_THRESHOLDS
 )
@@ -334,6 +405,44 @@ ranked AS (
 point AS (
   SELECT CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS point
   FROM sub
+)
+SELECT (SELECT COUNT(*) FROM ranked) AS n_resamples,
+       ROUND(point, 4) AS point,
+       (SELECT ROUND(MIN(mean_b), 4) FROM ranked WHERE rn = {_BOOT_LO}) AS lo,
+       (SELECT ROUND(MIN(mean_b), 4) FROM ranked WHERE rn = {_BOOT_HI}) AS hi
+FROM point
+"""
+
+
+_Q_BOOTSTRAP_GROUPED_SQL = f"""
+WITH sub AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS g,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+),
+grp AS (
+  SELECT g, SUM(CAST(v AS DECIMAL(38,6))) AS s, COUNT(*) AS n
+  FROM sub GROUP BY g
+),
+expanded AS (
+  SELECT g, s, n, b.b AS b,
+         {_HASH64.format(expr="g || '_' || CAST(b.b AS VARCHAR)")} % 1000000
+           AS u
+  FROM grp, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+means AS (
+  SELECT b,
+         CAST(SUM(CAST(s * ({_BOOT_CASE}) AS DECIMAL(38,6))) AS DOUBLE)
+           / SUM(n * ({_BOOT_CASE})) AS mean_b
+  FROM expanded GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM means
+),
+point AS (
+  SELECT CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) / SUM(n) AS point
+  FROM grp
 )
 SELECT (SELECT COUNT(*) FROM ranked) AS n_resamples,
        ROUND(point, 4) AS point,
@@ -970,5 +1079,20 @@ ANALYTICS7_QUERIES: tuple[QuerySpec, ...] = (
         "per-doc share of corpus-unique shingles",
         _q_ngram_novelty,
         _Q_NOVELTY_SQL,
+    ),
+    # round 12 (VERDICT r11 #2, #5): the capped production Adamic-Adar
+    # path and the group-level bootstrap, both previously implemented but
+    # un-gated semantics
+    QuerySpec(
+        "q_adamic_adar_capped",
+        "Adamic-Adar with the max_ctx_degree hub guard engaged",
+        _q_adamic_adar_capped,
+        _Q_ADAMIC_CAPPED_SQL,
+    ),
+    QuerySpec(
+        "q_bootstrap_grouped",
+        "order-level cluster Poisson bootstrap of the Q1-95 mean price",
+        _q_bootstrap_grouped,
+        _Q_BOOTSTRAP_GROUPED_SQL,
     ),
 )

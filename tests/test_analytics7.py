@@ -299,6 +299,45 @@ def test_bootstrap_weights_shift_with_resample_index(spark):
     assert out.lo < out.hi
 
 
+def test_bootstrap_grouped_equals_row_level_on_singleton_groups(spark):
+    from lakehouse_architecture_spark.operators.profiling import (
+        poisson_bootstrap_grouped,
+    )
+
+    # every row its own group with the same id -> identical (id, b) weight
+    # hashes -> the two forms must be bit-identical
+    df = spark.range(0, 300).select(
+        F.col("id"), ((F.col("id") * 7) % 31).cast("double").alias("v")
+    )
+    row = poisson_bootstrap_mean(df, F.col("id"), F.col("v"), n_resamples=60,
+                                 lo_rank=2, hi_rank=59).collect()[0]
+    grp = poisson_bootstrap_grouped(df, F.col("id"), F.col("v"), n_resamples=60,
+                                    lo_rank=2, hi_rank=59).collect()[0]
+    assert row == grp
+
+
+def test_bootstrap_grouped_clusters_and_brackets_mean(spark):
+    from lakehouse_architecture_spark.operators.profiling import (
+        poisson_bootstrap_grouped,
+    )
+
+    # 80 groups x 5 rows; group mean varies by group so cluster resampling
+    # has real between-group variance to measure
+    df = spark.range(0, 400).select(
+        (F.col("id") % 80).alias("g"),
+        ((F.col("id") % 80) * 1.0 + (F.col("id") % 5) * 0.1).alias("v"),
+    )
+    a = poisson_bootstrap_grouped(df, F.col("g"), F.col("v"), n_resamples=50,
+                                  lo_rank=2, hi_rank=49).collect()[0]
+    b = poisson_bootstrap_grouped(df, F.col("g"), F.col("v"), n_resamples=50,
+                                  lo_rank=2, hi_rank=49).collect()[0]
+    assert a == b  # deterministic
+    true_mean = sum((i % 80) * 1.0 + (i % 5) * 0.1 for i in range(400)) / 400
+    assert a.point == pytest.approx(round(true_mean, 4))
+    assert a.lo <= true_mean <= a.hi
+    assert a.lo < a.hi
+
+
 # --- RI orphan audit ----------------------------------------------------------------
 
 

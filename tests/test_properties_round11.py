@@ -253,3 +253,31 @@ def test_psi_brute_force_parity(spark, ref_vals, cur_vals):
     for b in range(10):
         assert out[b].term == expect_terms[b]
     assert out[-1].term == round(sum(expect_terms), 6)
+
+
+# --- grouped bootstrap: collapsible-input parity with the row-level form
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(-1000, 1000).map(lambda v: v / 10.0),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_bootstrap_grouped_collapsible_fuzz_parity(spark, vals):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.profiling import (
+        poisson_bootstrap_grouped,
+        poisson_bootstrap_mean,
+    )
+
+    # singleton groups sharing the row id: the group collapse is the
+    # identity, so the two estimators must agree on every field
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, v double")
+    kw = dict(n_resamples=30, lo_rank=2, hi_rank=29)
+    row = poisson_bootstrap_mean(df, F.col("id"), F.col("v"), **kw).collect()[0]
+    grp = poisson_bootstrap_grouped(df, F.col("id"), F.col("v"), **kw).collect()[0]
+    assert row == grp
