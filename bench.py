@@ -69,6 +69,17 @@ HEADLINE = [
     # q_minhash_lsh is the point (and guards the densification join from
     # regressing into something data-sized)
     "q_oph_minhash",
+    # round 12 (VERDICT r11 #1): floor the r11 analytics block's three
+    # plan families with regression surface — the one-scan-per-table tall
+    # union audit (a revert to per-relation scans would be 20 live scans),
+    # the bucketed two-phase weighted median (a revert to a plain global
+    # window is a single-task sort over raw rows), and the Adamic-Adar
+    # ctx self-join (the steepest scale mover at 30x). The headline total
+    # floor grows accordingly; bands re-recorded via tools/bench_band.py
+    # (see README).
+    "q_ri_orphans",
+    "q_weighted_median",
+    "q_adamic_adar",
 ]
 
 

@@ -381,3 +381,58 @@ def tree_closure(
         covered *= 2
         paths = grown
     return paths
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 3,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where every
+    node has degree ≥ k (Seidman 1983) — the standard "dense part" filter
+    before community detection or as a spam/hub screen on similarity
+    graphs.
+
+    Iterative peeling: drop every node with current degree < k, recompute
+    degrees on the induced subgraph, repeat to fixpoint. Each round is one
+    degree aggregate + two semi-joins, all shuffling on node id; rounds
+    needed = the graph's peeling depth (small for co-occurrence graphs —
+    measured 2-4 on the order/part projection). The fixpoint is monotone
+    (nodes only ever leave), so running extra rounds after convergence is
+    the identity — which is what lets a fixed-round SQL oracle (unrolled
+    CTEs) reproduce the converged result exactly. Raises if ``max_rounds``
+    is exhausted before the fixpoint: a partially-peeled "core" overstates
+    density and is never acceptable.
+
+    Returns the surviving (node, degree) rows. Lineage is truncated per
+    round (materialize.py) — the standard guard for iterative plans.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = truncate_lineage(sym)
+
+    for _ in range(max_rounds):
+        deg = sym.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        deg = materialize_small(deg)
+        survivors = deg.filter(F.col("degree") >= k)
+        n_dropped = deg.filter(F.col("degree") < k).count()
+        if n_dropped == 0:
+            return survivors
+        keep = survivors.select(F.col("node"))
+        sym = truncate_lineage(
+            sym.join(keep.withColumnRenamed("node", "a"), "a", "semi").join(
+                keep.withColumnRenamed("node", "b"), "b", "semi"
+            )
+        )
+    raise RuntimeError(
+        f"k_core did not reach its fixpoint in {max_rounds} rounds; raise "
+        "max_rounds — a partially-peeled core overstates graph density"
+    )

@@ -182,3 +182,40 @@ def test_local_oracle_artifact_not_stale():
         "tools/oracle_check.py --all --json LOCAL_ORACLE.json "
         "/root/testdata/sf0.01"
     )
+
+
+def test_driver_window_staleness_bounded():
+    """VERDICT r11 #7: with 234+ queries and a 50-slot driver window, the
+    rotation re-confirms each query roughly every ceil(N/50) rounds. If
+    that lags — rotation bug, window mis-order, a family stuck behind
+    never-green churn — a regression could hide beyond the builder's
+    digest-gated LOCAL_ORACLE for many rounds. Assert every once-green
+    query's last driver-green round is within 5 rounds of the newest
+    driver record (5 = ceil(250/50), the design capacity), using the same
+    round records the rotation reads. Never-green queries are covered by
+    the overflow-budget test above, not this one."""
+    import glob
+    import os
+    import re
+
+    hist = registry._verification_history()
+    if not hist:
+        return  # no driver records yet (fresh clone)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    head = max(rounds)
+    lagging = {
+        n: last
+        for n, last in (
+            (n, hist[n][1]) for n in registry.ALL_QUERIES if n in hist
+        )
+        if head - last > 5
+    }
+    assert not lagging, (
+        f"rotation stalled: queries whose last driver-green round lags "
+        f"HEAD round {head} by more than 5: {lagging}"
+    )

@@ -72,6 +72,22 @@ QUERIES = [
     "q_bootstrap_ci",
     "q_weighted_median",
     "q_ngram_novelty",
+    # round 12 (VERDICT r11 #6): the rest of the round-11 block, so the
+    # snapshot guard can prove every one of its shapes stable — plus the
+    # two round-12 additions (capped AA, grouped bootstrap)
+    "q_seasonal_decompose",
+    "q_tree_closure",
+    "q_ri_orphans",
+    "q_theil_sen",
+    "q_mann_kendall",
+    "q_psi_drift",
+    "q_negative_sample",
+    "q_neyman_alloc",
+    "q_rendezvous_shards",
+    "q_evt_maxima",
+    "q_partition_pruned_xform",
+    "q_adamic_adar_capped",
+    "q_bootstrap_grouped",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
