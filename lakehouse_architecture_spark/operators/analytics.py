@@ -281,3 +281,369 @@ def cooccurrence_cosine(
             ).alias("cosine"),
         )
     )
+
+
+def cuped_adjusted(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    control: object = 0,
+    treatment: object = 1,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): adjust each unit's metric with its PRE-experiment
+    covariate, y' = y − θ·(x − x̄) with θ = cov(x, y)/var(x), and read the
+    arm difference off the adjusted metric. θ is fit POOLED across arms
+    (the standard, unbiased-under-randomization choice); units with no
+    pre-period (NULL covariate) contribute their raw metric unadjusted —
+    equivalent to imputing x̄, the mean-preserving convention.
+
+    Everything reduces to ONE hash-aggregate pass of decimal-exact
+    conditional sums (Σx, Σy, Σxy, Σx², per-arm Σy, Σy², and the same
+    restricted to covariate-present units) + double algebra identical on
+    both engines — the ab_test_summary discipline extended with the
+    cross-moment. Output one row: θ, per-arm adjusted means, raw and
+    adjusted diffs, raw and adjusted pooled variance of the metric, and
+    the variance-reduction fraction 1 − var(y')/var(y) (the whole point:
+    at equal traffic the experiment reads as if it had 1/(1−VR)× the
+    sample).
+    """
+    from lakehouse_architecture_spark.functions.aggregates import DECIMAL
+
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    in_a = F.col(arm_col) == F.lit(control)
+    in_b = F.col(arm_col) == F.lit(treatment)
+    has_x = x.isNotNull()
+
+    def dsum(c, name):
+        return F.sum(c.cast(DECIMAL)).cast("double").alias(name)
+
+    agg = df.filter(y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(has_x, 1)).alias("n_x"),
+        dsum(F.when(has_x, x), "sx"),
+        dsum(F.when(has_x, y), "sy_x"),
+        dsum(F.when(has_x, x * y), "sxy"),
+        dsum(F.when(has_x, x * x), "sxx"),
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        dsum(F.when(in_a, y), "sy_a"),
+        dsum(F.when(in_b, y), "sy_b"),
+        dsum(y, "sy"),
+        dsum(y * y, "syy"),
+        # adjusted-metric moments need θ, which needs this same pass — so
+        # carry the per-arm covariate sums and assemble y' algebraically:
+        # the arm correction with the POOLED x̄ is θ·(Σx_arm − n_x_arm·x̄)
+        F.count(F.when(in_a & has_x, 1)).alias("nx_a"),
+        F.count(F.when(in_b & has_x, 1)).alias("nx_b"),
+        dsum(F.when(in_a & has_x, x), "sx_a"),
+        dsum(F.when(in_b & has_x, x), "sx_b"),
+    )
+    xbar = F.col("sx") / F.col("n_x")
+    # covariance/variance over covariate-present units (population form —
+    # the ratio is scale-free so n vs n-1 cancels)
+    cov = F.col("sxy") - xbar * F.col("sy_x")
+    varx = F.col("sxx") - xbar * F.col("sx")
+    theta = cov / varx
+    adj_a = (F.col("sy_a") - theta * (F.col("sx_a") - F.col("nx_a") * xbar)) / F.col("n_a")
+    adj_b = (F.col("sy_b") - theta * (F.col("sx_b") - F.col("nx_b") * xbar)) / F.col("n_b")
+    mean_a = F.col("sy_a") / F.col("n_a")
+    mean_b = F.col("sy_b") / F.col("n_b")
+    ybar = F.col("sy") / F.col("n")
+    var_y = (F.col("syy") - F.col("n") * ybar * ybar) / (F.col("n") - 1)
+    # Σy'² = Σy² − 2θ(Σxy − x̄Σy_x) + θ²(Σx² − 2x̄Σx + n_x·x̄²): the
+    # correction touches only covariate-present units (the others keep
+    # raw y), and every moment in it is already restricted to has_x
+    syy_adj = (
+        F.col("syy")
+        - 2 * theta * (F.col("sxy") - xbar * F.col("sy_x"))
+        + theta * theta * (F.col("sxx") - 2 * xbar * F.col("sx") + F.col("n_x") * xbar * xbar)
+    )
+    # Σy' = Σy globally: θ·Σ(x−x̄) over covariate-present units is θ·0
+    ybar_adj = F.col("sy") / F.col("n")
+    var_yadj = (syy_adj - F.col("n") * ybar_adj * ybar_adj) / (F.col("n") - 1)
+    return agg.select(
+        "n",
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("diff_raw"),
+        F.round(adj_a, 6).alias("adj_mean_a"),
+        F.round(adj_b, 6).alias("adj_mean_b"),
+        F.round(adj_b - adj_a, 6).alias("diff_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_yadj, 6).alias("var_y_adj"),
+        F.round(1 - var_yadj / var_y, 6).alias("var_reduction"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Difference-in-differences readout: with ``group_col`` ∈ {0=control,
+    1=treated} and ``period_col`` ∈ {0=pre, 1=post}, the DiD estimate is
+    (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) — the parallel-trends
+    causal estimate of Card & Krueger 1994. One hash aggregate of four
+    conditional decimal sums; output one row with the four cell means,
+    cell sizes, and the estimate.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import DECIMAL
+
+    y = F.col(metric_col).cast("double")
+    cells = {}
+    for g in (0, 1):
+        for p in (0, 1):
+            tag = f"{'t' if g else 'c'}_{'post' if p else 'pre'}"
+            cond = (F.col(group_col) == g) & (F.col(period_col) == p)
+            cells[tag] = cond
+    agg = df.filter(y.isNotNull()).agg(
+        *[F.count(F.when(c, 1)).alias(f"n_{t}") for t, c in cells.items()],
+        *[
+            F.sum(F.when(c, y).cast(DECIMAL)).cast("double").alias(f"s_{t}")
+            for t, c in cells.items()
+        ],
+    )
+    m = {t: F.col(f"s_{t}") / F.col(f"n_{t}") for t in cells}
+    did = (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"])
+    return agg.select(
+        *[F.col(f"n_{t}") for t in cells],
+        *[F.round(m[t], 6).alias(f"mean_{t}") for t in cells],
+        F.round(did, 6).alias("did"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration curve + Brier decomposition (Murphy 1973) for a
+    probabilistic score against a binary outcome — the model-eval
+    counterpart of psi_drift, with the same fixed-LITERAL-bin discipline
+    (bin = floor(score·n_bins) clamped to [0, n_bins−1]; no coordination
+    pass, additive cells, mergeable across shards).
+
+    Per-bin rows (bin ≥ 0): n, mean_score, event_rate. Summary row
+    (bin = −1): n = N, mean_score / event_rate = overall, plus the
+    decomposition over the binned forecasts — reliability
+    Σ n_b(s̄_b−ō_b)²/N (calibration error, 0 is perfect), resolution
+    Σ n_b(ō_b−ō)²/N (how much the bins separate outcomes), uncertainty
+    ō(1−ō), and the binned Brier = REL − RES + UNC. Per-bin means are
+    rounded to 9 dp before the quadratic terms so both engines square
+    identical doubles.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import DECIMAL
+
+    s = F.col(score_col).cast("double")
+    yv = F.col(label_col).cast("int")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)), F.lit(n_bins - 1)
+    )
+    cells = (
+        df.filter(s.isNotNull() & yv.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s.cast(DECIMAL)).cast("double").alias("ss"),
+            F.sum(yv.cast("long")).alias("sy"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("ss") / F.col("n"), 9).alias("mean_score"),
+            F.round(F.col("sy").cast("double") / F.col("n"), 9).alias("event_rate"),
+            "ss",
+            "sy",
+        )
+    )
+    from lakehouse_architecture_spark.materialize import materialize_small
+
+    cells = materialize_small(cells)
+    # totals re-sum the per-bin DECIMAL-exact sums (not the rounded
+    # per-bin means), and every quadratic term is rounded to 9 dp before
+    # the decimal re-sum — the psi_drift discipline that keeps a
+    # float fold over bins partition-order-independent and engine-exact
+    rel_term = F.round(
+        F.col("n") * (F.col("mean_score") - F.col("event_rate"))
+        * (F.col("mean_score") - F.col("event_rate")),
+        9,
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n"),
+        (F.sum(F.col("ss").cast(DECIMAL)).cast("double") / F.sum("n")).alias(
+            "mean_score"
+        ),
+        (F.sum("sy").cast("double") / F.sum("n")).alias("event_rate"),
+        (F.sum(rel_term.cast(DECIMAL)).cast("double") / F.sum("n")).alias(
+            "reliability"
+        ),
+    )
+    # resolution needs the grand rate, which tot just computed — join the
+    # 1-row frames (broadcast, driver-trivial); the grand rate is rounded
+    # to 9 dp so both engines square the identical double
+    grand = tot.select(F.round(F.col("event_rate"), 9).alias("__g"))
+    res_term = F.round(
+        F.col("n") * (F.col("event_rate") - F.col("__g"))
+        * (F.col("event_rate") - F.col("__g")),
+        9,
+    )
+    res = (
+        cells.crossJoin(F.broadcast(grand))
+        .agg(
+            (F.sum(res_term.cast(DECIMAL)).cast("double") / F.sum("n")).alias(
+                "resolution"
+            )
+        )
+    )
+    summary = tot.crossJoin(F.broadcast(res)).select(
+        F.lit(-1).alias("bin"),
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round(F.col("event_rate") * (1 - F.col("event_rate")), 6).alias("uncertainty"),
+        F.round(
+            F.col("reliability")
+            - F.col("resolution")
+            + F.col("event_rate") * (1 - F.col("event_rate")),
+            6,
+        ).alias("brier"),
+    )
+    per_bin = cells.select(
+        "bin",
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.lit(None).cast("double").alias("reliability"),
+        F.lit(None).cast("double").alias("resolution"),
+        F.lit(None).cast("double").alias("uncertainty"),
+        F.lit(None).cast("double").alias("brier"),
+    )
+    return per_bin.unionByName(summary).orderBy("bin")
+
+
+def shapley_coalition_pairs(
+    channels: tuple[str, ...],
+) -> list[tuple[str, str, str, float]]:
+    """The exact Shapley coalition-pair table for a declared channel set:
+    one row per (channel i, S ⊆ C∖{i}) — (channel, key(S), key(S∪{i}),
+    weight |S|!·(k−|S|−1)!/k! rounded to 12 dp). Shared by
+    :func:`shapley_attribution` and the SQL oracle generator so both
+    engines fold the IDENTICAL literal weights."""
+    import itertools
+    import math
+
+    k = len(channels)
+    ch = sorted(channels)
+    pairs = []
+    for i in ch:
+        others = [c for c in ch if c != i]
+        for r in range(len(others) + 1):
+            for s in itertools.combinations(others, r):
+                w = (
+                    math.factorial(len(s)) * math.factorial(k - len(s) - 1)
+                    / math.factorial(k)
+                )
+                pairs.append(
+                    (i, ",".join(sorted(s)), ",".join(sorted(s + (i,))), round(w, 12))
+                )
+    return pairs
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    channel_col: str,
+    conversion_value,
+    channels: tuple[str, ...],
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953; the
+    data-driven attribution of Zhao, Mahboobi & Bagheri 2018): each
+    channel's credit is its average marginal contribution to the
+    conversion rate across every coalition of the other channels,
+    φ_i = Σ_{S ⊆ C∖{i}} |S|!·(k−|S|−1)!/k! · [v(S∪{i}) − v(S)],
+    with v(S) = conversion rate among users whose touched-channel set is
+    exactly S (unobserved coalitions contribute v = 0, the standard
+    convention for exact-set attribution).
+
+    ``channels`` is a DECLARED literal tuple (the psi_drift fixed-bins
+    discipline — no coordination pass to discover the universe), capped
+    at 12 because the coalition table is 2^k rows; the heavy work is ONE
+    per-user hash aggregate (set assembly) + one |sets|-cardinality
+    aggregate — both corpus-sized steps are single-shuffle. The Shapley
+    sum itself runs over the 2^k×k literal pair table joined (broadcast)
+    against the |sets| rate rows: driver-trivial at any corpus size.
+    Rates are rounded to 9 dp, weights are exact rationals rounded to 12
+    dp, and the per-channel fold decimal-sums the rounded products, so
+    the result is engine-exact. Returns (channel, phi) ordered by
+    channel.
+    """
+    from lakehouse_architecture_spark.functions.aggregates import DECIMAL
+
+    k = len(channels)
+    if not 1 <= k <= 12:
+        raise ValueError(f"shapley_attribution needs 1-12 declared channels, got {k}")
+    ch = sorted(channels)
+    per_user = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.col(channel_col).alias("__c"),
+            conversion_value.cast("int").alias("__y"),
+        )
+        .groupBy("__u")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.collect_list(
+                            F.when(F.col("__c").isin(*ch), F.col("__c"))
+                        )
+                    )
+                ),
+                ",",
+            ).alias("set_key"),
+            F.max("__y").alias("converted"),
+        )
+    )
+    rates = per_user.groupBy("set_key").agg(
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 9
+        ).alias("v")
+    )
+    pairs = shapley_coalition_pairs(channels)
+    spark = df.sparkSession
+    pair_df = spark.createDataFrame(
+        pairs, "channel string, without_key string, with_key string, weight double"
+    )
+    rw = rates.withColumnRenamed("set_key", "with_key").withColumnRenamed("v", "v_with")
+    ro = rates.withColumnRenamed("set_key", "without_key").withColumnRenamed("v", "v_without")
+    joined = (
+        pair_df.join(F.broadcast(rw), "with_key", "left")
+        .join(F.broadcast(ro), "without_key", "left")
+        .select(
+            "channel",
+            F.round(
+                F.col("weight")
+                * (F.coalesce("v_with", F.lit(0.0)) - F.coalesce("v_without", F.lit(0.0))),
+                12,
+            ).alias("term"),
+        )
+    )
+    return (
+        joined.groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("phi")
+        )
+        .orderBy("channel")
+    )

@@ -19,7 +19,7 @@ partition count collapses below the cluster's parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -173,3 +173,43 @@ def rendezvous_assign(
     # struct max orders by (h, s): the hash decides, s breaks the
     # astronomically-unlikely tie deterministically
     return df.withColumn(out_col, F.array_max(pairs)["s"])
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction plan: assign files (in ``order_col`` order —
+    keep it the table's sort/partition key so compacted files stay
+    range-clusterable) to output bins of ≈ ``target_bytes`` via
+    running-sum bucketing: bin = (cumulative size − own size) div target.
+
+    This is deliberately NOT first-fit-decreasing: FFD is inherently
+    sequential (every placement depends on all previous bins), while the
+    running-sum plan is one window over the file manifest — a
+    metadata-cardinality table, so even a million-file lakehouse plans in
+    one tiny stage — and preserves key order, which FFD destroys. A bin
+    exceeds target only when a single file already does (unsplittable
+    here, as in every real compactor). Output: one row per bin —
+    (bin, n_files, total_bytes, first/last ``order_col``) — the work list
+    a rewrite job (e.g. pipeline/table_format.OPTIMIZE) executes.
+    """
+    w = Window.orderBy(F.col(order_col).asc())
+    cum = F.sum(F.col(size_col)).over(w)
+    # integer div, not a double divide-and-truncate: byte counts at
+    # lakehouse scale exceed 2^53 and must never round through a double
+    binned = files.withColumn("__prior", cum - F.col(size_col)).withColumn(
+        "bin", F.expr(f"__prior div {int(target_bytes)}")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(size_col).alias("total_bytes"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+        .orderBy("bin")
+    )

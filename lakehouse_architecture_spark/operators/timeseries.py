@@ -642,3 +642,52 @@ def mann_kendall(
         F.round(var_s, 6).alias("var_s"),
         F.round(z, 6).alias("z"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator with right-censoring:
+    Ĥ(t) = Σ_{t' ≤ t} d_{t'}/n_{t'} — the additive companion of
+    :func:`kaplan_meier` (Nelson 1972, Aalen 1978), preferred when hazard
+    INCREMENTS are the object (hazard-ratio eyeballing, piecewise-constant
+    hazard fits) and numerically gentler than the KM product at small risk
+    sets.
+
+    Same shuffle shape as KM: the input collapses to distinct-duration
+    counts first, so the reverse-cumulative risk set and the running
+    hazard sum are windows over a duration-cardinality table, never raw
+    rows. Portability: each d/n increment is an exact-integer division
+    rounded to 9 dp, and the running sum accumulates the rounded
+    increments through DECIMAL in ascending-t order — bit-identical on
+    any engine (a raw double running sum would be, too, at equal order,
+    but the decimal fold removes the dependence on the engine's window
+    accumulation internals entirely).
+
+    Returns (t, n_risk, d, cum_hazard) for durations with d > 0.
+    """
+    counts = (
+        df.select(
+            F.col(duration_col).alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .groupBy("t")
+        .agg(F.sum("e").alias("d"), F.count(F.lit(1)).alias("c"))
+    )
+    w_risk = Window.orderBy(F.col("t").desc())
+    w_haz = Window.orderBy(F.col("t").asc())
+    with_risk = counts.withColumn("n_risk", F.sum("c").over(w_risk))
+    inc = F.round(F.col("d").cast("double") / F.col("n_risk"), 9)
+    return (
+        with_risk.filter(F.col("d") > 0)
+        .withColumn(
+            "cum_hazard",
+            F.round(
+                F.sum(inc.cast("decimal(38,9)")).over(w_haz).cast("double"), 6
+            ),
+        )
+        .select("t", "n_risk", "d", "cum_hazard")
+        .orderBy("t")
+    )

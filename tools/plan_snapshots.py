@@ -88,6 +88,15 @@ QUERIES = [
     "q_partition_pruned_xform",
     "q_adamic_adar_capped",
     "q_bootstrap_grouped",
+    # round-12 depth block
+    "q_kcore",
+    "q_snapshot_diff",
+    "q_cuped",
+    "q_diff_in_diff",
+    "q_calibration",
+    "q_nelson_aalen",
+    "q_compaction",
+    "q_shapley_attr",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
