@@ -92,18 +92,23 @@ def fingerprints_match(a: DataFrame, b: DataFrame) -> bool:
     return (ra["n_rows"], ra["fingerprint"]) == (rb["n_rows"], rb["fingerprint"])
 
 
-def snapshot_diff(
+def snapshot_diff_audit(
     old: DataFrame,
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str],
 ) -> DataFrame:
-    """Reconciliation audit between two snapshots of the same table — the
-    CDC-validation companion of :func:`dataset_fingerprint`: where the
-    fingerprint says WHETHER two snapshots diverge, this says HOW. One
+    """Aggregated reconciliation audit between two snapshots — the
+    per-column-drill companion of ``operators/upsert.snapshot_diff``
+    (which emits the per-KEY status stream over a hash-compare join) and
+    of :func:`dataset_fingerprint` (which answers only WHETHER). One
     full outer join on the primary key classifies every key as
     added / removed / changed / unchanged, and for changed keys counts
-    which columns moved.
+    which columns moved — localizing a drifting writer to the expression
+    that drifted. Unlike the hash variant this must ship the compared
+    columns through the join (per-column equality needs the values), so
+    at 100 TB restrict ``compare_cols`` to the suspect columns; for a
+    whole-row diff stream use the hash form.
 
     Output is a tall audit, one row per (kind, name, n):
     ``('status', 'added'|'removed'|'changed'|'unchanged', count)`` plus

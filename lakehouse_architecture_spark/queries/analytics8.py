@@ -27,7 +27,7 @@ from lakehouse_architecture_spark.operators.analytics import (
     shapley_coalition_pairs,
 )
 from lakehouse_architecture_spark.operators.graph import k_core
-from lakehouse_architecture_spark.operators.integrity import snapshot_diff
+from lakehouse_architecture_spark.operators.integrity import snapshot_diff_audit
 from lakehouse_architecture_spark.operators.partitioning import compaction_plan
 from lakehouse_architecture_spark.operators.timeseries import nelson_aalen
 from lakehouse_architecture_spark.queries.base import QuerySpec, tables
@@ -102,9 +102,9 @@ SELECT node, degree FROM degF WHERE degree >= {_KCORE_K} ORDER BY node"""
 
 
 # --- snapshot reconciliation audit ------------------------------------------
-def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC reconciliation of two synthetic-but-deterministic snapshots of
-    the orders table (operators/integrity.snapshot_diff): old = orders
+    the orders table (operators/integrity.snapshot_diff_audit): old = orders
     with key % 7 != 0, new = orders with key % 5 != 0 and o_totalprice
     bumped by +1.0 for key % 3 == 0 — so all four statuses occur and the
     per-column drill shows exactly one drifting column. One full outer
@@ -123,12 +123,12 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
         "o_orderstatus",
     )
-    return snapshot_diff(
+    return snapshot_diff_audit(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     )
 
 
-_Q_SNAPSHOT_DIFF_SQL = """
+_Q_DIFF_AUDIT_SQL = """
 WITH old AS (
   SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
   FROM orders WHERE o_orderkey % 7 <> 0
@@ -578,10 +578,10 @@ ANALYTICS8_QUERIES: tuple[QuerySpec, ...] = (
         _kcore_sql(),
     ),
     QuerySpec(
-        "q_snapshot_diff",
-        "CDC snapshot reconciliation audit w/ per-column drill",
-        _q_snapshot_diff,
-        _Q_SNAPSHOT_DIFF_SQL,
+        "q_diff_audit",
+        "CDC snapshot audit w/ per-column drill (vs q_snapshot_diff's per-key stream)",
+        _q_diff_audit,
+        _Q_DIFF_AUDIT_SQL,
     ),
     QuerySpec(
         "q_cuped",

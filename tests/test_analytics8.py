@@ -17,7 +17,7 @@ from lakehouse_architecture_spark.operators.analytics import (
     shapley_coalition_pairs,
 )
 from lakehouse_architecture_spark.operators.graph import k_core
-from lakehouse_architecture_spark.operators.integrity import snapshot_diff
+from lakehouse_architecture_spark.operators.integrity import snapshot_diff_audit
 from lakehouse_architecture_spark.operators.partitioning import compaction_plan
 from lakehouse_architecture_spark.operators.timeseries import (
     kaplan_meier,
@@ -58,7 +58,7 @@ def test_k_core_exhausted_rounds_raises(spark):
 # --- snapshot diff ------------------------------------------------------------
 
 
-def test_snapshot_diff_statuses_and_column_drill(spark):
+def test_diff_audit_statuses_and_column_drill(spark):
     old = spark.createDataFrame(
         [
             Row(k=1, p=10.0, s="A"),
@@ -77,7 +77,7 @@ def test_snapshot_diff_statuses_and_column_drill(spark):
     )
     out = {
         (r.kind, r.name): r.n
-        for r in snapshot_diff(old, new, ["k"], ["p", "s"]).collect()
+        for r in snapshot_diff_audit(old, new, ["k"], ["p", "s"]).collect()
     }
     assert out[("status", "added")] == 1
     assert out[("status", "removed")] == 1
@@ -87,12 +87,12 @@ def test_snapshot_diff_statuses_and_column_drill(spark):
     assert out[("column", "s")] == 1
 
 
-def test_snapshot_diff_null_vs_value_is_changed(spark):
+def test_diff_audit_null_vs_value_is_changed(spark):
     old = spark.createDataFrame([Row(k=1, p=1.0)])
     new = spark.createDataFrame([(1, None)], "k long, p double")
     out = {
         (r.kind, r.name): r.n
-        for r in snapshot_diff(old, new, ["k"], ["p"]).collect()
+        for r in snapshot_diff_audit(old, new, ["k"], ["p"]).collect()
     }
     assert out[("status", "changed")] == 1
     assert out[("column", "p")] == 1

@@ -90,7 +90,7 @@ QUERIES = [
     "q_bootstrap_grouped",
     # round-12 depth block
     "q_kcore",
-    "q_snapshot_diff",
+    "q_diff_audit",
     "q_cuped",
     "q_diff_in_diff",
     "q_calibration",
