@@ -103,3 +103,17 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def cache_once(df: DataFrame) -> DataFrame:
+    """``cache()`` that is a no-op when an EQUIVALENT plan is already
+    cached. ``df.storageLevel`` consults the session CacheManager by
+    canonicalized plan, so this recognizes a cache created through a
+    DIFFERENT DataFrame object with the same plan — exactly what happens
+    when a bench or driver re-builds the same query in one session, where
+    a raw ``cache()`` re-registers and logs ``CacheManager: Asked to
+    cache already cached data`` per rebuild (round-12: the last source of
+    bench-tail warning noise after materialize_small went idempotent)."""
+    if df.storageLevel != StorageLevel.NONE:
+        return df
+    return df.cache()

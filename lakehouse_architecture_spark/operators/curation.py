@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import cache_once
+
 from lakehouse_architecture_spark.functions.hashing import md5_hash64
 
 #: Resolution of the sampling decision: hash mod 1e6 compared to
@@ -346,7 +348,8 @@ def dsir_scores(
     counts = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.col("__tgt").cast("bigint")).alias("ct"),
-    ).cache()
+    )
+    counts = cache_once(counts)
     totals = counts.agg(
         F.sum("cr").alias("nr"),
         F.sum("ct").alias("nt"),

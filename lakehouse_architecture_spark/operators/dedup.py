@@ -29,7 +29,7 @@ from lakehouse_architecture_spark.functions.hashing import (
     md5_hash64,
     minhash_perm_sql,
 )
-from lakehouse_architecture_spark.materialize import materialize_small
+from lakehouse_architecture_spark.materialize import cache_once, materialize_small
 from lakehouse_architecture_spark.operators.partitioning import spread_by_id
 
 
@@ -119,8 +119,8 @@ def ngram_jaccard_pairs(
     sh = (
         word_shingles(df, id_col, text_col, n)
         .select("id", md5_hash64(F.col("shingle")).alias("h"))
-        .cache()
     )
+    sh = cache_once(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     indexed = sh
     if max_df is not None:
@@ -391,8 +391,8 @@ def containment_pairs(
     sh = (
         word_shingles(df, id_col, text_col, n)
         .select("id", md5_hash64(F.col("shingle")).alias("h"))
-        .cache()
     )
+    sh = cache_once(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     indexed = sh
     if max_df is not None:

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakehouse_architecture_spark.materialize import (
+    cache_once,
     materialize_small,
     truncate_lineage,
 )
@@ -585,12 +586,12 @@ def semdedup_prune_cached(
     # referenced by both pair sides and the final output — without the
     # cache it would execute three times per invocation (narrow rows:
     # id, cell, ccos; MEMORY_AND_DISK so oversized corpora spill, not fail)
-    assign = centroid_assignment(
-        corpus, id_col, vec_col, n_cells, centroids
-    ).cache()
+    assign = cache_once(
+        centroid_assignment(corpus, id_col, vec_col, n_cells, centroids)
+    )
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cells = (
-        assign.select(F.col(id_col).alias("id"), "cell").join(vecs, "id").cache()
+        cache_once(assign.select(F.col(id_col).alias("id"), "cell").join(vecs, "id"))
     )
     if max_cell is not None:
         big = (

@@ -18,6 +18,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakehouse_architecture_spark.materialize import cache_once
+
 
 @dataclass
 class TrainResult:
@@ -51,7 +53,7 @@ def train_price_model(
     # counts below could each re-evaluate a nondeterministic upstream
     # (e.g. dropDuplicates) and see DIFFERENT splits — test rows leaking
     # into training. Also saves recomputing the pipeline 4x.
-    vec = assembler.transform(df).cache()
+    vec = cache_once(assembler.transform(df))
     train, test = vec.randomSplit([0.8, 0.2], seed=seed)
     rf = RandomForestRegressor(
         featuresCol="features", labelCol=label_col, numTrees=n_trees, seed=seed
@@ -110,7 +112,9 @@ def train_text_classifier(
     from pyspark.ml.feature import HashingTF, Tokenizer
 
     df = docs.select(text_col, F.col(label_col).cast("double").alias("label"))
-    df = df.filter(F.col("label").isNotNull() & F.col(text_col).isNotNull()).cache()
+    df = cache_once(
+        df.filter(F.col("label").isNotNull() & F.col(text_col).isNotNull())
+    )
     train, test = df.randomSplit([0.8, 0.2], seed=seed)
     pipe = Pipeline(
         stages=[

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_architecture_spark.catalog import load_tables
+from lakehouse_architecture_spark.materialize import cache_once
 
 
 @dataclass(frozen=True)
@@ -79,7 +80,7 @@ def warm_cached_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     for name, df in tbls.items():
         rows = df.count()
         n = max(1, min(max_parts, rows // 25_000))
-        cached = (df.repartition(n) if n > 1 else df).cache()
+        cached = cache_once(df.repartition(n) if n > 1 else df)
         cached.count()  # materialize
         cached.createOrReplaceTempView(name)
         tbls[name] = cached  # builders resolve via this shared dict or views
