@@ -176,3 +176,35 @@ def test_pinned_queries_bounded_in_both_modes(spark):
             assert live_scan_count(df) <= bound, f"{name}: scans unbounded"
     finally:
         spark.conf.unset(SMALL_INTERMEDIATE_MODE)
+
+
+def test_cache_once_skips_plan_equivalent_cache(spark):
+    from lakehouse_architecture_spark.materialize import cache_once
+
+    a = cache_once(_small_agg(spark))
+    try:
+        a.count()
+        # a DIFFERENT DataFrame object with the SAME canonicalized plan:
+        # storageLevel consults the CacheManager by plan (is_cached does
+        # not), so cache_once must return it untouched instead of
+        # re-registering (the 'already cached' warning source)
+        b = _small_agg(spark)
+        assert not b.is_cached
+        out = cache_once(b)
+        assert out is b
+        assert out.storageLevel.useMemory
+    finally:
+        a.unpersist()
+
+
+def test_cache_once_caches_fresh_plan(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.materialize import cache_once
+
+    df = spark.range(500).select((F.col("id") % 11).alias("k"))
+    out = cache_once(df)
+    try:
+        assert out.is_cached
+    finally:
+        out.unpersist()
