@@ -282,3 +282,77 @@ def negative_sample(
         neg.select("user", "item", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= k)
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_expr,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Weight of Evidence + Information Value per category level — the
+    credit-scoring-standard categorical feature screen (Siddiqi 2006):
+    WOE(c) = ln(dist_good(c) / dist_bad(c)), IV = Σ_c (dist_good −
+    dist_bad)·WOE, with the usual reading IV < 0.02 useless, > 0.3 strong.
+    ``label_expr`` is the BAD indicator (cast to int).
+
+    One hash aggregate onto |categories| rows + a broadcast totals join.
+    Distribution shares are epsilon-floored (the psi_drift convention) so
+    empty cells never produce ±inf; WOE values are rounded to 9 dp before
+    the IV terms, and the IV total decimal-sums the rounded terms — the
+    engine-exact float-fold discipline. Output: one row per category
+    (category, n, n_bad, dist_good, dist_bad, woe, iv_term) plus a
+    category='(total)' row carrying the summed IV in ``iv_term``.
+    """
+    base = df.select(
+        F.col(cat_col).cast("string").alias("category"),
+        label_expr.cast("int").alias("__bad"),
+    ).filter(F.col("category").isNotNull() & F.col("__bad").isNotNull())
+    cells = base.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__bad").alias("n_bad")
+    )
+    tot = cells.agg(
+        F.sum(F.col("n") - F.col("n_bad")).alias("tg"),
+        F.sum("n_bad").alias("tb"),
+    )
+    dg = F.greatest(
+        (F.col("n") - F.col("n_bad")).cast("double") / F.col("tg"), F.lit(eps)
+    )
+    db = F.greatest(F.col("n_bad").cast("double") / F.col("tb"), F.lit(eps))
+    woe = F.round(F.log(dg / db), 9)
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n",
+        "n_bad",
+        F.round(dg, 9).alias("dist_good"),
+        F.round(db, 9).alias("dist_bad"),
+        woe.alias("woe"),
+        F.round((dg - db) * woe, 9).alias("iv_term"),
+    )
+    from lakehouse_architecture_spark.materialize import materialize_small
+
+    scored = materialize_small(scored)
+    total = scored.agg(
+        F.sum("n").alias("n"),
+        F.sum("n_bad").alias("n_bad"),
+        F.round(
+            F.sum(F.col("iv_term").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("iv_term"),
+    ).select(
+        F.lit("(total)").alias("category"),
+        "n",
+        "n_bad",
+        F.lit(None).cast("double").alias("dist_good"),
+        F.lit(None).cast("double").alias("dist_bad"),
+        F.lit(None).cast("double").alias("woe"),
+        "iv_term",
+    )
+    return scored.select(
+        "category",
+        "n",
+        "n_bad",
+        "dist_good",
+        "dist_bad",
+        "woe",
+        F.round("iv_term", 6).alias("iv_term"),
+    ).unionByName(total).orderBy("category")

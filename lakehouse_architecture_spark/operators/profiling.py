@@ -660,3 +660,108 @@ def shingle_novelty(
             F.round(F.col("n_unique") / F.col("n_shingles"), 6),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation (Spearman 1904): Pearson correlation
+    of the AVERAGE ranks of x and y — the robust, monotone-association
+    companion of q_exact_corr's Pearson. Average (midrank) tie handling:
+    rank = min-rank + (ties − 1)/2, so every rank is an exact multiple of
+    0.5 and the Pearson algebra runs on decimal-exact sums; the final ρ is
+    the only double expression, identical on both engines.
+
+    Input contract: a COLLAPSED series (daily/bucket grain) — the two
+    global rank windows are single-task stages over |series| rows, the
+    same deliberate shape as theil_sen/mann_kendall. Returns one row
+    (n, rho).
+    """
+    pts = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def midrank(col: str) -> F.Column:
+        w = Window.orderBy(F.col(col))
+        t = Window.partitionBy(F.col(col))
+        return (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(t).cast("double") - 1) / 2
+        )
+
+    ranked = pts.select(midrank("x").alias("rx"), midrank("y").alias("ry"))
+    d = lambda c: F.col(c).cast("decimal(38,6)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("rx")).cast("double").alias("sx"),
+        F.sum(d("ry")).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "n", F.round(F.when(den > 0, num / den), 6).alias("rho")
+    )
+
+
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Empirical conditional entropy of the event stream, H(next | prev) =
+    −Σ_i p(i) Σ_j p(j|i) log₂ p(j|i) over consecutive per-user event
+    pairs — the Markov-order-1 entropy RATE of user behavior (Shannon
+    1948; the sequence-level counterpart of operators/text.token_entropy's
+    per-document unigram entropy). Low bits ⇒ predictable journeys; the
+    normalized form divides by log₂|states| (the i.i.d.-uniform ceiling).
+
+    One per-user lag window + one |types|²-cardinality aggregate; each
+    (p_ij · log₂ p_j|i) term is rounded to 9 dp and decimal-summed (the
+    psi_drift discipline — libm's last ulp can differ between engines,
+    the rounding absorbs it). Returns one row:
+    (n_transitions, n_states, cond_entropy_bits, max_bits, normalized).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    steps = df.select(
+        F.lag(type_col).over(w).alias("prev"), F.col(type_col).alias("nxt")
+    ).filter(F.col("prev").isNotNull())
+    counts = steps.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("nij"))
+    tot = counts.agg(
+        F.sum("nij").alias("n_total"),
+        F.count_distinct("prev").alias("n_states"),
+    )
+    prev_tot = counts.groupBy("prev").agg(F.sum("nij").alias("ni"))
+    term = F.round(
+        (F.col("nij").cast("double") / F.col("n_total"))
+        * F.log2(F.col("nij").cast("double") / F.col("ni")),
+        9,
+    )
+    h = (
+        counts.join(F.broadcast(prev_tot), "prev")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(term.cast("decimal(38,9)")).cast("double")).alias("h"),
+            F.min("n_total").alias("n_transitions"),
+            F.min("n_states").alias("n_states"),
+        )
+    )
+    max_bits = F.log2(F.col("n_states").cast("double"))
+    return h.select(
+        "n_transitions",
+        "n_states",
+        F.round("h", 6).alias("cond_entropy_bits"),
+        F.round(max_bits, 6).alias("max_bits"),
+        F.round(F.col("h") / max_bits, 6).alias("normalized"),
+    )

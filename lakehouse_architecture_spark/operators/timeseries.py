@@ -691,3 +691,109 @@ def nelson_aalen(
         .select("t", "n_risk", "d", "cum_hazard")
         .orderBy("t")
     )
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    group_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Burstiness coefficient of inter-event times per group (Goh &
+    Barabási 2008): B = (σ − μ)/(σ + μ) over the gaps between a key's
+    consecutive events — −1 = perfectly periodic, 0 = Poisson, → 1 =
+    extreme bursts. The single-number companion of the gap-quantile
+    profile (q_gap_stats), and the signal that decides whether a
+    rate-limiter / capacity plan can assume Poisson arrivals.
+
+    One per-key lag window (gaps as exact epoch-micros integers) + one
+    hash aggregate per group; μ and σ come from decimal-exact Σx/Σx²
+    (sample variance, n−1) so only the final B is a double. Returns
+    (group, n_gaps, mean_gap_s, std_gap_s, burstiness) ordered by group.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        df.withColumn("__us", us)
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .filter(F.col("__gap").isNotNull())
+        .select(F.col(group_col).alias("grp"), (F.col("__gap") / 1e6).alias("g"))
+    )
+    d = lambda c: c.cast("decimal(38,6)")
+    agg = gaps.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(d(F.col("g"))).cast("double").alias("s"),
+        F.sum(d(F.col("g") * F.col("g"))).cast("double").alias("ss"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s") / n
+    var = (F.col("ss") - n * mu * mu) / (n - 1)
+    sd = F.sqrt(var)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("std_gap_s"),
+        F.round(F.when(sd + mu > 0, (sd - mu) / (sd + mu)), 6).alias("burstiness"),
+    ).orderBy(group_col)
+
+
+def funnel_time_to_convert(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    qs: dict[str, float] | None = None,
+    bucket_width: float = 3600.0,
+) -> DataFrame:
+    """Time-to-convert quantiles through a strict-order funnel: for each
+    consecutive step pair, the exact p25/p50/p75 of (reach_{i+1} −
+    reach_i) in seconds across converting users — the latency companion
+    of :func:`funnel_counts` (which reports only how many made it).
+
+    The per-user first-reach times reuse the funnel's single-shuffle
+    sorted-array construction; the quantiles run through
+    operators/skew.exact_quantiles (bounded-state two-phase rank — no
+    value-map percentile aggregate ever touches the user-level rows).
+    Returns one row per step transition: (step_from, step_to, plus one
+    column per requested quantile).
+    """
+    from lakehouse_architecture_spark.operators.skew import exact_quantiles
+
+    qs = qs or {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+    ev = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("__ev"))
+    for i, step in enumerate(steps):
+        prev = F.col(f"__t{i - 1}") if i else None
+        if prev is None:
+            flt = F.filter(F.col("__ev"), lambda e: e["et"] == step)
+        else:
+            flt = F.filter(
+                F.col("__ev"), lambda e: (e["et"] == step) & (e["ts"] > prev)
+            )
+        per_user = per_user.withColumn(
+            f"__t{i}", F.array_min(F.transform(flt, lambda e: e["ts"]))
+        )
+    spans = None
+    for i in range(len(steps) - 1):
+        leg = per_user.filter(F.col(f"__t{i + 1}").isNotNull()).select(
+            F.lit(steps[i]).alias("step_from"),
+            F.lit(steps[i + 1]).alias("step_to"),
+            ((F.col(f"__t{i + 1}") - F.col(f"__t{i}")) / 1e6).alias("dt_s"),
+        )
+        spans = leg if spans is None else spans.unionByName(leg)
+    return exact_quantiles(
+        spans, ["step_from", "step_to"], "dt_s", qs, bucket_width
+    ).orderBy("step_from", "step_to")

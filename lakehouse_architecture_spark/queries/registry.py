@@ -25,6 +25,7 @@ from lakehouse_architecture_spark.queries.analytics5 import ANALYTICS5_QUERIES
 from lakehouse_architecture_spark.queries.analytics6 import ANALYTICS6_QUERIES
 from lakehouse_architecture_spark.queries.analytics7 import ANALYTICS7_QUERIES
 from lakehouse_architecture_spark.queries.analytics8 import ANALYTICS8_QUERIES
+from lakehouse_architecture_spark.queries.analytics9 import ANALYTICS9_QUERIES
 from lakehouse_architecture_spark.queries.storage import STORAGE_QUERIES
 from lakehouse_architecture_spark.queries.textops2 import TEXTOPS2_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
@@ -53,6 +54,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *ANALYTICS6_QUERIES,  # round-4 audited overflow (LOCAL_ORACLE.json rows)
     *ANALYTICS7_QUERIES,  # round-11 depth block (OPH, closure, bootstrap...)
     *ANALYTICS8_QUERIES,  # round-12 depth block (k-core, CDC diff, CUPED...)
+    *ANALYTICS9_QUERIES,  # round-12 closing block (Spearman, burstiness...)
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry

@@ -97,6 +97,12 @@ QUERIES = [
     "q_nelson_aalen",
     "q_compaction",
     "q_shapley_attr",
+    # round-12 closing block
+    "q_spearman",
+    "q_burstiness",
+    "q_entropy_rate",
+    "q_woe_iv",
+    "q_funnel_ttc",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
