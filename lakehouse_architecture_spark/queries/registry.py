@@ -64,6 +64,155 @@ _SPECS: tuple[QuerySpec, ...] = (
 # last-green round. The result is an automatic rotation — every query cycles
 # through the checked window, and no regression can hide behind the cap for
 # more than a round or two.
+#
+# REGISTRY-GROWTH BUDGET (round 13, VERDICT r12 #2). At N queries and a
+# 50-slot window the re-confirmation cadence is ceil(N/50) rounds; every
+# never-green addition preempts a window slot and stretches the once-green
+# tail's cadence past that. Round 12 demonstrated the failure live: 15 new
+# queries + 2 gate queries consumed 17 slots and pushed q_retention's
+# re-confirmation lag to 6 rounds. Policy, enforced by
+# tests/test_registry_rotation.py:
+#   1. The staleness bound is GROWTH-AWARE — :func:`staleness_bound` is
+#      ceil(N/window) plus one extra round per window-full of queries that
+#      first went driver-green inside the lookback (those were never-green
+#      and preempted slots the tail would otherwise have used).
+#   2. Additions are BUDGETED — before declaring new QuerySpecs, run
+#      :func:`max_safe_additions`; it simulates the rotation forward and
+#      returns the largest addition count that keeps every once-green
+#      query inside the bound. Adding more than it allows is a test
+#      failure in the SAME commit, not a driver-round surprise.
+
+WINDOW = 50  # the driver's per-round correctness window size
+
+
+def _first_green_rounds(repo: str | None = None) -> dict[str, int]:
+    """Per query: the FIRST driver round with a green row — the round the
+    query stopped being never-green and stopped preempting window slots.
+    Same record-reading rules as :func:`_verification_history`."""
+    import glob
+    import json
+    import os
+    import re
+
+    if repo is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    first: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            checks = (
+                row.get("rows_match"), row.get("schema_match"), row.get("hash_match")
+            )
+            if False in checks:
+                continue
+            first[name] = min(rnd, first.get(name, rnd))
+    return first
+
+
+def staleness_bound(
+    n_queries: int,
+    first_green: dict[str, int],
+    head_round: int,
+    window: int = WINDOW,
+) -> int:
+    """Growth-aware re-confirmation bound (rounds) for once-green queries.
+
+    Base cadence is ceil(N/window). Queries whose FIRST green round falls
+    inside the last base-cadence rounds were never-green during the
+    lookback and preempted slots ahead of the once-green tail (the
+    rotation is deliberately never-green-first); each window-full of them
+    delays the tail by one extra round. Round 12's breach instantiates
+    the formula: N=249 -> base 5, 33 first-greens in rounds 8-12 -> +1,
+    bound 6, which is exactly the lag q_retention reached."""
+    import math
+
+    base = math.ceil(n_queries / window)
+    preempted = sum(1 for r in first_green.values() if r > head_round - base)
+    return base + math.ceil(preempted / window)
+
+
+def max_safe_additions(
+    last_green: dict[str, int],
+    n_never_green_permanent: int,
+    head_round: int,
+    window: int = WINDOW,
+    horizon: int = 12,
+) -> int:
+    """Largest number of new (never-green) registry entries that can be
+    declared this round without any once-green query's driver lag ever
+    exceeding :func:`staleness_bound` — computed by simulating the
+    rotation forward ``horizon`` rounds.
+
+    ``last_green`` is {query: last driver-green round} for the once-green
+    population; ``n_never_green_permanent`` counts entries that occupy a
+    window slot every round but never green (declared rows-only queries,
+    e.g. q_pca_whiten). New additions are assumed to green on first check
+    (the local oracle gate makes that the norm). Pure function; callers
+    feed it :func:`_verification_history` / the registry size."""
+    first_green = dict.fromkeys(last_green, 0)  # pre-lookback: no preemption
+
+    def safe(k: int) -> bool:
+        last = dict(last_green)
+        fg = dict(first_green)
+        pending = k  # new never-green entries waiting for a first check
+        for rnd in range(head_round + 1, head_round + 1 + horizon):
+            slots = window - n_never_green_permanent
+            checked_new = min(pending, slots)
+            pending -= checked_new
+            for i in range(checked_new):
+                name = f"__new_{rnd}_{i}"
+                last[name] = rnd
+                fg[name] = rnd
+            slots -= checked_new
+            for name in sorted(last, key=lambda n: last[n])[:slots]:
+                last[name] = rnd
+            n = len(last) + pending + n_never_green_permanent
+            bound = staleness_bound(n, fg, rnd, window)
+            if any(rnd - lg > bound for lg in last.values()):
+                return False
+        return True
+
+    lo = 0
+    for k in range(window, -1, -1):
+        if safe(k):
+            lo = k
+            break
+    return lo
+
+
+def rotation_forecast(window: int = WINDOW) -> dict[str, int]:
+    """Per query: the NEXT driver round expected to produce a green row,
+    read off the committed rotation order (position p is inside the window
+    of round head+1+p//window). VERDICT r12 #7: the full oracle run stamps
+    this into LOCAL_ORACLE.__meta__ so a future staleness breach is
+    visible one round before the guard fires."""
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    head = max(rounds, default=0)
+    return {
+        name: head + 1 + pos // window
+        for pos, name in enumerate(ALL_QUERIES)
+    }
 
 
 def _verification_history(repo: str | None = None) -> dict[str, tuple[int, int]]:

@@ -195,6 +195,10 @@ def main() -> int:
                 existing = {}
         existing.update(records)
         if not only:  # full-registry run: stamp freshness metadata
+            from lakehouse_architecture_spark.queries.registry import (
+                rotation_forecast,
+            )
+
             existing["__meta__"] = {
                 "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "sf_dir": sf_dir,
@@ -203,6 +207,10 @@ def main() -> int:
                 # clone-stable staleness fingerprint: the guard recomputes
                 # this and fails when engine code changed since the run
                 "source_digest": engine_source_digest(),
+                # VERDICT r12 #7: per-query next expected driver-green
+                # round, read off the committed rotation order — a coming
+                # staleness breach shows here one round before the guard
+                "rotation_forecast": rotation_forecast(),
             }
         with open(json_path, "w") as f:
             json.dump(existing, f, indent=1, sort_keys=True)
