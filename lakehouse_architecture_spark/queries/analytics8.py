@@ -36,7 +36,11 @@ from lakehouse_architecture_spark.queries.base import QuerySpec, tables
 # --- k-core of the part co-occurrence graph ---------------------------------
 _KCORE_K = 2
 _KCORE_MIN_COMMON = 2  # edge = part pair sharing >= 2 orders
-_KCORE_ROUNDS = 8  # oracle unroll; measured peeling depth 3 (sf0.01) / 5 (sf0.1)
+# Oracle unroll depth MUST equal the Spark side's max_rounds (ADVICE r12):
+# the Spark k_core raises on non-convergence, but an under-unrolled oracle
+# would silently emit a non-fixpoint filter at a deeper scale factor.
+# Measured peeling depth is 3 (sf0.01) / 5 (sf0.1).
+_KCORE_ROUNDS = 12
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +346,10 @@ _Q_CALIBRATION_SQL = """
 WITH scored AS (
   SELECT (value % 100) / 100 AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
-  FROM events WHERE value IS NOT NULL
+  -- event_type IS NOT NULL mirrors the operator's NULL-label drop
+  -- (a NULL event_type yields a NULL comparison, which calibration_bins
+  -- filters out); without it the oracle would map NULLs to label 0
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ),
 cells AS (
   SELECT LEAST(GREATEST(CAST(FLOOR(score * 10) AS INT), 0), 9) AS bin,

@@ -149,10 +149,13 @@ counts AS (
   SELECT prev, nxt, COUNT(*) AS nij FROM steps WHERE prev IS NOT NULL
   GROUP BY prev, nxt
 ),
-tot AS (
-  SELECT CAST(SUM(nij) AS BIGINT) AS n_total,
-         COUNT(DISTINCT prev) AS n_states
-  FROM counts
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n_total FROM counts),
+-- |states| over the UNION of prev and nxt (ADVICE r12): a terminal event
+-- type appearing only as a successor still counts toward the ceiling
+states AS (
+  SELECT COUNT(DISTINCT s) AS n_states FROM (
+    SELECT prev AS s FROM counts UNION ALL SELECT nxt AS s FROM counts
+  )
 ),
 prev_tot AS (SELECT prev, SUM(nij) AS ni FROM counts GROUP BY prev),
 h AS (
@@ -161,7 +164,7 @@ h AS (
                         AS DECIMAL(38,9))) AS DOUBLE) AS h,
          MIN(n_total) AS n_transitions,
          MIN(n_states) AS n_states
-  FROM counts JOIN prev_tot USING (prev), tot
+  FROM counts JOIN prev_tot USING (prev), tot, states
 )
 SELECT n_transitions, n_states,
        ROUND(h, 6) AS cond_entropy_bits,

@@ -117,6 +117,21 @@ def test_transition_entropy_uniform_is_max(spark):
     assert out.normalized == pytest.approx(1.0, abs=1e-6)
 
 
+def test_transition_entropy_counts_terminal_states(spark):
+    """ADVICE r12: a state appearing only as a successor (terminal event
+    type) must count toward |states| — else max_bits understates the
+    log2|states| ceiling and normalized can exceed 1."""
+    # a -> b -> c, c terminal (never a prev); prev-only counting would say
+    # 2 states; the union says 3
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "c")]
+    out = transition_entropy(
+        _events(spark, rows), "user_id", "ts", "event_type", "event_id"
+    ).collect()[0]
+    assert out.n_states == 3
+    assert out.max_bits == pytest.approx(math.log2(3), abs=1e-6)
+    assert out.normalized <= 1.0
+
+
 # --- WoE / IV ------------------------------------------------------------------
 
 

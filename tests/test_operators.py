@@ -192,6 +192,71 @@ def test_funnel_modes_parity_on_events_fixture(spark):
     assert len(array_form) == 3
 
 
+def test_funnel_per_user_cap_guard(spark):
+    """VERDICT r12 #4: the funnel family's array mode caps per-user state.
+    exceed='raise' fails at execution with the offending user; 'truncate'
+    keeps the FIRST max events deterministically; a cap larger than any
+    user is a no-op; non-step events never count against the cap."""
+    import datetime
+
+    import pytest
+
+    from lakehouse_architecture_spark.operators.timeseries import (
+        funnel_counts,
+        funnel_time_to_convert,
+    )
+
+    s = lambda i: datetime.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    steps = ("view", "click", "purchase")
+    rows = [(1, s(i), "view") for i in range(5)] + [
+        (1, s(6), "click"), (1, s(7), "purchase"),
+        (2, s(0), "view"), (2, s(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    # raise: user 1 has 7 step events > cap 3
+    with pytest.raises(Exception, match="max_events_per_user=3"):
+        funnel_counts(
+            df, "user_id", "ts", "event_type", steps, max_events_per_user=3
+        ).collect()
+    with pytest.raises(Exception, match="max_events_per_user=3"):
+        funnel_time_to_convert(
+            df, "user_id", "ts", "event_type", steps, max_events_per_user=3
+        ).collect()
+
+    # truncate: user 1's first 3 events are all views -> no click/purchase
+    out = {r["step"]: r["n_users"] for r in funnel_counts(
+        df, "user_id", "ts", "event_type", steps,
+        max_events_per_user=3, exceed="truncate",
+    ).collect()}
+    assert out == {"view": 2, "click": 1, "purchase": 0}
+
+    # generous cap: identical to uncapped
+    uncapped = {r["step"]: r["n_users"] for r in funnel_counts(
+        df, "user_id", "ts", "event_type", steps, max_events_per_user=None
+    ).collect()}
+    capped = {r["step"]: r["n_users"] for r in funnel_counts(
+        df, "user_id", "ts", "event_type", steps, max_events_per_user=100
+    ).collect()}
+    assert capped == uncapped == {"view": 2, "click": 2, "purchase": 1}
+
+    # non-step events are pre-filtered and never count against the cap
+    noisy = df.union(spark.createDataFrame(
+        [(2, s(2 + i), "scroll") for i in range(50)],
+        "user_id long, ts timestamp, event_type string",
+    ))
+    out = {r["step"]: r["n_users"] for r in funnel_counts(
+        noisy, "user_id", "ts", "event_type", steps, max_events_per_user=7
+    ).collect()}
+    assert out == {"view": 2, "click": 2, "purchase": 1}
+
+    # bad exceed value is an immediate ValueError
+    with pytest.raises(ValueError, match="exceed"):
+        funnel_counts(
+            df, "user_id", "ts", "event_type", steps, exceed="ignore"
+        )
+
+
 def test_lsh_bucket_cap_degenerate_corpus(spark):
     """max_bucket drops quadratic-blowup buckets: a corpus of identical
     vectors collapses into ONE signature bucket; with the cap set below the

@@ -184,7 +184,8 @@ def test_transition_entropy_random_parity(spark, rows):
         round((c / n_total) * math.log2(c / ni[p]), 9)
         for (p, _), c in steps.items()
     )
-    n_states = len(ni)
+    # ADVICE r12: states = union of prev AND nxt (terminal types count)
+    n_states = len({p for (p, _) in steps} | {t for (_, t) in steps})
 
     got = transition_entropy(
         spark.createDataFrame(data), "user_id", "ts", "event_type", "event_id"
