@@ -175,6 +175,25 @@ def rendezvous_assign(
     return df.withColumn(out_col, F.array_max(pairs)["s"])
 
 
+def compaction_assignments(
+    files: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Per-file bin assignment underlying :func:`compaction_plan` — the
+    executable form (round 13: VersionedTable.optimize consumes it to
+    drive the actual rewrite). Returns the input rows plus a ``bin``
+    column: bin = (cumulative size − own size) div target, in
+    ``order_col`` order. Integer ``div``, never a double divide —
+    lakehouse byte cumsums exceed 2^53."""
+    w = Window.orderBy(F.col(order_col).asc())
+    cum = F.sum(F.col(size_col)).over(w)
+    return files.withColumn("__prior", cum - F.col(size_col)).withColumn(
+        "bin", F.expr(f"__prior div {int(target_bytes)}")
+    ).drop("__prior")
+
+
 def compaction_plan(
     files: DataFrame,
     size_col: str,
@@ -194,15 +213,11 @@ def compaction_plan(
     exceeds target only when a single file already does (unsplittable
     here, as in every real compactor). Output: one row per bin —
     (bin, n_files, total_bytes, first/last ``order_col``) — the work list
-    a rewrite job (e.g. pipeline/table_format.OPTIMIZE) executes.
+    a rewrite job executes: :meth:`pipeline.table_format.VersionedTable.
+    optimize` runs :func:`compaction_assignments` (this plan's per-file
+    form) and rewrites each bin into exactly one output file.
     """
-    w = Window.orderBy(F.col(order_col).asc())
-    cum = F.sum(F.col(size_col)).over(w)
-    # integer div, not a double divide-and-truncate: byte counts at
-    # lakehouse scale exceed 2^53 and must never round through a double
-    binned = files.withColumn("__prior", cum - F.col(size_col)).withColumn(
-        "bin", F.expr(f"__prior div {int(target_bytes)}")
-    )
+    binned = compaction_assignments(files, size_col, order_col, target_bytes)
     return (
         binned.groupBy("bin")
         .agg(

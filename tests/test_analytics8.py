@@ -47,6 +47,49 @@ def test_k_core_k3_empties_triangle_plus_edge(spark):
     assert k_core(e, k=3).count() == 0
 
 
+def test_k_core_one_driver_action_per_round(spark, monkeypatch):
+    """VERDICT r12 #6: each peel round must run exactly ONE driver action
+    (the dropped-count aggregate that also populates the round's degree
+    cache and flushes the lazy lineage cut) — counted by instrumenting
+    DataFrame.collect/count/checkpoint, which is AQE-proof where raw job
+    ids are not (AQE splits one action into several jobs)."""
+    # pendant 2-chain off a triangle: peels 5, then 4, then confirms ->
+    # exactly 3 loop rounds -> exactly 3 driver actions inside k_core
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+
+    # patch the CONCRETE DataFrame class (Spark 4 classic mode subclasses
+    # pyspark.sql.DataFrame and overrides these methods)
+    DF = type(e)
+    calls = {"n": 0}
+    for meth in ("collect", "count"):
+        orig = getattr(DF, meth)
+
+        def counting(self, *a, _orig=orig, **kw):
+            calls["n"] += 1
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(DF, meth, counting)
+    # eager checkpoints would be a hidden second action per round
+    orig_ckpt = DF.checkpoint
+    orig_lckpt = DF.localCheckpoint
+
+    def no_eager(self, eager, _orig):
+        assert not eager, "k_core must not eagerly checkpoint per round"
+        return _orig(self, eager)
+
+    monkeypatch.setattr(
+        DF, "checkpoint",
+        lambda self, eager=True: no_eager(self, eager, orig_ckpt),
+    )
+    monkeypatch.setattr(
+        DF, "localCheckpoint",
+        lambda self, eager=True: no_eager(self, eager, orig_lckpt),
+    )
+    core = k_core(e, k=2)
+    assert calls["n"] == 3
+    assert {r.node for r in core.collect()} == {1, 2, 3}
+
+
 def test_k_core_exhausted_rounds_raises(spark):
     # a 3-chain needs 2 peel rounds at k=2; max_rounds=1 must raise, never
     # return a partially-peeled "core"
