@@ -80,6 +80,16 @@ HEADLINE = [
     "q_ri_orphans",
     "q_weighted_median",
     "q_adamic_adar",
+    # round 13 (VERDICT r12 #5): floor the steepest r12 scale mover and
+    # the package's only iterative-fixpoint headline — q_nelson_aalen is
+    # documented-linear in per-user event windows (6.77x at 30x, a
+    # contract, not a bug), so a super-linear regression there must show
+    # in BENCH; q_kcore guards the one-action-per-round peel loop (r13
+    # halved its driver jobs — a revert doubles round latency silently
+    # otherwise). Headline total floor grows accordingly; bands
+    # re-recorded via tools/bench_band.py (see README).
+    "q_nelson_aalen",
+    "q_kcore",
 ]
 
 

@@ -647,3 +647,182 @@ def shapley_attribution(
         )
         .orderBy("channel")
     )
+
+
+def smd_balance(
+    df: DataFrame,
+    arm_col: str,
+    covariates: list[str],
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Covariate balance table for an experiment split: per covariate, the
+    standardized mean difference SMD = (μ_a − μ_b) / √((s²_a + s²_b)/2)
+    (Austin 2009 — |SMD| < 0.1 is the conventional "balanced" bar). The
+    pre-flight companion of :func:`cuped_adjusted` / :func:`diff_in_diff`:
+    a randomization or hash-split whose SMDs are large is broken before
+    any effect estimate is read.
+
+    ONE moment aggregate over the corpus (4 conditional sums per
+    covariate), unpivoted to a |covariates|-row tall table via ``stack``.
+    Sample variance from decimal-exact sums. Returns one row per
+    covariate: (covariate, n_a, n_b, mean_a, mean_b, smd).
+    """
+    in_a = F.col(arm_col) == arm_a
+    in_b = F.col(arm_col) == arm_b
+
+    def moments(c: str, side, tag: str):
+        x = F.when(side, F.col(c).cast("double"))
+        d = lambda col: col.cast("decimal(38,6)")  # noqa: E731
+        return [
+            F.count(x).alias(f"n_{tag}_{c}"),
+            F.sum(d(x)).cast("double").alias(f"s_{tag}_{c}"),
+            F.sum(d(x * x)).cast("double").alias(f"q_{tag}_{c}"),
+        ]
+
+    aggs = []
+    for c in covariates:
+        aggs += moments(c, in_a, "a") + moments(c, in_b, "b")
+    row = df.agg(*aggs)
+    cells = []
+    for c in covariates:
+        cells += [
+            f"'{c}'", f"n_a_{c}", f"s_a_{c}", f"q_a_{c}",
+            f"n_b_{c}", f"s_b_{c}", f"q_b_{c}",
+        ]
+    tall = row.select(
+        F.expr(
+            f"stack({len(covariates)}, {', '.join(cells)}) AS "
+            "(covariate, n_a, s_a, q_a, n_b, s_b, q_b)"
+        )
+    )
+    mean = lambda s, n: F.col(s) / F.col(n)  # noqa: E731
+    var = lambda s, q, n: (  # noqa: E731
+        (F.col(q) - F.col(s) * F.col(s) / F.col(n)) / (F.col(n) - 1)
+    )
+    den = F.sqrt((var("s_a", "q_a", "n_a") + var("s_b", "q_b", "n_b")) / 2)
+    return tall.select(
+        "covariate",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean("s_a", "n_a"), 6).alias("mean_a"),
+        F.round(mean("s_b", "n_b"), 6).alias("mean_b"),
+        F.round(
+            F.when(den > 0, (mean("s_a", "n_a") - mean("s_b", "n_b")) / den), 6
+        ).alias("smd"),
+    ).orderBy("covariate")
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al. 2019 — the single most
+    common A/B-test invalidator): χ² goodness-of-fit of observed arm
+    counts against the design ratios. One hash aggregate at |arms|
+    cardinality; each (o−e)²/e term is rounded to 9 dp and decimal-summed
+    so both engines fold identically. Returns one row per arm plus the
+    shared statistic: (arm, observed, expected_n, chi2).
+
+    The χ² threshold is the caller's policy (at 1 dof, SRM alarms
+    conventionally fire at χ² > 10.8, p < 0.001); this emits the
+    statistic, not a verdict.
+    """
+    arms = sorted(expected)
+    ratio = F.create_map(
+        *[F.lit(x) for kv in expected.items() for x in kv]
+    )
+    counts = (
+        df.filter(F.col(arm_col).isin(arms))
+        .groupBy(F.col(arm_col).alias("arm"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = counts.agg(F.sum("observed").alias("n_total"))
+    cells = counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "observed",
+        (ratio[F.col("arm")] * F.col("n_total")).alias("expected_n"),
+    )
+    term = F.round(
+        (F.col("observed") - F.col("expected_n"))
+        * (F.col("observed") - F.col("expected_n"))
+        / F.col("expected_n"),
+        9,
+    ).cast("decimal(38,9)")
+    chi2 = cells.agg(F.round(F.sum(term).cast("double"), 6).alias("chi2"))
+    return (
+        cells.crossJoin(F.broadcast(chi2))
+        .select(
+            "arm",
+            "observed",
+            F.round("expected_n", 6).alias("expected_n"),
+            "chi2",
+        )
+        .orderBy("arm")
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's κ inter-rater agreement (Cohen 1960): κ = (p_o − p_e) /
+    (1 − p_e), observed agreement vs the agreement two independent raters
+    with the same marginals would reach by chance. The standard QA
+    statistic for LLM training-data labeling (heuristic labeler vs model
+    labeler, or two annotators).
+
+    One hash aggregate to the |labels|² confusion table, marginals and
+    the κ algebra on that broadcastable derivative; p_o and every
+    marginal product are ratios of exact integers. Returns one row:
+    (n, n_labels, po, pe, kappa).
+    """
+    cells = (
+        df.filter(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .groupBy(
+            F.col(rater_a_col).alias("la"), F.col(rater_b_col).alias("lb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    ra = cells.groupBy("la").agg(F.sum("c").alias("ca"))
+    rb = cells.groupBy("lb").agg(F.sum("c").alias("cb"))
+    pe_terms = (
+        ra.join(rb, ra["la"] == rb["lb"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("ca").cast("double")
+                * F.col("cb")
+                / (F.col("n").cast("double") * F.col("n")),
+                9,
+            ).cast("decimal(38,9)").alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("pe"))
+    )
+    labels = (
+        cells.select(F.col("la").alias("l"))
+        .unionByName(cells.select(F.col("lb").alias("l")))
+        .agg(F.count_distinct("l").alias("n_labels"))
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(pe_terms))
+        .crossJoin(F.broadcast(labels))
+        .select(
+            "n",
+            "n_labels",
+            F.round(po, 6).alias("po"),
+            F.round("pe", 6).alias("pe"),
+            F.round((po - F.col("pe")) / (1 - F.col("pe")), 6).alias("kappa"),
+        )
+    )

@@ -356,3 +356,67 @@ def woe_iv(
         "woe",
         F.round("iv_term", 6).alias("iv_term"),
     ).unionByName(total).orderBy("category")
+
+
+def cramers_v(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """χ² test of independence + Cramér's V effect size (Cramér 1946)
+    between two categorical columns — the feature-screening companion of
+    :func:`woe_iv` (WoE needs a binary target; V compares any two
+    categoricals, e.g. language × source leakage checks before a split):
+    V = √(χ² / (n·(min(r,c) − 1))), 0 = independent, 1 = determined.
+
+    One hash aggregate to the r×c contingency table; marginals, expected
+    counts, and the χ² fold all run on that broadcastable derivative.
+    Each (o−e)²/e term is rounded to 9 dp and decimal-summed. Expected
+    counts use the observed-cell grid only — a structurally-absent cell
+    contributes (0−e)²/e via the dense r×c grid (cross join of the two
+    marginals, |r|·|c| rows). Returns one row: (n, r, c, chi2, v).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = materialize_small(cells)
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    dense = (
+        mx.crossJoin(my)
+        .join(cells, ["x", "y"], "left")
+        .select(
+            "x", "y", "cx", "cy", F.coalesce("c", F.lit(0)).alias("o")
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("cx").cast("double") * F.col("cy") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 9).cast(
+        "decimal(38,9)"
+    )
+    dims = cells.agg(
+        F.count_distinct("x").alias("r"), F.count_distinct("y").alias("c2")
+    )
+    out = dense.groupBy("n").agg(F.sum(term).cast("double").alias("chi2"))
+    return (
+        out.crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            F.col("r").cast("long").alias("r"),
+            F.col("c2").cast("long").alias("c"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.when(
+                    (F.least("r", "c2") > 1) & (F.col("n") > 0),
+                    F.sqrt(
+                        F.col("chi2")
+                        / (F.col("n") * (F.least("r", "c2") - 1))
+                    ),
+                ),
+                6,
+            ).alias("v"),
+        )
+    )

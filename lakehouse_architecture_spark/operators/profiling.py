@@ -773,3 +773,339 @@ def transition_entropy(
         F.round(max_bits, 6).alias("max_bits"),
         F.round(F.col("h") / max_bits, 6).alias("normalized"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_points: int | None = 10_000,
+) -> DataFrame:
+    """Exact Kendall τ-b rank correlation (Kendall 1938) with the full
+    tie correction: τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)) where C/D are
+    concordant/discordant pair counts, n₀ = n(n−1)/2, and n₁/n₂ are the
+    per-value tie-pair sums of x and y. The companion of
+    :func:`spearman_corr` (τ is more robust to outlying ranks) and of
+    operators/timeseries.mann_kendall (whose S statistic is exactly
+    C − D against time).
+
+    Same input contract as the trend family: a COLLAPSED series — the
+    pair join is O(|series|²) by construction, so the ``max_points``
+    guard (bounded probe, ValueError, ``None`` opts out) blocks raw-row
+    callers. Everything is exact integer arithmetic except the final τ.
+    Returns one row: (n, n_pairs, concordant, discordant, tau_b).
+    """
+    pts = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    if max_points is not None:
+        from lakehouse_architecture_spark.operators.timeseries import (
+            _enforce_collapsed_series,
+        )
+
+        _enforce_collapsed_series(pts, "kendall_tau_b", max_points)
+    # a total order so each unordered pair is generated exactly once
+    rn = F.row_number().over(Window.orderBy("x", "y"))
+    p = materialize_small(pts.select("x", "y", rn.alias("rn")))
+    a, b = p.alias("a"), p.alias("b")
+    dx = F.signum(F.col("b.x") - F.col("a.x"))
+    dy = F.signum(F.col("b.y") - F.col("a.y"))
+    pair = a.join(b, F.col("a.rn") < F.col("b.rn")).agg(
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+    )
+
+    def tie_pairs(col: str, alias: str):
+        return (
+            p.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0)
+                ).alias(alias)
+            )
+        )
+
+    n_row = p.agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        pair.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(tie_pairs("x", "tx2")))
+        .crossJoin(F.broadcast(tie_pairs("y", "ty2")))
+    )
+    # n0/n1/n2 doubled throughout (t(t-1), n(n-1)) so all stay integers
+    n0_2 = F.col("n") * (F.col("n") - 1)
+    den = F.sqrt(
+        (n0_2 - F.col("tx2")).cast("double") * (n0_2 - F.col("ty2")).cast("double")
+    )
+    return joined.select(
+        "n",
+        (n0_2 / 2).cast("long").alias("n_pairs"),
+        "concordant",
+        "discordant",
+        F.round(
+            F.when(den > 0, 2 * (F.col("concordant") - F.col("discordant")) / den),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum, Mann & Whitney 1947)
+    between two groups, with midrank tie handling and Cliff's delta as
+    the effect size: U_a = R_a − n_a(n_a+1)/2 where R_a is the sum of
+    pooled midranks of group a; δ = 2·U_a/(n_a·n_b) − 1 ∈ [−1, 1]
+    (δ > 0 ⇒ a's values stochastically dominate b's).
+
+    SCALE SHAPE: unlike scipy's sort-everything, the ranks are computed
+    on the COLLAPSED (group, value) count table — one hash-agg at
+    distinct-value cardinality, then windows over distinct values only;
+    midrank(v) = (# pooled values < v) + (ties(v)+1)/2, and R_a is a
+    weighted decimal sum. Midranks are exact multiples of 0.5, so U is
+    decimal-exact; δ is the only float. Returns one row:
+    (n_a, n_b, u_a, u_b, cliffs_delta).
+    """
+    lab = F.when(F.col(group_col) == group_a, "a").when(
+        F.col(group_col) == group_b, "b"
+    )
+    vals = (
+        df.select(lab.alias("g"), F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum("c").alias("tv"),
+        F.sum(F.when(F.col("g") == "a", F.col("c")).otherwise(0)).alias("ca"),
+    )
+    w = Window.orderBy("v")
+    # 2*midrank stays integer: 2*before + tv + 1 (computed in a select —
+    # a window expression can't live inside the aggregate)
+    mid = per_v.select(
+        "tv",
+        "ca",
+        (2 * (F.sum("tv").over(w) - F.col("tv")) + F.col("tv") + F.lit(1)).alias(
+            "mid2"
+        ),
+    )
+    agg = mid.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        (F.sum("tv") - F.sum("ca")).cast("long").alias("n_b"),
+        F.sum((F.col("mid2") * F.col("ca")).cast("decimal(38,0)")).alias("r2a"),
+    )
+    u_a = (F.col("r2a").cast("double") / 2) - (
+        F.col("n_a") * (F.col("n_a") + 1) / 2
+    )
+    n_ab = (F.col("n_a") * F.col("n_b")).cast("double")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round(n_ab - u_a, 1).alias("u_b"),
+        F.round(F.when(n_ab > 0, 2 * u_a / n_ab - 1), 6).alias("cliffs_delta"),
+    )
+
+
+def ks_2samp_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov D between two groups — the
+    unbinned companion of :func:`ks_drift` (whose 100-bin grid trades
+    exactness for a fixed-size state; this one is exact because the scan
+    collapses to DISTINCT values first, which is the full resolution of
+    the ECDF): D = max over observed values of |F̂_a(v) − F̂_b(v)|.
+
+    One hash-agg to (value, count_a, count_b) at distinct-value
+    cardinality, two running sums over that collapsed table, one max.
+    Each ECDF step is an integer/integer division rounded to 9 dp before
+    the max (the psi_drift discipline). Returns one row: (n_a, n_b, d).
+    """
+    lab = F.when(F.col(group_col) == group_a, "a").when(
+        F.col(group_col) == group_b, "b"
+    )
+    per_v = (
+        df.select(lab.alias("g"), F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v")
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    steps = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    ).crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.round(F.col("cum_a").cast("double") / F.col("n_a"), 9)
+        - F.round(F.col("cum_b").cast("double") / F.col("n_b"), 9)
+    )
+    return steps.groupBy("n_a", "n_b").agg(
+        F.round(F.max(gap), 6).alias("d")
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index with its exact within/between-group
+    decomposition (Theil 1967) — the additively-decomposable companion
+    of q_gini (Gini does not decompose): T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ);
+    T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ) where s_g = group g's share of
+    the total. Non-positive values are excluded (ln domain), counted in
+    ``n_excluded``.
+
+    Two corpus passes: one moment agg for (n, μ), one per-row term pass
+    decimal-summed globally AND per group (|groups| cardinality tail).
+    Every ln term is rounded to 9 dp before its decimal fold. Returns
+    one row: (n, n_excluded, mean, theil_total, theil_within,
+    theil_between).
+    """
+    x = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("g"), x.alias("x"))
+    pos = base.filter(F.col("x") > 0)
+    # excluded count computed IN-PLAN (no eager driver action): one
+    # moment agg over the unfiltered input carries both totals
+    mu_row = base.agg(
+        F.sum(F.when(F.col("x") > 0, 1).otherwise(0)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.sum(F.when(F.col("x") > 0, 1).otherwise(0)))
+        .cast("long")
+        .alias("n_excluded"),
+        (
+            F.sum(
+                F.when(F.col("x") > 0, F.col("x")).cast("decimal(38,6)")
+            ).cast("double")
+            / F.sum(F.when(F.col("x") > 0, 1).otherwise(0))
+        ).alias("mu"),
+    )
+    with_mu = pos.crossJoin(F.broadcast(materialize_small(mu_row)))
+    term = F.round(
+        (F.col("x") / F.col("mu")) * F.log(F.col("x") / F.col("mu")), 9
+    ).cast("decimal(38,9)")
+    per_g = with_mu.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        (
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+        ).alias("s_g"),
+        F.sum(term).cast("double").alias("t_g_sum"),
+        F.min("n").alias("n"),
+        F.min("n_excluded").alias("n_excluded"),
+        F.min("mu").alias("mu"),
+    )
+    # share s = group total / grand total; T_g re-centers the global-mu
+    # terms onto the group mean: ln(x/mu_g) = ln(x/mu) - ln(mu_g/mu), and
+    # sum(x/(n_g*mu_g)) = 1, so T_g = (mu/mu_g)*(t_g_sum/n_g) - ln(mu_g/mu)
+    mean_g = F.col("s_g") / F.col("n_g")
+    share = F.col("s_g") / (F.col("n") * F.col("mu"))
+    t_g = (F.col("mu") / mean_g) * (F.col("t_g_sum") / F.col("n_g")) - F.log(
+        mean_g / F.col("mu")
+    )
+    rows = per_g.select(
+        "n",
+        "n_excluded",
+        "mu",
+        F.round(F.col("t_g_sum") / F.col("n"), 9).alias("tot_part"),
+        F.round(share * t_g, 9).cast("decimal(38,9)").alias("within_part"),
+        F.round(share * F.log(mean_g / F.col("mu")), 9)
+        .cast("decimal(38,9)")
+        .alias("between_part"),
+    )
+    return rows.groupBy("n").agg(
+        F.min("n_excluded").alias("n_excluded"),
+        F.round(F.min("mu"), 6).alias("mean"),
+        F.round(F.sum(F.col("tot_part").cast("decimal(38,9)")).cast("double"), 6).alias(
+            "theil_total"
+        ),
+        F.round(F.sum("within_part").cast("double"), 6).alias("theil_within"),
+        F.round(F.sum("between_part").cast("double"), 6).alias("theil_between"),
+    )
+
+
+def jensen_shannon_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (in bits, Lin 1991) between
+    every pair of groups over an equi-width binning of ``value_col`` —
+    the symmetric, always-finite drift metric next to :func:`psi_drift`
+    (PSI explodes on empty bins; JSD's mixture midpoint never does):
+    JSD(p,q) = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2; 0 ≤ JSD ≤ 1 bit.
+
+    One scan bins values against the global (min, max) (one broadcast
+    1-row agg), one hash-agg to (group, bin) shares, then a bin-equijoin
+    of the |groups|·|bins| share table against itself (group_a <
+    group_b). Every p·log₂(p/m) term is rounded to 9 dp and
+    decimal-summed. Returns (group_a, group_b, jsd_bits) per pair.
+    """
+    v = F.col(value_col).cast("double")
+    vals = df.select(F.col(group_col).alias("g"), v.alias("v")).filter(
+        F.col("g").isNotNull() & F.col("v").isNotNull()
+    )
+    scal = materialize_small(vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    binned = vals.crossJoin(F.broadcast(scal)).select(
+        "g",
+        F.when(F.col("hi") == F.col("lo"), 0)
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * n_bins
+                ).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("g").agg(F.sum("c").alias("n_g"))
+    shares = materialize_small(
+        counts.join(tot, "g").select(
+            "g", "bin", (F.col("c").cast("double") / F.col("n_g")).alias("p")
+        )
+    )
+    # densify to the groups x observed-bins grid (ks_drift's trick) so a
+    # bin one group lacks contributes share 0 instead of silently
+    # disappearing from the pair join — |groups|·|bins| rows, tiny
+    dense = (
+        shares.select("g").distinct()
+        .crossJoin(shares.select("bin").distinct())
+        .join(shares, ["g", "bin"], "left")
+        .select("g", "bin", F.coalesce("p", F.lit(0.0)).alias("p"))
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    pair = a.join(b, "bin").filter(F.col("a.g") < F.col("b.g"))
+    pa = F.col("a.p")
+    pb = F.col("b.p")
+    m = (pa + pb) / 2
+    term = (
+        F.when(pa > 0, F.round(pa * F.log2(pa / m), 9)).otherwise(0)
+        + F.when(pb > 0, F.round(pb * F.log2(pb / m), 9)).otherwise(0)
+    ) / 2
+    return (
+        pair.select(
+            F.col("a.g").alias("group_a"),
+            F.col("b.g").alias("group_b"),
+            term.cast("decimal(38,9)").alias("t"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("jsd_bits"))
+        .orderBy("group_a", "group_b")
+    )

@@ -26,6 +26,7 @@ from lakehouse_architecture_spark.queries.analytics6 import ANALYTICS6_QUERIES
 from lakehouse_architecture_spark.queries.analytics7 import ANALYTICS7_QUERIES
 from lakehouse_architecture_spark.queries.analytics8 import ANALYTICS8_QUERIES
 from lakehouse_architecture_spark.queries.analytics9 import ANALYTICS9_QUERIES
+from lakehouse_architecture_spark.queries.analytics10 import ANALYTICS10_QUERIES
 from lakehouse_architecture_spark.queries.storage import STORAGE_QUERIES
 from lakehouse_architecture_spark.queries.textops2 import TEXTOPS2_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
@@ -55,6 +56,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *ANALYTICS7_QUERIES,  # round-11 depth block (OPH, closure, bootstrap...)
     *ANALYTICS8_QUERIES,  # round-12 depth block (k-core, CDC diff, CUPED...)
     *ANALYTICS9_QUERIES,  # round-12 closing block (Spearman, burstiness...)
+    *ANALYTICS10_QUERIES,  # round-13 block (budgeted via max_safe_additions)
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry

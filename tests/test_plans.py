@@ -510,3 +510,46 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     joined.collect()
     final = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in final.lower()
+
+
+def test_round13_rank_family_windows_run_on_collapsed_tables(spark):
+    """The round-13 nonparametric family's global (unpartitioned) windows
+    are legitimate ONLY because their input is already collapsed — the
+    distinct-(value) count table for Mann-Whitney/KS, the day-grain series
+    for Kendall, the 10-row decile table for Lorenz. Assert each window's
+    input subtree contains a HashAggregate (the collapse), so a refactor
+    that slides the window onto raw fact rows fails here, not at 100 TB."""
+    import re
+
+    for name in ("q_mann_whitney", "q_ks_exact", "q_lorenz"):
+        plan = formatted_plan(_q(spark, name))
+        # formatted plans list nodes bottom-up per subtree: every Window
+        # node must appear AFTER at least one HashAggregate header
+        win = [m.start() for m in re.finditer(r"^\(\d+\) Window", plan, re.M)]
+        agg = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+        assert win, f"{name}: expected a Window node"
+        assert agg and min(agg) < min(win), (
+            f"{name}: window input is not an aggregated (collapsed) table"
+        )
+
+
+def test_round13_no_cartesian_blowups(spark):
+    """The block's only non-equi join is Kendall's deliberate pair join
+    over the materialized day-grain series; every other query must stay
+    free of CartesianProduct / nested-loop shapes (their cross joins are
+    1-row broadcast folds, which Spark plans as BroadcastNestedLoopJoin
+    over a single row — allowed)."""
+    import re
+
+    for name in (
+        "q_cramers_v",
+        "q_hhi",
+        "q_jsd_sources",
+        "q_next_event",
+        "q_smd_balance",
+        "q_srm_check",
+        "q_theil_index",
+        "q_cohens_kappa",
+    ):
+        plan = formatted_plan(_q(spark, name))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian leaked"

@@ -103,6 +103,22 @@ QUERIES = [
     "q_entropy_rate",
     "q_woe_iv",
     "q_funnel_ttc",
+    # round-13 block: the nonparametric/association tail, experiment
+    # pre-flight checks, and concentration measures — each shape is a
+    # corpus pass collapsing to a bounded-cardinality derivative (distinct
+    # values, r×c cells, |groups|/deciles) with decimal folds on top
+    "q_kendall_tau",
+    "q_mann_whitney",
+    "q_ks_exact",
+    "q_cramers_v",
+    "q_hhi",
+    "q_jsd_sources",
+    "q_next_event",
+    "q_smd_balance",
+    "q_srm_check",
+    "q_theil_index",
+    "q_lorenz",
+    "q_cohens_kappa",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
