@@ -1095,10 +1095,13 @@ def jensen_shannon_pairs(
     pa = F.col("a.p")
     pb = F.col("b.p")
     m = (pa + pb) / 2
-    term = (
-        F.when(pa > 0, F.round(pa * F.log2(pa / m), 9)).otherwise(0)
-        + F.when(pb > 0, F.round(pb * F.log2(pb / m), 9)).otherwise(0)
-    ) / 2
+    # sum the UNHALVED 9-dp-rounded terms (a 9-dp value halved gains a
+    # 10th-digit tie that HALF_UP/binary rounding resolve differently
+    # across engines — caught live at sf0.1); the final x0.5 on the
+    # decimal-exact sum is an exact binary operation in both engines
+    term = F.when(pa > 0, F.round(pa * F.log2(pa / m), 9)).otherwise(
+        0
+    ) + F.when(pb > 0, F.round(pb * F.log2(pb / m), 9)).otherwise(0)
     return (
         pair.select(
             F.col("a.g").alias("group_a"),
@@ -1106,6 +1109,8 @@ def jensen_shannon_pairs(
             term.cast("decimal(38,9)").alias("t"),
         )
         .groupBy("group_a", "group_b")
-        .agg(F.round(F.sum("t").cast("double"), 6).alias("jsd_bits"))
+        .agg(
+            F.round(F.sum("t").cast("double") * 0.5, 6).alias("jsd_bits")
+        )
         .orderBy("group_a", "group_b")
     )

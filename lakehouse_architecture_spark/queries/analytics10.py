@@ -343,12 +343,15 @@ dense AS (
   LEFT JOIN shares ON shares.g = gs.g AND shares.bin = bs.bin
 )
 SELECT a.g AS group_a, b.g AS group_b,
+       -- unhalved 9-dp terms decimal-summed, then one exact binary x0.5:
+       -- halving per term creates 10th-digit ties that the two engines'
+       -- rounding modes resolve differently (caught live at sf0.1)
        ROUND(CAST(SUM(CAST(
          (CASE WHEN a.p > 0
                THEN ROUND(a.p * LOG2(a.p / ((a.p + b.p) / 2)), 9) ELSE 0 END
           + CASE WHEN b.p > 0
                  THEN ROUND(b.p * LOG2(b.p / ((a.p + b.p) / 2)), 9) ELSE 0 END)
-         / 2 AS DECIMAL(38,9))) AS DOUBLE), 6) AS jsd_bits
+         AS DECIMAL(38,9))) AS DOUBLE) * 0.5, 6) AS jsd_bits
 FROM dense a JOIN dense b ON a.bin = b.bin AND a.g < b.g
 GROUP BY 1, 2
 ORDER BY 1, 2
