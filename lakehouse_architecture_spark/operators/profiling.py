@@ -850,12 +850,52 @@ def kendall_tau_b(
     )
 
 
+def _bucketed_value_prefix(
+    per_v: DataFrame,
+    count_cols: list[str],
+    bucket_width: float,
+) -> DataFrame:
+    """Shared scale core of :func:`mann_whitney_u` / :func:`ks_2samp_exact`:
+    given a distinct-value table with one or more count columns, attach a
+    running prefix sum OF EACH count column over value order — WITHOUT the
+    single-task global window (for continuous values the distinct-value
+    table is nearly row cardinality, so `Window.orderBy(v)` is the exact
+    100 TB anti-pattern skew.two_phase_rank exists for). Bucketed
+    two-phase form: per-bucket totals prefix-summed over the tiny
+    |buckets| table (monotone in v, broadcastable by construction), plus
+    an intra-bucket window partitioned by bucket. Integer counts, so the
+    result is bit-identical to the global window. Emits one
+    ``cum_<col>`` per count column (inclusive prefix)."""
+    b = F.floor(F.col("v") / F.lit(float(bucket_width))).cast("bigint")
+    wb = per_v.withColumn("__bkt", b)
+    woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = wb.groupBy("__bkt").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in count_cols]
+    ).select(
+        F.col("__bkt").alias("__obkt"),
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(woff), F.lit(0)).alias(f"__off_{c}")
+            for c in count_cols
+        ],
+    )
+    wint = Window.partitionBy("__bkt").orderBy("v")
+    out = wb.join(
+        F.broadcast(offsets), F.col("__bkt") == F.col("__obkt")
+    )
+    for c in count_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"__off_{c}") + F.sum(c).over(wint)
+        )
+    return out.drop("__bkt", "__obkt", *[f"__off_{c}" for c in count_cols])
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
     value_col: str,
     group_a: str,
     group_b: str,
+    bucket_width: float = 1024.0,
 ) -> DataFrame:
     """Exact Mann–Whitney U (Wilcoxon rank-sum, Mann & Whitney 1947)
     between two groups, with midrank tie handling and Cliff's delta as
@@ -865,11 +905,14 @@ def mann_whitney_u(
 
     SCALE SHAPE: unlike scipy's sort-everything, the ranks are computed
     on the COLLAPSED (group, value) count table — one hash-agg at
-    distinct-value cardinality, then windows over distinct values only;
-    midrank(v) = (# pooled values < v) + (ties(v)+1)/2, and R_a is a
-    weighted decimal sum. Midranks are exact multiples of 0.5, so U is
-    decimal-exact; δ is the only float. Returns one row:
-    (n_a, n_b, u_a, u_b, cliffs_delta).
+    distinct-value cardinality — and, because continuous values collapse
+    barely at all, the running rank uses the BUCKETED two-phase prefix
+    (``bucket_width``; see :func:`_bucketed_value_prefix`), never a
+    single-task global window. midrank(v) = (# pooled values < v) +
+    (ties(v)+1)/2; 2·midrank stays integer, so R_a and U are
+    decimal-exact and the bucketing is bit-identical to the global form;
+    δ is the only float. Returns one row: (n_a, n_b, u_a, u_b,
+    cliffs_delta).
     """
     lab = F.when(F.col(group_col) == group_a, "a").when(
         F.col(group_col) == group_b, "b"
@@ -884,13 +927,11 @@ def mann_whitney_u(
         F.sum("c").alias("tv"),
         F.sum(F.when(F.col("g") == "a", F.col("c")).otherwise(0)).alias("ca"),
     )
-    w = Window.orderBy("v")
-    # 2*midrank stays integer: 2*before + tv + 1 (computed in a select —
-    # a window expression can't live inside the aggregate)
-    mid = per_v.select(
+    # 2*midrank stays integer: 2*before + tv + 1
+    mid = _bucketed_value_prefix(per_v, ["tv"], bucket_width).select(
         "tv",
         "ca",
-        (2 * (F.sum("tv").over(w) - F.col("tv")) + F.col("tv") + F.lit(1)).alias(
+        (2 * (F.col("cum_tv") - F.col("tv")) + F.col("tv") + F.lit(1)).alias(
             "mid2"
         ),
     )
@@ -918,6 +959,7 @@ def ks_2samp_exact(
     value_col: str,
     group_a: str,
     group_b: str,
+    bucket_width: float = 1024.0,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov D between two groups — the
     unbinned companion of :func:`ks_drift` (whose 100-bin grid trades
@@ -926,9 +968,13 @@ def ks_2samp_exact(
     the ECDF): D = max over observed values of |F̂_a(v) − F̂_b(v)|.
 
     One hash-agg to (value, count_a, count_b) at distinct-value
-    cardinality, two running sums over that collapsed table, one max.
-    Each ECDF step is an integer/integer division rounded to 9 dp before
-    the max (the psi_drift discipline). Returns one row: (n_a, n_b, d).
+    cardinality; the two running ECDF sums use the BUCKETED two-phase
+    prefix (``bucket_width``; :func:`_bucketed_value_prefix`) — for
+    continuous values the distinct table is nearly row cardinality and a
+    global ordered window would be one task at 100 TB. Integer cums, so
+    bucketing is bit-identical; each ECDF step is an integer/integer
+    division rounded to 9 dp before the max (the psi_drift discipline).
+    Returns one row: (n_a, n_b, d).
     """
     lab = F.when(F.col(group_col) == group_a, "a").when(
         F.col(group_col) == group_b, "b"
@@ -942,12 +988,11 @@ def ks_2samp_exact(
             F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).alias("cb"),
         )
     )
-    w = Window.orderBy("v")
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
     )
-    steps = per_v.select(
-        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    steps = _bucketed_value_prefix(per_v, ["ca", "cb"], bucket_width).select(
+        F.col("cum_ca").alias("cum_a"), F.col("cum_cb").alias("cum_b")
     ).crossJoin(F.broadcast(tot))
     gap = F.abs(
         F.round(F.col("cum_a").cast("double") / F.col("n_a"), 9)

@@ -568,8 +568,12 @@ def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile Lorenz curve of per-customer total spend — the curve behind
     q_gini, served as 10 rows: each revenue decile's customer count,
     revenue share, and cumulative share. Deterministic decile assignment
-    via ((rank−1)·10) div n with a custkey tiebreak; the 10-row
+    via ((rank−1)·10) div n with a custkey tiebreak — the rank comes
+    from skew.two_phase_rank (bucketed, bit-identical to the global
+    window), never a single-task sort over all customers; the 10-row
     cumulative window is metadata-sized."""
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
     t = tables(spark, sf_dir)
     spend = (
         t["orders"]
@@ -581,13 +585,10 @@ def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend")
         )
     )
-    rk = F.row_number().over(
-        Window.orderBy(F.col("spend").asc(), F.col("c_custkey").asc())
-    )
     n_row = spend.agg(F.count(F.lit(1)).alias("n_all"))
-    ranked = spend.select("c_custkey", "spend", rk.alias("rk")).crossJoin(
-        F.broadcast(n_row)
-    )
+    ranked = two_phase_rank(
+        spend, [], "spend", ["c_custkey"], bucket_width=50_000.0, rank_col="rk"
+    ).crossJoin(F.broadcast(n_row))
     dec = ranked.select(
         F.expr("((rk - 1) * 10) div n_all").alias("decile"), "spend"
     )

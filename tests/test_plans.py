@@ -513,23 +513,35 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
 
 
 def test_round13_rank_family_windows_run_on_collapsed_tables(spark):
-    """The round-13 nonparametric family's global (unpartitioned) windows
-    are legitimate ONLY because their input is already collapsed — the
-    distinct-(value) count table for Mann-Whitney/KS, the day-grain series
-    for Kendall, the 10-row decile table for Lorenz. Assert each window's
-    input subtree contains a HashAggregate (the collapse), so a refactor
-    that slides the window onto raw fact rows fails here, not at 100 TB."""
+    """The round-13 nonparametric family's windows are legitimate ONLY
+    because (a) their input is already collapsed — the distinct-(value)
+    count table for Mann-Whitney/KS, the day-grain series for Kendall —
+    AND (b) every DATA-SIZED running sum/rank partitions by the
+    two-phase bucket (`__bkt`), never a single global ordering: for
+    continuous values the distinct table barely collapses, so an
+    unpartitioned ordered window there is one task at 100 TB. The only
+    allowed unpartitioned window specs are the bucket-offset prefix sums
+    (over the |buckets| table) and Lorenz's 10-row decile cumulative."""
     import re
 
-    for name in ("q_mann_whitney", "q_ks_exact", "q_lorenz"):
+    for name, n_unpart_allowed in (
+        ("q_mann_whitney", 1),  # the bucket-offset prefix
+        ("q_ks_exact", 1),  # the bucket-offset prefix
+        ("q_lorenz", 2),  # bucket-offset prefix + 10-row decile cum
+    ):
         plan = formatted_plan(_q(spark, name))
-        # formatted plans list nodes bottom-up per subtree: every Window
-        # node must appear AFTER at least one HashAggregate header
         win = [m.start() for m in re.finditer(r"^\(\d+\) Window", plan, re.M)]
         agg = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
         assert win, f"{name}: expected a Window node"
         assert agg and min(agg) < min(win), (
             f"{name}: window input is not an aggregated (collapsed) table"
+        )
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        unpart = [s for s in specs if "__bkt" not in s]
+        assert len(unpart) <= n_unpart_allowed, (
+            f"{name}: {len(unpart)} unpartitioned window specs (allowed "
+            f"{n_unpart_allowed}) — a data-sized window lost its __bkt "
+            f"partition: {unpart}"
         )
 
 
