@@ -807,7 +807,9 @@ def cohens_kappa(
                 9,
             ).cast("decimal(38,9)").alias("t")
         )
-        .agg(F.sum("t").cast("double").alias("pe"))
+        # coalesce: raters sharing NO label (disjoint vocabularies) have
+        # zero chance agreement, not NULL (empty-join sum)
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("pe"))
     )
     labels = (
         cells.select(F.col("la").alias("l"))
@@ -823,6 +825,11 @@ def cohens_kappa(
             "n_labels",
             F.round(po, 6).alias("po"),
             F.round("pe", 6).alias("pe"),
-            F.round((po - F.col("pe")) / (1 - F.col("pe")), 6).alias("kappa"),
+            # pe == 1 -> kappa undefined (0/0 is NaN in Spark, not NULL in
+            # every engine) — emit NULL explicitly in both
+            F.round(
+                F.when(F.col("pe") < 1, (po - F.col("pe")) / (1 - F.col("pe"))),
+                6,
+            ).alias("kappa"),
         )
     )

@@ -679,9 +679,10 @@ tot AS (
 ra AS (SELECT la, SUM(c) AS ca FROM cells GROUP BY la),
 rb AS (SELECT lb, SUM(c) AS cb FROM cells GROUP BY lb),
 pe AS (
-  SELECT CAST(SUM(CAST(ROUND(CAST(ca AS DOUBLE) * cb
+  -- COALESCE: disjoint rater vocabularies have zero chance agreement
+  SELECT CAST(COALESCE(SUM(CAST(ROUND(CAST(ca AS DOUBLE) * cb
                               / (CAST(n AS DOUBLE) * n), 9)
-                       AS DECIMAL(38,9))) AS DOUBLE) AS pe
+                       AS DECIMAL(38,9))), 0) AS DOUBLE) AS pe
   FROM ra JOIN rb ON ra.la = rb.lb, tot
 ),
 labels AS (
@@ -692,7 +693,9 @@ labels AS (
 SELECT n, CAST(n_labels AS BIGINT) AS n_labels,
        ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
        ROUND(pe, 6) AS pe,
-       ROUND((CAST(agree AS DOUBLE) / n - pe) / (1 - pe), 6) AS kappa
+       ROUND(CASE WHEN pe < 1
+                  THEN (CAST(agree AS DOUBLE) / n - pe) / (1 - pe) END, 6)
+         AS kappa
 FROM tot, pe, labels
 """
 
