@@ -394,3 +394,41 @@ def test_optimize_single_bin_and_empty_table(spark, tmp_path):
     assert n_bins == 1
     assert len(glob.glob(os.path.join(t._vdir(v), "*.parquet"))) == 1
     assert t.read(v).count() == 100
+
+
+def test_optimize_then_vacuum_and_constraints_survive(spark, tmp_path):
+    """optimize() interacts correctly with the rest of the table's
+    lifecycle: vacuum() after optimize drops the fragmented snapshot but
+    keeps the optimized one readable; CHECK constraints persist across
+    the optimize version (they live at table level, and the rewrite's
+    rows already passed them); a subsequent write still enforces them."""
+    import glob
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.pipeline.expectations import (
+        ExpectationsViolated,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t2"), keys=["id"])
+    t.set_check_constraints({"pos": "v >= 0"})
+    t.write(
+        spark.range(0, 500)
+        .select(F.col("id"), (F.col("id") % 97).alias("v"))
+        .repartition(8)
+    )
+    v1, n_bins = t.optimize(target_bytes=1 << 40, order_col="id")
+    assert n_bins == 1
+    # constraints persisted across the optimize commit
+    assert t.check_constraints() == {"pos": "v >= 0"}
+    # vacuum keeps only the optimized version; it still reads
+    removed = t.vacuum(keep_last=1, tmp_min_age_s=0)
+    assert 0 in removed and t.read().count() == 500
+    assert len(glob.glob(os.path.join(t._vdir(v1), "*.parquet"))) == 1
+    # and enforcement still fires on the next write
+    with pytest.raises(ExpectationsViolated):
+        t.write(spark.createDataFrame([(1, -5)], ["id", "v"]))
