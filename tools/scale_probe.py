@@ -40,6 +40,10 @@ DEFAULT_QUERIES = [
     "q_pq_knn",
     "q_kaplan_meier",
     "q_multi_touch",
+    # round-13 family representative: bucketed two-phase midranks over
+    # the distinct-value table — the rewrite that replaced the
+    # single-task global window (COVERAGE.md round-13 self-audit)
+    "q_mann_whitney",
 ]
 
 #: fact table -> integer key columns to shift per replica (PK + the FKs
