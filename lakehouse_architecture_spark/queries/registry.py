@@ -157,8 +157,9 @@ def max_safe_additions(
 
     ``last_green`` is {query: last driver-green round} for the once-green
     population; ``n_never_green_permanent`` counts entries that occupy a
-    window slot every round but never green (declared rows-only queries,
-    e.g. q_pca_whiten). New additions are assumed to green on first check
+    window slot every round but never green (declared rows-only queries —
+    none since round 14 retired q_pca_whiten, but the parameter stays for
+    any future genuinely non-SQL entry). New additions green on first check
     (the local oracle gate makes that the norm). Pure function; callers
     feed it :func:`_verification_history` / the registry size."""
     first_green = dict.fromkeys(last_green, 0)  # pre-lookback: no preemption

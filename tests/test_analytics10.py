@@ -258,3 +258,105 @@ def test_jsd_pairs_cover_all_groups(spark):
     out = jensen_shannon_pairs(_gv(spark, rows), "g", "v", n_bins=5).collect()
     assert len(out) == 6  # C(4,2)
     assert all(0.0 <= r.jsd_bits <= 1.0 for r in out)
+
+
+# --- round 14: ADVICE r13 + VERDICT #1 hardening -----------------------------------
+
+
+def test_srm_zero_traffic_arm_counted(spark):
+    """ADVICE r13: an arm in the design that got NO traffic is the most
+    extreme mismatch — it must contribute its (0-e)^2/e term and a row."""
+    rows = [("a",)] * 60 + [("b",)] * 40
+    df = spark.createDataFrame(rows, "arm string")
+    out = {r.arm: r for r in srm_check(df, "arm", {"a": 0.4, "b": 0.4, "c": 0.2}).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"].observed == 0
+    assert out["c"].expected_n == pytest.approx(20.0)
+    # chi2 = (60-40)^2/40 + (40-40)^2/40 + (0-20)^2/20 = 10 + 0 + 20
+    assert out["a"].chi2 == pytest.approx(30.0)
+
+
+def test_theil_all_excluded_still_one_row(spark):
+    """ADVICE r13: every value non-positive -> (n=0, n_excluded=N, NULL
+    stats), not an empty DataFrame."""
+    rows = [("g1", 0.0), ("g1", -1.0), ("g2", -2.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = theil_index(df, "g", "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 0 and r.n_excluded == 3
+    assert r.mean is None and r.theil_total is None
+    assert r.theil_within is None and r.theil_between is None
+
+
+def test_smd_balance_rejects_non_identifier_covariates(spark):
+    df = spark.createDataFrame([("a", 1.0)], "arm string, u double")
+    for bad in ("u-v", "u v", "u'v", "u.v", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            smd_balance(df, "arm", [bad])
+    with pytest.raises(ValueError, match="at least one"):
+        smd_balance(df, "arm", [])
+
+
+def test_mann_whitney_and_ks_exclude_nan_like_null(spark):
+    """ADVICE r13: a NaN value floors to a NULL bucket and would silently
+    vanish from the cum table post-totals; both stats must EXCLUDE NaN
+    alongside NULL so pre-join totals and joined rows stay consistent."""
+    clean = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    dirty = clean + [("a", float("nan")), ("b", float("nan")), ("a", None)]
+    dfc = spark.createDataFrame(clean, "g string, v double")
+    dfd = spark.createDataFrame(dirty, "g string, v double")
+    rc, rd = (
+        mann_whitney_u(d, "g", "v", "a", "b").collect()[0] for d in (dfc, dfd)
+    )
+    assert (rd.n_a, rd.n_b, rd.u_a, rd.cliffs_delta) == (
+        rc.n_a, rc.n_b, rc.u_a, rc.cliffs_delta
+    )
+    kc, kd = (
+        ks_2samp_exact(d, "g", "v", "a", "b").collect()[0] for d in (dfc, dfd)
+    )
+    assert (kd.n_a, kd.n_b, kd.d) == (kc.n_a, kc.n_b, kc.d)
+
+
+def test_rank_family_derived_width_spreads_tiny_range(spark):
+    """VERDICT r13 #1: a value range far below any fixed guess (here
+    [0, 1e-3)) must STILL spread across >1 bucket — the data-derived
+    width kills the silent one-bucket degeneration — while staying
+    bit-identical to the global-window definition."""
+    from lakehouse_architecture_spark.operators.profiling import (
+        _bucketed_value_prefix,
+    )
+
+    n = 64
+    per_v = spark.createDataFrame(
+        [(i * 1e-5, 1) for i in range(n)], "v double, c int"
+    )
+    out = _bucketed_value_prefix(per_v, ["c"], target_buckets=16, _keep_bucket=True)
+    rows = out.orderBy("v").collect()
+    assert [r.cum_c for r in rows] == list(range(1, n + 1))  # exact prefix
+    n_buckets = len({r["__bkt"] for r in rows})
+    assert 1 < n_buckets <= 16
+    # degenerate single distinct value: one bucket is CORRECT, not silent
+    one = spark.createDataFrame([(5.0, 3)], "v double, c int")
+    r = _bucketed_value_prefix(one, ["c"]).collect()[0]
+    assert r.cum_c == 3
+
+
+def test_two_phase_rank_derived_width_matches_window(spark):
+    """two_phase_rank(bucket_width=None) derives width in-plan; ranks must
+    stay bit-identical to the single-window form on a range (0..1e-4)
+    where the old fixed 50k default would collapse to one bucket."""
+    from pyspark.sql import Window
+
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
+    rows = [(i % 3, (i * 7 % 97) * 1e-6, i) for i in range(97)]
+    df = spark.createDataFrame(rows, "g int, v double, id int")
+    fast = two_phase_rank(df, ["g"], "v", ["id"], bucket_width=None)
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+    slow = df.withColumn("i", F.row_number().over(w).cast("bigint"))
+    assert fast.orderBy("g", "i").collect() == slow.orderBy("g", "i").collect()
+    # all-equal values: every rank still assigned, tiebreak order holds
+    eq = spark.createDataFrame([(0, 1.0, i) for i in range(10)], "g int, v double, id int")
+    got = two_phase_rank(eq, [], "v", ["id"], bucket_width=None, rank_col="r")
+    assert [r.id for r in got.orderBy("r").collect()] == list(range(10))

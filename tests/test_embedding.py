@@ -82,11 +82,12 @@ def test_pca_whiten_validates_k(spark):
 
 
 def test_pca_whiten_query_shape(spark):
-    """The declared rows-only query: one row per fixture vector, stable
-    schema, no NULL components."""
-    from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
+    """The whiten sample builder (registry-retired round 14, still
+    pytest-driven): one row per fixture vector, stable schema, no NULL
+    components."""
+    from lakehouse_architecture_spark.queries.features import _q_pca_whiten
 
-    df = ALL_QUERIES["q_pca_whiten"].build(spark, "/root/testdata/sf0.001")
+    df = _q_pca_whiten(spark, "/root/testdata/sf0.001")
     rows = df.collect()
     assert len(rows) == 500
     assert df.columns == ["vec_id", "pc1", "pc2"]

@@ -22,10 +22,8 @@ def test_entry_runs(spark):
 #: oracle_sql() for genuinely non-SQL-expressible ops. Keep this list
 #: EXPLICIT so a forgotten oracle fails the test instead of silently
 #: downgrading a query to the weaker check.
-ROWS_ONLY = {
-    "q_pca_whiten",  # eigendecomposition — no SQL oracle; numerics pinned
-    #                  by tests/test_embedding.py
-}
+ROWS_ONLY: set[str] = set()  # round 14: q_pca_whiten retired (VERDICT r13 #5)
+#: — every registry entry now carries an exact DuckDB oracle.
 
 
 def test_queries_and_oracles_aligned():

@@ -432,3 +432,150 @@ def test_optimize_then_vacuum_and_constraints_survive(spark, tmp_path):
     # and enforcement still fires on the next write
     with pytest.raises(ExpectationsViolated):
         t.write(spark.createDataFrame([(1, -5)], ["id", "v"]))
+
+
+def test_optimize_plan_tree_bounded_on_wide_manifest(spark, tmp_path):
+    """VERDICT r13 #2: the bin-assignment path must not grow the plan
+    tree with the manifest. The old form embedded a create_map literal
+    (two plan arguments per file) — at a 2k-file manifest that's 4k
+    expression-tree nodes before Catalyst even starts; 100k files is
+    plan poison. Now the assignments ride a broadcast join: the tagged
+    plan string must contain NO create_map/keys literal blob and must
+    stay essentially the same size at 16 vs ~2k manifest entries."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "wide"), keys=["id"])
+    t.write(
+        spark.range(0, 512).select(F.col("id"), (F.col("id") % 5).alias("g"))
+        .repartition(16)
+    )
+    snapshot = t.read(t.latest_version())
+
+    def plan_len(n_files: int) -> int:
+        # synthetic manifest: only the plan SHAPE is under test here
+        sizes = {f"part-{i:05d}.parquet": 1024 * (i % 7 + 1) for i in range(n_files)}
+        tagged, _ = t._bin_tagged(snapshot, sizes, "id", 4096)
+        plan = tagged._jdf.queryExecution().optimizedPlan().toString()
+        assert "create_map" not in plan
+        return len(plan)
+
+    small, wide = plan_len(16), plan_len(2048)
+    assert wide < small * 2 + 4096, (
+        f"plan grew with the manifest: {small} -> {wide} chars"
+    )
+
+
+def test_optimize_wide_real_manifest_roundtrip(spark, tmp_path):
+    """The broadcast-join path on a REAL (if modest) many-file table:
+    64 fragments -> optimize -> fingerprint-identical, bins exact."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.integrity import (
+        dataset_fingerprint,
+    )
+    from lakehouse_architecture_spark.pipeline.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "w2"), keys=["id"])
+    df = spark.range(0, 4096).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    t.write(df.repartition(64))
+    v0 = t.latest_version()
+    assert len(glob.glob(os.path.join(t._vdir(v0), "*.parquet"))) == 64
+    before = dataset_fingerprint(t.read(v0)).collect()[0]
+    sizes = sorted(
+        os.path.getsize(p) for p in glob.glob(os.path.join(t._vdir(v0), "*.parquet"))
+    )
+    v1, n_bins = t.optimize(target_bytes=sizes[0] * 9, order_col="id")
+    files = glob.glob(os.path.join(t._vdir(v1), "*.parquet"))
+    assert len(files) == n_bins and 1 < n_bins < 64
+    assert dataset_fingerprint(t.read(v1)).collect()[0] == before
+
+
+def test_compact_table_plan_driven_lifecycle(spark, tmp_path):
+    """VERDICT r13 #3: compact_table now executes the SAME compaction
+    plan as VersionedTable.optimize on a plain parquet table — bin-exact
+    file count, fingerprint-identical contents, and (with order_col)
+    per-file key ranges that stay disjoint (range-clusterable)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.integrity import (
+        dataset_fingerprint,
+    )
+    from lakehouse_architecture_spark.operators.partitioning import (
+        compaction_plan,
+    )
+
+    path = str(tmp_path / "plain")
+    df = spark.range(0, 3000).select(
+        F.col("id"), (F.col("id") % 11).alias("g"), (F.col("id") * 2).alias("x")
+    )
+    df.repartition(16).write.parquet(path)
+    frag = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(frag) == 16
+    before = dataset_fingerprint(spark.read.parquet(path)).collect()[0]
+
+    # expected bin count from the planner itself, in the SAME order the
+    # executor uses (per-file MIN of the order column)
+    rows = [
+        (
+            os.path.basename(p),
+            os.path.getsize(p),
+            spark.read.parquet(p).agg(F.min("id")).collect()[0][0],
+        )
+        for p in frag
+    ]
+    files_df = spark.createDataFrame(rows, ["file", "size_bytes", "k"])
+    target_mb = max(1, (5 * min(r[1] for r in rows)) // (1024 * 1024))
+    expected_bins = compaction_plan(
+        files_df, "size_bytes", "k", target_mb * 1024 * 1024
+    ).count()
+    n = compact_table(spark, path, target_file_mb=target_mb, order_col="id")
+    assert n == expected_bins
+    out = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(out) == n and 1 <= n < 16
+    assert dataset_fingerprint(spark.read.parquet(path)).collect()[0] == before
+
+    # with order_col: per-file id ranges disjoint -> range-clusterable
+    if n > 1:
+        ranges = []
+        for p in sorted(out):
+            r = spark.read.parquet(p).agg(
+                F.min("id").alias("lo"), F.max("id").alias("hi")
+            ).collect()[0]
+            ranges.append((r.lo, r.hi))
+        ranges.sort()
+        for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, f"overlapping key ranges: {ranges}"
+
+
+def test_compact_table_partition_subset_plan_driven(spark, tmp_path):
+    """Partition-subset compaction through the plan executor: only the
+    selected partitions rewritten, their contents identical."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "part")
+    df = spark.range(0, 400).select(
+        (F.col("id") % 2).cast("string").alias("dt"), F.col("id")
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(path)
+    before0 = set(glob.glob(os.path.join(path, "dt=0", "*.parquet")))
+    n = compact_table(
+        spark, path, target_file_mb=128, partition_col="dt", partitions=["1"]
+    )
+    assert n == 1
+    # dt=0 untouched, dt=1 rewritten to exactly one file
+    assert set(glob.glob(os.path.join(path, "dt=0", "*.parquet"))) == before0
+    p1 = glob.glob(os.path.join(path, "dt=1", "*.parquet"))
+    assert len(p1) == 1
+    got = {r.id for r in spark.read.parquet(path).filter("dt = '1'").collect()}
+    assert got == {i for i in range(400) if i % 2 == 1}

@@ -565,3 +565,27 @@ def test_round13_no_cartesian_blowups(spark):
     ):
         plan = formatted_plan(_q(spark, name))
         assert "CartesianProduct" not in plan, f"{name}: cartesian leaked"
+
+
+def test_round14_rank_family_fixture_spreads_buckets(spark):
+    """VERDICT r13 #1 'done' gate: on the REAL fixture, the data-derived
+    width must spread the rank family's distinct-value table across MORE
+    than one bucket (and at most target_buckets) — a width regression
+    that silently re-collapses everything into one bucket (reinstating
+    the single-task global window) fails here, not at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.profiling import (
+        _bucketed_value_prefix,
+    )
+    from lakehouse_architecture_spark.queries.base import tables
+
+    per_v = (
+        tables(spark, SF)["orders"]
+        .select(F.col("o_totalprice").cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = _bucketed_value_prefix(per_v, ["c"], _keep_bucket=True)
+    n_buckets = out.select("__bkt").distinct().count()
+    assert 1 < n_buckets <= 4096, f"degenerate bucket spread: {n_buckets}"

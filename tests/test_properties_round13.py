@@ -79,9 +79,9 @@ def test_mann_whitney_random_parity(spark, xs, ys):
 
     rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
     df = spark.createDataFrame(rows, "g string, v double")
-    # tiny bucket width stresses many-bucket assembly; default stresses one
-    for bw in (1.0, 1024.0):
-        r = mann_whitney_u(df, "g", "v", "a", "b", bucket_width=bw).collect()[0]
+    # few buckets stress intra-bucket assembly; many stress the offsets path
+    for tb in (2, 4096):
+        r = mann_whitney_u(df, "g", "v", "a", "b", target_buckets=tb).collect()[0]
         assert (r.n_a, r.n_b) == (len(xs), len(ys))
         assert r.u_a == _approx(round(u_a, 1))
         assert r.u_b == _approx(round(len(xs) * len(ys) - u_a, 1))
@@ -110,8 +110,8 @@ def test_ks_exact_random_parity(spark, xs, ys):
 
     rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
     df = spark.createDataFrame(rows, "g string, v double")
-    for bw in (2.0, 1024.0):
-        r = ks_2samp_exact(df, "g", "v", "a", "b", bucket_width=bw).collect()[0]
+    for tb in (2, 4096):
+        r = ks_2samp_exact(df, "g", "v", "a", "b", target_buckets=tb).collect()[0]
         assert (r.n_a, r.n_b) == (len(xs), len(ys))
         assert r.d == _approx(round(d, 6))
 

@@ -61,7 +61,7 @@ QUERIES = [
     # shows up as a PLANS.md diff, not just a bench drift
     "q_emb_cov",
     "q_corr_matrix",
-    "q_pca_whiten",
+    # q_pca_whiten retired from the registry (round 14, VERDICT r13 #5)
     "q_whiten_invariants",
     # round 11: the new bench-tracked OPH signature path plus the closure
     # family's representative — their shapes (one shingle aggregate feeding
