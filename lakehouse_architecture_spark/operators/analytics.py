@@ -861,3 +861,282 @@ def cohens_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    positive: str,
+) -> DataFrame:
+    """McNemar's χ² (McNemar 1947) for two PAIRED binary labelers — the
+    marginal-homogeneity companion of :func:`cohens_kappa` (κ asks "do
+    they agree?"; McNemar asks "does one labeler fire systematically more
+    than the other?" — exactly the question when swapping a heuristic
+    labeler for a model labeler): χ² = (b − c)² / (b + c) over the two
+    DISCORDANT cells b = a-pos/b-neg, c = a-neg/b-pos.
+
+    One hash aggregate (4 conditional sums); NULL-labeled rows excluded
+    on BOTH raters so the pair set is well-defined. Returns one row:
+    (n, b, c, chi2) — chi2 NULL when b + c = 0 (no discordant pairs).
+    """
+    pa = F.col(rater_a_col) == positive
+    pb = F.col(rater_b_col) == positive
+    agg = (
+        df.filter(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(pa & ~pb, 1).otherwise(0)).cast("long").alias("b"),
+            F.sum(F.when(~pa & pb, 1).otherwise(0)).cast("long").alias("c"),
+        )
+    )
+    num = (F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
+    den = (F.col("b") + F.col("c")).cast("double")
+    return agg.select(
+        "n",
+        "b",
+        "c",
+        F.round(F.when(den > 0, num / den), 6).alias("chi2"),
+    )
+
+
+def matthews_corr(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    positive: str,
+) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975) between two
+    binary labelers, treating rater a as truth and rater b as prediction:
+    MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
+    balanced single-number agreement score that, unlike accuracy, does
+    not saturate on skewed label distributions (the normal state of
+    quality-filter labels).
+
+    One hash aggregate (4 conditional sums); every product is computed in
+    double (the bigint product of four ~n/2 counts overflows 2^63 well
+    before 100 TB row counts). Returns one row: (n, tp, fp, fn, tn, mcc)
+    — mcc NULL when any marginal is 0 (undefined 0/0).
+    """
+    pa = F.col(rater_a_col) == positive
+    pb = F.col(rater_b_col) == positive
+    agg = (
+        df.filter(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(pa & pb, 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(~pa & pb, 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(pa & ~pb, 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(~pa & ~pb, 1).otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = F.sqrt(
+        (d("tp") + d("fp"))
+        * (d("tp") + d("fn"))
+        * (d("tn") + d("fp"))
+        * (d("tn") + d("fn"))
+    )
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.when(den > 0, (d("tp") * d("tn") - d("fp") * d("fn")) / den), 6
+        ).alias("mcc"),
+    )
+
+
+def gwet_ac1(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Gwet's AC1 agreement coefficient (Gwet 2008) — the
+    prevalence-robust alternative to :func:`cohens_kappa`: κ collapses
+    toward 0 when one label dominates (the "kappa paradox", endemic to
+    quality-filter labels where 95 %+ of documents pass); AC1's chance
+    term e_γ = Σ_q π_q(1 − π_q) / (Q − 1) with π_q the MEAN of the two
+    raters' marginal shares stays calibrated there.
+    AC1 = (p_o − e_γ) / (1 − e_γ).
+
+    One hash aggregate to the |labels|² confusion table; marginals and
+    the algebra on that broadcastable derivative, each π term rounded to
+    9 dp and decimal-summed. Returns one row: (n, n_labels, po, pe_gamma,
+    ac1) — ac1 NULL when e_γ = 1 (degenerate single-label data).
+    """
+    cells = (
+        df.filter(
+            F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+        )
+        .groupBy(
+            F.col(rater_a_col).alias("la"), F.col(rater_b_col).alias("lb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0)
+        ).alias("agree"),
+    )
+    # label universe = union of both raters' vocabularies; a label one
+    # rater never uses still enters e_gamma with that rater's share 0
+    ra = cells.groupBy(F.col("la").alias("l")).agg(F.sum("c").alias("ca"))
+    rb = cells.groupBy(F.col("lb").alias("l")).agg(F.sum("c").alias("cb"))
+    marg = (
+        ra.join(rb, "l", "full")
+        .select(
+            "l",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pi = (F.col("ca") + F.col("cb")).cast("double") / (2 * F.col("n"))
+    terms = marg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum(F.round(pi * (1 - pi), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("s"),
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    peg = F.when(
+        F.col("n_labels") > 1, F.col("s") / (F.col("n_labels") - 1)
+    ).otherwise(F.lit(0.0))
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            "n",
+            "n_labels",
+            F.round(po, 6).alias("po"),
+            F.round(peg, 6).alias("pe_gamma"),
+            F.round(F.when(peg < 1, (po - peg) / (1 - peg)), 6).alias("ac1"),
+        )
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+    margin_frac: float = 0.01,
+) -> DataFrame:
+    """TOST equivalence readout (two one-sided tests, Schuirmann 1987) —
+    the A/A-test companion of the Welch readout: instead of failing to
+    reject "no difference" (which any underpowered test does), TOST
+    REJECTS non-equivalence when both one-sided t statistics clear the
+    5 % normal critical value 1.645. The margin is ±``margin_frac`` of
+    the pooled mean (an absolute margin would not transfer across
+    metrics).
+
+    ONE moment aggregate (Welch algebra on decimal-exact sums):
+    t_lower = (diff + δ)/se, t_upper = (diff − δ)/se. Returns one row:
+    (n_a, n_b, diff, margin, se, t_lower, t_upper, equivalent) —
+    equivalent true iff t_lower > 1.645 AND t_upper < −1.645.
+    """
+    x = F.col(value_col).cast("double")
+    in_a = F.col(arm_col) == arm_a
+    in_b = F.col(arm_col) == arm_b
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+
+    def side(cond, tag):
+        xa = F.when(cond, x)
+        return [
+            F.count(xa).cast("long").alias(f"n_{tag}"),
+            F.sum(d(xa)).cast("double").alias(f"s_{tag}"),
+            F.sum(d(xa * xa)).cast("double").alias(f"q_{tag}"),
+        ]
+
+    agg = df.agg(*side(in_a, "a"), *side(in_b, "b"))
+    mean = lambda t: F.col(f"s_{t}") / F.col(f"n_{t}")  # noqa: E731
+    var = lambda t: (  # noqa: E731
+        F.col(f"q_{t}") - F.col(f"s_{t}") * F.col(f"s_{t}") / F.col(f"n_{t}")
+    ) / (F.col(f"n_{t}") - 1)
+    diff = mean("a") - mean("b")
+    pooled_mean = (F.col("s_a") + F.col("s_b")) / (F.col("n_a") + F.col("n_b"))
+    margin = F.abs(pooled_mean) * F.lit(float(margin_frac))
+    se = F.sqrt(var("a") / F.col("n_a") + var("b") / F.col("n_b"))
+    t_lo = (diff + margin) / se
+    t_hi = (diff - margin) / se
+    crit = F.lit(1.645)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(diff, 6).alias("diff"),
+        F.round(margin, 6).alias("margin"),
+        F.round(se, 6).alias("se"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        # int, not boolean: engines stringify booleans differently in the
+        # oracle canonicalization (True vs 0/1)
+        ((F.round(t_lo, 6) > crit) & (F.round(t_hi, 6) < -crit))
+        .cast("int")
+        .alias("equivalent"),
+    )
+
+
+def power_mde(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    arm_a: str,
+    arm_b: str,
+    target_mde_frac: float = 0.01,
+) -> DataFrame:
+    """Experiment power pre-flight: given the split's realized per-arm
+    variance, the minimum detectable effect at the CURRENT sample size
+    and the per-arm n needed for a target relative effect — the third
+    leg of the pre-flight triad next to :func:`smd_balance` /
+    :func:`srm_check` (balance can be perfect and the ratio exact while
+    the test is still hopelessly underpowered). Standard 80 % power /
+    5 % two-sided normal approximation: z_{α/2} + z_β = 1.96 + 0.8416 =
+    2.8016; MDE = 2.8016·SE; n_per_arm = 2·s²_pooled·(2.8016/δ)².
+
+    ONE moment aggregate (same Welch algebra as :func:`tost_equivalence`).
+    Returns one row: (n_a, n_b, mean, sd_pooled, mde_abs, mde_rel,
+    n_per_arm_target).
+    """
+    x = F.col(value_col).cast("double")
+    in_a = F.col(arm_col) == arm_a
+    in_b = F.col(arm_col) == arm_b
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+
+    def side(cond, tag):
+        xa = F.when(cond, x)
+        return [
+            F.count(xa).cast("long").alias(f"n_{tag}"),
+            F.sum(d(xa)).cast("double").alias(f"s_{tag}"),
+            F.sum(d(xa * xa)).cast("double").alias(f"q_{tag}"),
+        ]
+
+    agg = df.agg(*side(in_a, "a"), *side(in_b, "b"))
+    var = lambda t: (  # noqa: E731
+        F.col(f"q_{t}") - F.col(f"s_{t}") * F.col(f"s_{t}") / F.col(f"n_{t}")
+    ) / (F.col(f"n_{t}") - 1)
+    z = F.lit(2.8016)
+    pooled_mean = (F.col("s_a") + F.col("s_b")) / (F.col("n_a") + F.col("n_b"))
+    s2 = (var("a") + var("b")) / 2
+    se = F.sqrt(var("a") / F.col("n_a") + var("b") / F.col("n_b"))
+    mde_abs = z * se
+    delta = F.abs(pooled_mean) * F.lit(float(target_mde_frac))
+    n_target = F.ceil(2 * s2 * (z / delta) * (z / delta)).cast("long")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(pooled_mean, 6).alias("mean"),
+        F.round(F.sqrt(s2), 6).alias("sd_pooled"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(
+            F.when(F.abs(pooled_mean) > 0, mde_abs / F.abs(pooled_mean)), 6
+        ).alias("mde_rel"),
+        F.when(delta > 0, n_target).alias("n_per_arm_target"),
+    )

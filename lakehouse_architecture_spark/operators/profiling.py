@@ -1206,3 +1206,190 @@ def jensen_shannon_pairs(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    target_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance between two
+    groups — the integral companion of :func:`ks_2samp_exact` (KS is the
+    SUP of the ECDF gap; W₁ is its integral, so it sees the whole shape
+    difference, not just the worst point):
+    W₁ = Σ over consecutive distinct values v_i < v_{i+1} of
+    |F̂_a(v_i) − F̂_b(v_i)| · (v_{i+1} − v_i).
+
+    SCALE SHAPE: one hash-agg to the (value, count_a, count_b) distinct
+    table, running ECDFs through the BUCKETED two-phase prefix
+    (:func:`_bucketed_value_prefix`, data-derived width) — and the
+    successor value v_{i+1} is ALSO bucket-local: lead(v) inside the
+    bucket, with the last row of each bucket handed the next non-empty
+    bucket's MIN(v) via a broadcast of the |buckets|-row boundary table.
+    No global ordered window anywhere. Each ECDF step is rounded to 9 dp
+    (psi_drift discipline), each segment term to 9 dp before its decimal
+    fold. Returns one row: (n_a, n_b, w1). NaN excluded like NULL.
+    """
+    lab = F.when(F.col(group_col) == group_a, "a").when(
+        F.col(group_col) == group_b, "b"
+    )
+    per_v = (
+        df.select(lab.alias("g"), F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("g").isNotNull() & F.col("v").isNotNull() & ~F.isnan("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    steps = _bucketed_value_prefix(
+        per_v, ["ca", "cb"], target_buckets, _keep_bucket=True
+    )
+    # successor value: intra-bucket lead, bucket-boundary handoff from the
+    # broadcastable |buckets|-row (bucket -> min v) table
+    wnext = Window.partitionBy("__bkt").orderBy("v")
+    bmin = steps.groupBy("__bkt").agg(F.min("v").alias("bv"))
+    wb = Window.orderBy("__bkt")  # |buckets| rows — bounded by construction
+    nxt = bmin.select(
+        F.col("__bkt").alias("__nbkt"),
+        F.lead("bv").over(wb).alias("__next_bucket_v"),
+    )
+    seg = (
+        steps.withColumn("__v_in", F.lead("v").over(wnext))
+        .join(F.broadcast(nxt), F.col("__bkt") == F.col("__nbkt"))
+        .withColumn("__v_next", F.coalesce("__v_in", "__next_bucket_v"))
+        .crossJoin(F.broadcast(tot))
+    )
+    gap = F.abs(
+        F.round(F.col("cum_ca").cast("double") / F.col("n_a"), 9)
+        - F.round(F.col("cum_cb").cast("double") / F.col("n_b"), 9)
+    )
+    term = F.round(gap * (F.col("__v_next") - F.col("v")), 9).cast(
+        "decimal(38,9)"
+    )
+    return seg.groupBy("n_a", "n_b").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("w1")
+    )
+
+
+def hill_tail_exponent(
+    df: DataFrame,
+    value_col: str,
+    xmin: float,
+) -> DataFrame:
+    """Hill (1975) MLE of a power-law tail exponent over the values above
+    a FIXED threshold ``xmin``: α̂ = 1 + k / Σ ln(xᵢ/xmin) — the standard
+    heavy-tail estimator for spend / document-length / degree
+    distributions (a Zipf-profile companion that yields one calibrated
+    number instead of a curve).
+
+    One filtered moment aggregate: each ln term rounded to 9 dp and
+    decimal-summed so both engines fold identically. ``xmin`` is a caller
+    literal (data-derived thresholds would make the estimate
+    non-reproducible across samples — callers pick the tail they mean).
+    Returns one row: (k, xmin, alpha) — alpha NULL when the tail is
+    empty or the log-sum is 0 (all values == xmin).
+    """
+    if xmin <= 0:
+        raise ValueError(f"xmin must be positive: {xmin}")
+    x = F.col(value_col).cast("double")
+    tail = df.filter(x > xmin).select(
+        F.round(F.log(x / F.lit(float(xmin))), 9)
+        .cast("decimal(38,9)")
+        .alias("t")
+    )
+    agg = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("t").cast("double").alias("s"),
+    )
+    return agg.select(
+        "k",
+        F.lit(float(xmin)).alias("xmin"),
+        F.round(
+            F.when(F.col("s") > 0, 1 + F.col("k") / F.col("s")), 6
+        ).alias("alpha"),
+    )
+
+
+def bhattacharyya_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Pairwise Bhattacharyya coefficient and distance (Bhattacharyya
+    1943) between every pair of groups over an equi-width binning —
+    :func:`jensen_shannon_pairs`' geometric-mean companion (BC measures
+    distribution OVERLAP: 1 = identical, 0 = disjoint; D_B = −ln BC):
+    BC(p,q) = Σ_i √(p_i·q_i).
+
+    Identical scale shape to JSD: one global (min, max) 1-row agg, one
+    hash-agg to (group, bin) shares, densified to the groups × bins grid,
+    bin-equijoined pairwise (group_a < group_b). Each √(p·q) term is
+    rounded to 9 dp and decimal-summed. Returns (group_a, group_b,
+    bc, d_b) per pair; d_b NULL when BC rounds to 0 (disjoint supports).
+    """
+    v = F.col(value_col).cast("double")
+    vals = df.select(F.col(group_col).alias("g"), v.alias("v")).filter(
+        F.col("g").isNotNull() & F.col("v").isNotNull()
+    )
+    scal = materialize_small(
+        vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    binned = vals.crossJoin(F.broadcast(scal)).select(
+        "g",
+        F.when(F.col("hi") == F.col("lo"), 0)
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * n_bins
+                ).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("g").agg(F.sum("c").alias("n_g"))
+    shares = materialize_small(
+        counts.join(tot, "g").select(
+            "g", "bin", (F.col("c").cast("double") / F.col("n_g")).alias("p")
+        )
+    )
+    dense = (
+        shares.select("g").distinct()
+        .crossJoin(shares.select("bin").distinct())
+        .join(shares, ["g", "bin"], "left")
+        .select("g", "bin", F.coalesce("p", F.lit(0.0)).alias("p"))
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    pair = a.join(b, "bin").filter(F.col("a.g") < F.col("b.g"))
+    term = F.round(F.sqrt(F.col("a.p") * F.col("b.p")), 9).cast(
+        "decimal(38,9)"
+    )
+    return (
+        pair.select(
+            F.col("a.g").alias("group_a"),
+            F.col("b.g").alias("group_b"),
+            term.alias("t"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.round(F.sum("t").cast("double"), 6).alias("bc"),
+            F.round(
+                F.when(
+                    F.sum("t") > 0, -F.log(F.sum("t").cast("double"))
+                ),
+                6,
+            ).alias("d_b"),
+        )
+        .orderBy("group_a", "group_b")
+    )

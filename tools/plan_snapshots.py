@@ -119,6 +119,20 @@ QUERIES = [
     "q_theil_index",
     "q_lorenz",
     "q_cohens_kappa",
+    # round-14 block: distribution distances, labeler QA beyond kappa,
+    # experiment power legs, tail/vocabulary calibration — same
+    # bounded-derivative discipline; q_wasserstein adds the bucket-local
+    # successor handoff to the rank family's shape
+    "q_wasserstein",
+    "q_ks_pvalue",
+    "q_gwet_ac1",
+    "q_bhattacharyya",
+    "q_chao1",
+    "q_log_odds",
+    "q_tost",
+    "q_power_mde",
+    "q_hill_tail",
+    "q_ewma_daily",
 ]
 
 HEADER = """# Headline query plans (generated — do not hand-edit)
