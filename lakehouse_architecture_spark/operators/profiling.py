@@ -884,6 +884,16 @@ def _bucketed_value_prefix(
     pre-join totals."""
     if target_buckets < 2:
         raise ValueError(f"target_buckets must be >= 2: {target_buckets}")
+    # pin the collapsed table ONCE (round 14): this subtree is referenced
+    # by the width stats, the offsets aggregate, and the main join (plus
+    # successor lookups in wasserstein_1d) — without the persist each
+    # reference re-runs the full corpus aggregation feeding it (the
+    # round-6 scan-audit failure class; measured 18 live fact scans in
+    # q_wasserstein's plan). The cached relation is distinct-value
+    # cardinality — the same volume the aggregation already shuffles —
+    # MEMORY_AND_DISK with lineage retained, so it spills rather than
+    # OOMs and recomputes per-partition on executor loss.
+    per_v = materialize_small(per_v)
     stats = materialize_small(
         per_v.agg(F.min("v").alias("__vlo"), F.max("v").alias("__vhi"))
     )
@@ -1274,7 +1284,11 @@ def wasserstein_1d(
         "decimal(38,9)"
     )
     return seg.groupBy("n_a", "n_b").agg(
-        F.round(F.sum(term).cast("double"), 6).alias("w1")
+        # coalesce: a single distinct value has no successor segment —
+        # the distance is genuinely 0, not NULL
+        F.round(F.coalesce(F.sum(term), F.lit(0)).cast("double"), 6).alias(
+            "w1"
+        )
     )
 
 

@@ -160,10 +160,10 @@ steps AS (
   FROM per_v
 )
 SELECT n_a, n_b,
-       ROUND(CAST(SUM(CAST(ROUND(
+       ROUND(CAST(COALESCE(SUM(CAST(ROUND(
          ABS(ROUND(CAST(cum_a AS DOUBLE) / n_a, 9)
              - ROUND(CAST(cum_b AS DOUBLE) / n_b, 9)) * (v_next - v), 9)
-         AS DECIMAL(38,9))) AS DOUBLE), 6) AS w1
+         AS DECIMAL(38,9))), 0) AS DOUBLE), 6) AS w1
 FROM steps, tot GROUP BY n_a, n_b
 """
 

@@ -44,6 +44,9 @@ DEFAULT_QUERIES = [
     # the distinct-value table — the rewrite that replaced the
     # single-task global window (COVERAGE.md round-13 self-audit)
     "q_mann_whitney",
+    # round-14 family representative: the W1 integral adds the
+    # bucket-local successor handoff and the pinned collapsed table
+    "q_wasserstein",
 ]
 
 #: fact table -> integer key columns to shift per replica (PK + the FKs
