@@ -96,6 +96,21 @@ def zorder_cluster(
     before this scaling was added. NULLs land in cell 0 (they cluster
     together at the low end). Scaling changes only the LAYOUT, never row
     values; constant columns scale to 0."""
+    z = scaled_zorder_expr(df, zorder_cols, bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def scaled_zorder_expr(df: DataFrame, zorder_cols: list[str], bits: int = 16):
+    """Min-max-scaled Morton (Z-order) key expression over ``zorder_cols``
+    — the scaling half of :func:`zorder_cluster`, shared with
+    ``VersionedTable.optimize(zorder_by=...)`` (round 14) so the two
+    clustering recipes cannot drift. One driver-side 1-row stats fetch
+    (the grid bounds must be plan constants)."""
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in zorder_cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in zorder_cols],
@@ -118,13 +133,7 @@ def zorder_cluster(
                 F.lit(0),
             ).cast("bigint")
         )
-    z = zorder_value(scaled, bits)
-    return (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-    )
+    return zorder_value(scaled, bits)
 
 
 def zordered_write(
@@ -186,8 +195,19 @@ def compaction_assignments(
     drive the actual rewrite). Returns the input rows plus a ``bin``
     column: bin = (cumulative size − own size) div target, in
     ``order_col`` order. Integer ``div``, never a double divide —
-    lakehouse byte cumsums exceed 2^53."""
-    w = Window.orderBy(F.col(order_col).asc())
+    lakehouse byte cumsums exceed 2^53.
+
+    ROWS frame, not the default RANGE (round 14): with TIED order keys —
+    routine when the key is a per-file MIN of a clustered column — the
+    RANGE frame's cumulative sum includes every peer, so all tied files
+    computed the same (total-of-ties) prior and collapsed into ONE bin
+    regardless of target size. Ties order arbitrarily within a run
+    (callers wanting reproducible layouts compose a unique tiebreak into
+    ``order_col``, as VersionedTable._bin_tagged does with the file
+    name); unique keys are unaffected (ROWS == RANGE)."""
+    w = Window.orderBy(F.col(order_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     cum = F.sum(F.col(size_col)).over(w)
     return files.withColumn("__prior", cum - F.col(size_col)).withColumn(
         "bin", F.expr(f"__prior div {int(target_bytes)}")

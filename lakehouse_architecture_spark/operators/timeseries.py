@@ -892,7 +892,11 @@ def ewma_daily(
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1): {alpha}")
     daily = (
-        df.groupBy(F.to_date(ts_col).alias("day"))
+        # NULL timestamps are excluded up front: a NULL day would sort
+        # NULLS FIRST in Spark and NULLS LAST in other engines, silently
+        # shifting every day index (and so every decay weight) by one
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
         .agg(
             F.sum(F.col(value_col).cast("decimal(38,6)"))
             .cast("double")

@@ -59,6 +59,13 @@ def plan_tagged_bins(
         files_df = sizes_df.join(firsts, "file")
     else:
         files_df = sizes_df.withColumn("__order", F.col("file"))
+    # unique, reproducible planner order: per-file MIN keys tie routinely
+    # (round 14: every round-robin-written fragment of a clustered table
+    # shares the same min z), and a tied order makes the bin layout
+    # run-dependent — the file name breaks every tie deterministically
+    files_df = files_df.withColumn(
+        "__order", F.struct(F.col("__order"), F.col("file"))
+    )
     assigns = compaction_assignments(
         files_df, "size_bytes", "__order", target_bytes
     ).select(
@@ -650,6 +657,8 @@ class VersionedTable:
         self,
         target_bytes: int = 128 * 1024 * 1024,
         order_col: str | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> tuple[int, int]:
         """Plan-DRIVEN OPTIMIZE (round 13, VERDICT r12 #3): run
         operators/partitioning.compaction_assignments over the latest
@@ -692,14 +701,44 @@ class VersionedTable:
         }
         if not sizes:
             raise FileNotFoundError(f"{self.path}: v{latest} has no data files")
+        if order_col is not None and zorder_by is not None:
+            raise ValueError("pass order_col OR zorder_by, not both")
         snapshot = self.read(latest)
-        tagged, n_bins = self._bin_tagged(
-            snapshot, sizes, order_col, target_bytes
-        )
         cols = snapshot.columns
+        if zorder_by is not None:
+            # round 14: Z-ORDER OPTIMIZE. Unlike the order_col path — a
+            # file-PRESERVING merge that can only keep clustering the
+            # files already have — Z-ordering fragments that were written
+            # round-robin requires a global re-cluster, so this branch is
+            # a one-shuffle REWRITE (exactly Delta's OPTIMIZE ZORDER
+            # semantics): the byte plan sizes the output file count, then
+            # zorder_cluster range-partitions + sorts on the min-max-
+            # scaled Morton key (the same recipe compact(zorder_by=...)
+            # uses, so the two cannot drift). Every output file's z-range
+            # is disjoint — row-group min/max stay tight on EVERY
+            # clustered column at once; the key never reaches the parquet
+            # bytes.
+            import math
 
-        def stage(tmp: str) -> None:
-            write_bins_flat(tagged, cols, tmp)
+            from lakehouse_architecture_spark.operators.partitioning import (
+                zorder_cluster,
+            )
+
+            n_bins = max(1, math.ceil(sum(sizes.values()) / target_bytes))
+            clustered = zorder_cluster(
+                snapshot, list(zorder_by), n_bins, zorder_bits
+            )
+
+            def stage(tmp: str) -> None:
+                clustered.select(*cols).write.mode("overwrite").parquet(tmp)
+
+        else:
+            tagged, n_bins = self._bin_tagged(
+                snapshot, sizes, order_col, target_bytes
+            )
+
+            def stage(tmp: str) -> None:
+                write_bins_flat(tagged, cols, tmp)
 
         v = self._commit(snapshot, latest + 1, stage=stage)
         return v, n_bins

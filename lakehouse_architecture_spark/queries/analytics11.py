@@ -519,10 +519,13 @@ _Q_TOST_SQL = f"""
 WITH armed AS ({_ARMED_SQL}),
 m AS (
   SELECT
-    CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS n_a,
+    -- COUNT(CASE ... THEN x END): count NON-NULL x per arm, exactly the
+    -- Spark builder's count(when(cond, x)) — a bare THEN 1 would also
+    -- count rows whose metric is NULL (ADVICE-r13 parity class)
+    CAST(COUNT(CASE WHEN arm = 'a' THEN x END) AS BIGINT) AS n_a,
     CAST(SUM(CASE WHEN arm = 'a' THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS s_a,
     CAST(SUM(CASE WHEN arm = 'a' THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS q_a,
-    CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS n_b,
+    CAST(COUNT(CASE WHEN arm = 'b' THEN x END) AS BIGINT) AS n_b,
     CAST(SUM(CASE WHEN arm = 'b' THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS s_b,
     CAST(SUM(CASE WHEN arm = 'b' THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS q_b
   FROM armed
@@ -564,10 +567,13 @@ _Q_POWER_SQL = f"""
 WITH armed AS ({_ARMED_SQL}),
 m AS (
   SELECT
-    CAST(COUNT(CASE WHEN arm = 'a' THEN 1 END) AS BIGINT) AS n_a,
+    -- COUNT(CASE ... THEN x END): count NON-NULL x per arm, exactly the
+    -- Spark builder's count(when(cond, x)) — a bare THEN 1 would also
+    -- count rows whose metric is NULL (ADVICE-r13 parity class)
+    CAST(COUNT(CASE WHEN arm = 'a' THEN x END) AS BIGINT) AS n_a,
     CAST(SUM(CASE WHEN arm = 'a' THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS s_a,
     CAST(SUM(CASE WHEN arm = 'a' THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS q_a,
-    CAST(COUNT(CASE WHEN arm = 'b' THEN 1 END) AS BIGINT) AS n_b,
+    CAST(COUNT(CASE WHEN arm = 'b' THEN x END) AS BIGINT) AS n_b,
     CAST(SUM(CASE WHEN arm = 'b' THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS s_b,
     CAST(SUM(CASE WHEN arm = 'b' THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS q_b
   FROM armed
@@ -648,7 +654,7 @@ _Q_EWMA_SQL = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
 pairs AS (
