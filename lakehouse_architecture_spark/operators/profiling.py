@@ -1285,10 +1285,19 @@ def wasserstein_1d(
     )
     return seg.groupBy("n_a", "n_b").agg(
         # coalesce: a single distinct value has no successor segment —
-        # the distance is genuinely 0, not NULL
-        F.round(F.coalesce(F.sum(term), F.lit(0)).cast("double"), 6).alias(
-            "w1"
-        )
+        # the distance is genuinely 0, not NULL. Gated on BOTH groups
+        # being non-empty (round 15, ADVICE r14): with n_a or n_b = 0
+        # every ECDF gap is NULL (divide by zero) and the old
+        # unconditional coalesce reported w1 = 0 — "distributions
+        # identical" — for a nonexistent group; NULL matches
+        # ks_2samp_exact's d in the same case.
+        F.round(
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.coalesce(F.sum(term), F.lit(0)),
+            ).cast("double"),
+            6,
+        ).alias("w1")
     )
 
 

@@ -123,7 +123,15 @@ def two_phase_rank(
     bit-identical ranks, so an explicit width (domain-tuned callers)
     remains supported and equivalent.
     """
-    base = df.filter(F.col(value_col).isNotNull())
+    # NaN excluded alongside NULL (round 15, ADVICE r14, matching the
+    # mann_whitney/ks/wasserstein entry points of the same bucketed
+    # family): a NaN value makes max(v) = NaN, hence NaN width and a NULL
+    # bucket for every row — silently corrupting ranks instead of
+    # dropping the one unrankable value
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     if bucket_width is None:
         if target_buckets < 2:
             raise ValueError(f"target_buckets must be >= 2: {target_buckets}")

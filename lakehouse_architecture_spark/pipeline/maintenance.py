@@ -61,12 +61,22 @@ def compact_table(
     def rewrite(src_dir: str, staging_dir: str) -> int:
         """Plan + execute one directory's compaction into staging_dir;
         returns the bin (== output file) count."""
-        sizes = {
-            os.path.basename(f): os.path.getsize(f)
-            for f in glob.glob(
-                os.path.join(src_dir, "**", "*.parquet"), recursive=True
-            )
-        }
+        # basenames are the bin-join key (plan_tagged_bins): two files in
+        # different subdirectories sharing a basename would silently
+        # collapse into ONE size entry and corrupt the plan — refuse loudly
+        # (round 15, ADVICE r14)
+        sizes: dict[str, int] = {}
+        for f in glob.glob(
+            os.path.join(src_dir, "**", "*.parquet"), recursive=True
+        ):
+            b = os.path.basename(f)
+            if b in sizes:
+                raise ValueError(
+                    f"compact_table: duplicate data-file basename {b!r} "
+                    f"under {src_dir} — nested layouts with colliding "
+                    "names cannot be planned by basename"
+                )
+            sizes[b] = os.path.getsize(f)
         df = spark.read.parquet(src_dir)
         tagged, n_bins = plan_tagged_bins(
             spark, df, sizes, order_col, target_file_mb * 1024 * 1024

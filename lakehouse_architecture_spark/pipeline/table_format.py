@@ -37,15 +37,32 @@ def plan_tagged_bins(
     a per-file literal map (a 100k-file manifest would otherwise put 200k
     arguments into the expression tree), and the per-file MIN(order_col)
     stays in-plan. The only driver fetch is the scalar bin count
-    (``repartition`` needs an int)."""
+    (``repartition`` needs an int).
+
+    The join key is the URI-ENCODED basename: ``input_file_name()``
+    returns a percent-encoded ``file:`` URI, so ``sizes`` keys (plain
+    ``os.path.basename`` names) are quoted to match — a space/%/non-ASCII
+    file name (externally-written parquet is allowed to have one) would
+    otherwise never match. And because OPTIMIZE/compact are DESTRUCTIVE
+    rewrites, the row join is a LEFT join with an in-plan fail-fast: any
+    snapshot row whose file has no size entry raises instead of being
+    silently dropped from the rewritten table (round 15, ADVICE r14)."""
+    from urllib.parse import quote
+
     from lakehouse_architecture_spark.materialize import materialize_small
     from lakehouse_architecture_spark.operators.partitioning import (
         compaction_assignments,
     )
 
     base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    # quote() with the URI path charset Hadoop's Path.toUri leaves bare,
+    # so Spark-side encoded basenames equal the quoted manifest keys
     sizes_df = spark.createDataFrame(
-        sorted(sizes.items()), ["file", "size_bytes"]
+        sorted(
+            (quote(name, safe="!$&'()*+,;=:@~"), sz)
+            for name, sz in sizes.items()
+        ),
+        ["file", "size_bytes"],
     )
     if order_col is not None:
         # per-file MIN of the sort key, computed IN-PLAN (one
@@ -78,7 +95,27 @@ def plan_tagged_bins(
     n_bins = int(assigns.agg(F.countDistinct("__bin")).collect()[0][0])
     tagged = (
         snapshot.withColumn("__opt_file", base)
-        .join(F.broadcast(assigns), "__opt_file")
+        .join(F.broadcast(assigns), "__opt_file", "left")
+        .withColumn(
+            # fail-fast (round 15, ADVICE r14): an unmatched row means the
+            # manifest is missing this row's file (encoding mismatch,
+            # stale glob) — with the previous inner join such rows were
+            # SILENTLY DROPPED from a destructive rewrite
+            "__bin",
+            F.coalesce(
+                F.col("__bin"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "plan_tagged_bins: snapshot row has no bin "
+                            "assignment — file '"
+                        ),
+                        F.col("__opt_file"),
+                        F.lit("' is missing from the size manifest"),
+                    )
+                ).cast("long"),
+            ),
+        )
         .drop("__opt_file")
         .repartition(max(n_bins, 1), F.col("__bin"))
     )

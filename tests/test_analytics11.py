@@ -275,3 +275,18 @@ def test_ks_pvalue_kolmogorov_series_reference(spark):
         for k in range(1, 101)
     )
     assert q == pytest.approx(0.27, abs=5e-4)
+
+
+def test_wasserstein_empty_group_is_null_not_zero(spark):
+    """ADVICE r14 (round 15): with one group empty, every ECDF gap is
+    NULL (divide by zero) and the old unconditional coalesce reported
+    w1 = 0 — 'distributions identical' — for a NONEXISTENT group. Now
+    NULL, matching ks_2samp_exact's d in the same case."""
+    from lakehouse_architecture_spark.operators.profiling import ks_2samp_exact
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 0)
+    assert r.w1 is None
+    k = ks_2samp_exact(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert k.d is None  # the sibling operator's existing contract

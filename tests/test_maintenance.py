@@ -640,3 +640,66 @@ def test_optimize_zorder_clusters_both_columns(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in by_file)
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2, f"overlapping z ranges: {spans}"
+
+
+def test_compact_table_survives_space_in_file_name(spark, tmp_path):
+    """ADVICE r14 (round 15): input_file_name() returns a percent-encoded
+    URI, so an externally-written data file with a space in its name used
+    to never match the os.path-derived manifest key and its rows were
+    SILENTLY DROPPED by the inner bin join. The manifest keys are now
+    URI-quoted to match — the rewrite must keep every row."""
+    import shutil
+
+    path = str(tmp_path / "spacey")
+    spark.range(0, 200).selectExpr("id", "id * 2 as x").repartition(4).write.parquet(
+        path
+    )
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    renamed = os.path.join(path, "part with space %odd.parquet")
+    shutil.move(files[0], renamed)
+    n = compact_table(spark, path, target_file_mb=128, order_col="id")
+    assert n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert back.agg(F.sum("x")).collect()[0][0] == sum(2 * i for i in range(200))
+
+
+def test_compact_table_rejects_duplicate_basenames(spark, tmp_path):
+    """ADVICE r14 (round 15): two files in different subdirectories with
+    the same basename collapse into ONE size-manifest entry — the planner
+    must refuse loudly instead of planning a corrupt layout."""
+    import shutil
+
+    import pytest
+
+    path = str(tmp_path / "dup")
+    spark.createDataFrame(
+        [(0, "a"), (1, "b")], "id int, dt string"
+    ).write.partitionBy("dt").parquet(path)
+    a_files = glob.glob(os.path.join(path, "dt=a", "*.parquet"))
+    b_dir = os.path.join(path, "dt=b")
+    # force a basename collision across partition dirs
+    shutil.copy(a_files[0], os.path.join(b_dir, os.path.basename(a_files[0])))
+    with pytest.raises(ValueError, match="duplicate data-file basename"):
+        compact_table(spark, path, target_file_mb=128)
+
+
+def test_plan_tagged_bins_fails_fast_on_missing_manifest_entry(spark, tmp_path):
+    """ADVICE r14 (round 15): a snapshot row whose file has no size entry
+    must raise at execution — the previous inner join silently dropped it
+    from a DESTRUCTIVE rewrite."""
+    import pytest
+
+    from lakehouse_architecture_spark.pipeline.table_format import (
+        plan_tagged_bins,
+    )
+
+    path = str(tmp_path / "missing")
+    spark.range(0, 100).repartition(3).write.parquet(path)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) == 3
+    sizes = {os.path.basename(p): os.path.getsize(p) for p in files[:2]}
+    snapshot = spark.read.parquet(path)
+    tagged, _ = plan_tagged_bins(spark, snapshot, sizes, None, 1 << 30)
+    with pytest.raises(Exception, match="missing from the size manifest"):
+        tagged.collect()

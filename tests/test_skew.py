@@ -137,3 +137,20 @@ def test_exact_quantiles_validates_inputs(spark):
         exact_quantiles(df, ["g"], "v", {"bad": 1.5}, 1.0)
     with pytest.raises(ValueError, match="positive"):
         exact_quantiles(df, ["g"], "v", {"med": 0.5}, 0.0)
+
+
+def test_two_phase_rank_excludes_nan_values(spark):
+    """ADVICE r14 (round 15): a NaN in value_col made max(v) = NaN, hence
+    NaN bucket width and NULL buckets for EVERY row — corrupting ranks.
+    NaN rows are now dropped like NULLs; finite rows rank identically."""
+    from pyspark.sql import Row
+
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
+    rows = [Row(g="x", v=float(i), k=i) for i in range(20)]
+    bad = rows + [Row(g="x", v=float("nan"), k=99), Row(g="x", v=None, k=98)]
+    got = two_phase_rank(
+        spark.createDataFrame(bad), ["g"], "v", ["k"], bucket_width=None
+    ).collect()
+    assert len(got) == 20  # NaN and NULL rows dropped, finite rows kept
+    assert {(r.k, r.i) for r in got} == {(i, i + 1) for i in range(20)}
