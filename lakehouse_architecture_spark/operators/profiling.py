@@ -878,42 +878,44 @@ def _bucketed_value_prefix(
     are monotone, floor and the clamp are monotone), so the prefix is
     still bit-identical to the global window at ANY target_buckets.
 
-    Callers must pre-filter NaN alongside NULL (ADVICE r13):
-    ``floor(NaN/width)`` is a NULL bucket and the bucket equijoin would
-    silently drop those rows from the cum table while leaving them in
-    pre-join totals."""
+    The boundaries are EQUI-DEPTH (round 15, VERDICT r14 #1 — replacing
+    round 14's in-plan equi-width ``range / target_buckets``): a
+    heavy-tailed or outlier-bearing value column (per-customer spend,
+    the exact shape ``q_hill_tail`` measures) packs nearly every
+    distinct value of an equi-width grid into bucket 0, degenerating the
+    intra-bucket window back toward the single task this form exists to
+    kill. ``skew.equidepth_boundaries`` derives the ``1/target_buckets``
+    grid of the (pinned) distinct-value table IN-PLAN from a
+    deterministic bottom-hash sample — a pinned 1-row array attached as
+    a broadcast fold — and ``skew.monotone_bucket`` assigns by a
+    two-level boundary count, so per-bucket occupancy tracks the
+    distinct-value mass regardless of distribution shape. Assignment
+    stays monotone with ties sharing a bucket, so the prefix is still
+    bit-identical to the global window.
+
+    Callers must pre-filter NaN alongside NULL (ADVICE r13): a NaN
+    bucket key would silently drop those rows from the cum table while
+    leaving them in pre-join totals."""
+    from lakehouse_architecture_spark.operators.skew import (
+        equidepth_boundaries,
+        monotone_bucket,
+    )
+
     if target_buckets < 2:
         raise ValueError(f"target_buckets must be >= 2: {target_buckets}")
     # pin the collapsed table ONCE (round 14): this subtree is referenced
-    # by the width stats, the offsets aggregate, and the main join (plus
-    # successor lookups in wasserstein_1d) — without the persist each
-    # reference re-runs the full corpus aggregation feeding it (the
+    # by the boundary quantiles, the offsets aggregate, and the main join
+    # (plus successor lookups in wasserstein_1d) — without the persist
+    # each reference re-runs the full corpus aggregation feeding it (the
     # round-6 scan-audit failure class; measured 18 live fact scans in
     # q_wasserstein's plan). The cached relation is distinct-value
     # cardinality — the same volume the aggregation already shuffles —
     # MEMORY_AND_DISK with lineage retained, so it spills rather than
-    # OOMs and recomputes per-partition on executor loss.
+    # OOMs and recomputes per-partition on executor loss. Released per
+    # query by the round-15 pin lifecycle (materialize.release_small_pins).
     per_v = materialize_small(per_v)
-    stats = materialize_small(
-        per_v.agg(F.min("v").alias("__vlo"), F.max("v").alias("__vhi"))
-    )
-    width = (F.col("__vhi") - F.col("__vlo")) / F.lit(float(target_buckets))
-    b = (
-        F.when(
-            width > 0,
-            F.least(
-                F.floor((F.col("v") - F.col("__vlo")) / width),
-                F.lit(int(target_buckets) - 1),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint")
-    )
-    wb = (
-        per_v.crossJoin(F.broadcast(stats))
-        .withColumn("__bkt", b)
-        .drop("__vlo", "__vhi")
-    )
+    bnds = materialize_small(equidepth_boundaries(per_v, "v", target_buckets))
+    wb = monotone_bucket(per_v.crossJoin(F.broadcast(bnds)), "v").drop("__bnd")
     woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = wb.groupBy("__bkt").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in count_cols]

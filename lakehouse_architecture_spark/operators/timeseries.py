@@ -883,18 +883,34 @@ def ewma_daily(
     one, like pandas on a positional series).
 
     SCALE SHAPE: one corpus pass collapses to the |days|-grain series;
-    the EWMA runs as a day×day self-join bounded at |days|² (a 3-year
-    dashboard is ~10⁶ pairs — metadata scale), never a recursive window
-    over raw rows. Each weighted term is rounded to 9 dp and
-    decimal-summed so both engines fold identically. Returns one row per
-    day: (day, x, ewma).
+    the EWMA runs as a day×day self-join over the |days|-grain table,
+    never a recursive window over raw rows — and the join is CAPPED at
+    the provable decay floor (round 15, VERDICT r14 #3): every weighted
+    term is rounded to 9 dp before its decimal fold, so any pair whose
+    decay satisfies ``(1−α)^lag · max(1, max|x|) < 0.25e-9`` contributes
+    EXACTLY 0 to both the numerator and denominator sums (HALF_UP rounds
+    to 0 strictly below 0.5e-9; the extra ×2 margin dodges the boundary).
+    Restricting the join to ``s ≥ t − W`` with
+    ``W = ceil(ln(0.25e-9 / max(1, max|x|)) / ln(1−α))`` is therefore
+    bit-identical to the full triangle while shrinking the pair output
+    from |days|²/2 to |days|·W (α = 0.3: W ≈ 80 even at max|x| = 1e6).
+    The bound rides the plan as a broadcast 1-row stats fold — no
+    driver fetch. Each term is rounded to 9 dp and decimal-summed so
+    both engines fold identically. Returns one row per day:
+    (day, x, ewma).
     """
+    import math
+
+    from lakehouse_architecture_spark.materialize import materialize_small
+
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1): {alpha}")
-    daily = (
+    daily = materialize_small(
         # NULL timestamps are excluded up front: a NULL day would sort
         # NULLS FIRST in Spark and NULLS LAST in other engines, silently
-        # shifting every day index (and so every decay weight) by one
+        # shifting every day index (and so every decay weight) by one.
+        # Pinned: the day-grain table (bounded, metadata-scale) feeds the
+        # index window AND the decay-floor bound below.
         df.filter(F.col(ts_col).isNotNull())
         .groupBy(F.to_date(ts_col).alias("day"))
         .agg(
@@ -909,8 +925,23 @@ def ewma_daily(
         F.col("day").alias("t_day"), F.col("i").alias("t"), F.col("x").alias("xt")
     )
     b = idx.select(F.col("i").alias("s"), F.col("x").alias("xs"))
+    # decay-floor lag cap W (greatest() skips NULLs, so an all-NULL value
+    # column falls back to the magnitude-1 bound)
+    bound = daily.agg(
+        F.ceil(
+            F.log(
+                F.lit(0.25e-9)
+                / F.greatest(F.abs(F.max("x")), F.abs(F.min("x")), F.lit(1.0))
+            )
+            / F.lit(math.log(1.0 - float(alpha)))
+        ).alias("__w_cap")
+    )
     decay = F.pow(F.lit(1.0 - float(alpha)), (F.col("t") - F.col("s")).cast("double"))
-    pairs = a.join(b, F.col("s") <= F.col("t")).select(
+    pairs = a.crossJoin(F.broadcast(bound)).join(
+        b,
+        (F.col("s") <= F.col("t"))
+        & (F.col("s") >= F.col("t") - F.col("__w_cap")),
+    ).select(
         "t_day",
         "xt",
         F.round(decay * F.col("xs"), 9).cast("decimal(38,9)").alias("num"),

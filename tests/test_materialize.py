@@ -208,3 +208,32 @@ def test_cache_once_caches_fresh_plan(spark):
         assert out.is_cached
     finally:
         out.unpersist()
+
+
+def test_release_small_pins_lifecycle(spark):
+    """Round 15 (VERDICT r14 #2): materialize_small pins register in a
+    per-application ledger and release_small_pins unpersists ALL of them
+    — so harnesses can scope pin lifetime to one query instead of the
+    whole session. Double-release is a no-op."""
+    from pyspark.storagelevel import StorageLevel
+
+    from lakehouse_architecture_spark.materialize import (
+        materialize_small,
+        release_small_pins,
+    )
+
+    release_small_pins(spark)  # clean slate for the counter assertions
+    a = materialize_small(spark.range(50).selectExpr("id", "id * 3 as y"))
+    b = materialize_small(spark.range(20).selectExpr("id as k"))
+    a.count(), b.count()
+    assert a.storageLevel != StorageLevel.NONE
+    assert b.storageLevel != StorageLevel.NONE
+    assert release_small_pins(spark) == 2
+    assert a.storageLevel == StorageLevel.NONE
+    assert b.storageLevel == StorageLevel.NONE
+    assert release_small_pins(spark) == 0  # idempotent
+    # re-pinning after a release works (the bench rebuilds plans per run)
+    c = materialize_small(spark.range(50).selectExpr("id", "id * 3 as y"))
+    c.count()
+    assert c.storageLevel != StorageLevel.NONE
+    assert release_small_pins(spark) == 1

@@ -628,3 +628,50 @@ def test_round14_wasserstein_windows_stay_bucketed(spark):
         f"q_wasserstein: {len(unpart)} unpartitioned window specs "
         f"(allowed 2: bucket offsets + bucket-boundary lead): {unpart}"
     )
+
+
+def test_round15_equidepth_buckets_balanced_on_heavy_tail(spark):
+    """VERDICT r14 #1 'done' gate: equi-WIDTH bucket boundaries
+    degenerate on heavy-tailed values (a lognormal/Pareto spend column,
+    or a single corrupt 1e15 outlier, stretches the range until almost
+    every distinct value lands in bucket 0 — reinstating the near-single-
+    task window). The round-15 equi-DEPTH boundaries must spread a
+    Pareto-with-outlier fixture's distinct values with bounded max bucket
+    share, in both the prefix and rank entry points of the family."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_architecture_spark.operators.profiling import (
+        _bucketed_value_prefix,
+    )
+    from lakehouse_architecture_spark.operators.skew import two_phase_rank
+
+    n, buckets = 4000, 64
+    # Pareto(alpha=0.5) tail via inverse-CDF on a deterministic grid,
+    # plus one catastrophic outlier — the exact shape that collapsed the
+    # equi-width grid (VERDICT r14 observation #1)
+    vals = spark.range(1, n + 1).select(
+        (1.0 / F.pow(F.col("id") / F.lit(float(n + 1)), F.lit(2.0))).alias("v")
+    ).union(spark.range(1).select(F.lit(1.0e15).alias("v")))
+
+    per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    out = _bucketed_value_prefix(
+        per_v, ["c"], target_buckets=buckets, _keep_bucket=True
+    )
+    occ = out.groupBy("__bkt").count().collect()
+    n_buckets = len(occ)
+    max_share = max(r["count"] for r in occ) / sum(r["count"] for r in occ)
+    assert n_buckets > buckets // 2, f"degenerate spread: {n_buckets}"
+    assert max_share < 4.0 / buckets, f"bucket share {max_share:.3f} too hot"
+    # prefix still bit-identical to the global form on this fixture
+    got = {(r.v, r.cum_c) for r in out.collect()}
+    rows = sorted(r.v for r in per_v.collect())
+    want = {(v, i + 1) for i, v in enumerate(rows)}
+    assert got == want
+
+    # same fixture through the rank entry point (derived-boundary path)
+    ranked = two_phase_rank(
+        vals.withColumnRenamed("v", "x"), [], "x", [], bucket_width=None,
+        target_buckets=buckets,
+    )
+    got_ranks = sorted((r.x, r.i) for r in ranked.collect())
+    assert [i for _, i in got_ranks] == list(range(1, n + 2))

@@ -42,6 +42,7 @@ import duckdb
 import pandas as pd
 
 from lakehouse_architecture_spark.catalog import TESTDATA_TABLES
+from lakehouse_architecture_spark.materialize import release_small_pins
 from lakehouse_architecture_spark.queries.registry import ALL_QUERIES
 from lakehouse_architecture_spark.session import SessionFactory
 
@@ -133,6 +134,10 @@ def main() -> int:
     for name, spec in ALL_QUERIES.items():
         if only and name not in only:
             continue
+        # drop the PREVIOUS query's materialize_small pins (round 15,
+        # VERDICT r14 #2): without a release, a full 272-query session
+        # stacks hundreds of dead MEMORY_AND_DISK relations
+        release_small_pins(spark)
         t0 = time.time()
         try:
             sdf = spec.build(spark, sf_dir).toPandas()
