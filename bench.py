@@ -78,6 +78,12 @@ HEADLINE = [
     # guards the SHAPE, this row guards the WALL. Band in
     # bench_runs/r14_*.jsonl.
     "q_mann_whitney",
+    # round 15 (VERDICT r14 #7): the rank family's most plan-complex
+    # member — ECDF prefix + bucket-boundary successor handoff + pinned
+    # collapsed table + (r15) in-plan equi-depth boundaries. Scale probes
+    # existed but no wall floor; q_mann_whitney alone doesn't guard the
+    # successor machinery. Band in bench_runs/r15_*.jsonl.
+    "q_wasserstein",
     # round 12 (VERDICT r11 #1): floor the r11 analytics block's three
     # plan families with regression surface — the one-scan-per-table tall
     # union audit (a revert to per-relation scans would be 20 live scans),

@@ -850,6 +850,28 @@ def kendall_tau_b(
     )
 
 
+def _bucketed_values(per_v: DataFrame, target_buckets: int) -> DataFrame:
+    """The rank family's bucketed distinct-value table: pin ``per_v``
+    once (idempotent by plan equality, so every caller in one query
+    shares the same cache entry), derive the equi-depth boundary row
+    (also pinned), and attach the monotone ``__bkt``. Shared by
+    :func:`_bucketed_value_prefix` and :func:`wasserstein_1d`'s
+    boundary-min table so the latter never re-executes the prefix's
+    offsets join + window just to read per-bucket MINs (round 15)."""
+    from lakehouse_architecture_spark.operators.skew import (
+        equidepth_boundaries,
+        monotone_bucket,
+    )
+
+    if target_buckets < 2:
+        raise ValueError(f"target_buckets must be >= 2: {target_buckets}")
+    per_v = materialize_small(per_v)
+    bnds = materialize_small(equidepth_boundaries(per_v, "v", target_buckets))
+    return monotone_bucket(per_v.crossJoin(F.broadcast(bnds)), "v").drop(
+        "__bnd"
+    )
+
+
 def _bucketed_value_prefix(
     per_v: DataFrame,
     count_cols: list[str],
@@ -868,17 +890,11 @@ def _bucketed_value_prefix(
     result is bit-identical to the global window. Emits one
     ``cum_<col>`` per count column (inclusive prefix).
 
-    The bucket width is DATA-DERIVED (round 14, VERDICT r13 #1): one
-    in-plan (min, max) agg fixes ``width = range / target_buckets``, so a
-    caller-guessed constant can no longer silently collapse a tiny value
-    range into ONE bucket (reinstating the single-task global window this
-    form exists to kill) nor inflate the "broadcastable" offsets table
-    past ``target_buckets`` rows on a huge range. Bucket assignment stays
-    monotone in ``v`` (IEEE subtract/divide by a fixed positive divisor
-    are monotone, floor and the clamp are monotone), so the prefix is
-    still bit-identical to the global window at ANY target_buckets.
-
-    The boundaries are EQUI-DEPTH (round 15, VERDICT r14 #1 — replacing
+    The boundaries are DATA-DERIVED (round 14, VERDICT r13 #1 — so a
+    caller-guessed constant can neither collapse a tiny value range into
+    ONE bucket nor inflate the "broadcastable" offsets table past
+    ``target_buckets`` rows) and EQUI-DEPTH (round 15, VERDICT r14 #1 —
+    replacing
     round 14's in-plan equi-width ``range / target_buckets``): a
     heavy-tailed or outlier-bearing value column (per-customer spend,
     the exact shape ``q_hill_tail`` measures) packs nearly every
@@ -896,13 +912,6 @@ def _bucketed_value_prefix(
     Callers must pre-filter NaN alongside NULL (ADVICE r13): a NaN
     bucket key would silently drop those rows from the cum table while
     leaving them in pre-join totals."""
-    from lakehouse_architecture_spark.operators.skew import (
-        equidepth_boundaries,
-        monotone_bucket,
-    )
-
-    if target_buckets < 2:
-        raise ValueError(f"target_buckets must be >= 2: {target_buckets}")
     # pin the collapsed table ONCE (round 14): this subtree is referenced
     # by the boundary quantiles, the offsets aggregate, and the main join
     # (plus successor lookups in wasserstein_1d) — without the persist
@@ -913,9 +922,7 @@ def _bucketed_value_prefix(
     # MEMORY_AND_DISK with lineage retained, so it spills rather than
     # OOMs and recomputes per-partition on executor loss. Released per
     # query by the round-15 pin lifecycle (materialize.release_small_pins).
-    per_v = materialize_small(per_v)
-    bnds = materialize_small(equidepth_boundaries(per_v, "v", target_buckets))
-    wb = monotone_bucket(per_v.crossJoin(F.broadcast(bnds)), "v").drop("__bnd")
+    wb = _bucketed_values(per_v, target_buckets)
     woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = wb.groupBy("__bkt").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in count_cols]
@@ -1264,9 +1271,18 @@ def wasserstein_1d(
         per_v, ["ca", "cb"], target_buckets, _keep_bucket=True
     )
     # successor value: intra-bucket lead, bucket-boundary handoff from the
-    # broadcastable |buckets|-row (bucket -> min v) table
+    # broadcastable |buckets|-row (bucket -> min v) table. The boundary
+    # table aggregates the PINNED collapsed table re-bucketed (round 15:
+    # it previously aggregated `steps`, whose offsets-join + prefix
+    # window then executed a SECOND time just to produce per-bucket MINs
+    # the bucketed table already determines — per-bucket min(v) is
+    # identical on both, since the prefix join is 1:1 on rows)
     wnext = Window.partitionBy("__bkt").orderBy("v")
-    bmin = steps.groupBy("__bkt").agg(F.min("v").alias("bv"))
+    bmin = (
+        _bucketed_values(per_v, target_buckets)
+        .groupBy("__bkt")
+        .agg(F.min("v").alias("bv"))
+    )
     wb = Window.orderBy("__bkt")  # |buckets| rows — bounded by construction
     nxt = bmin.select(
         F.col("__bkt").alias("__nbkt"),
