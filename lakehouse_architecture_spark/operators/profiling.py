@@ -867,9 +867,9 @@ def _bucketed_values(per_v: DataFrame, target_buckets: int) -> DataFrame:
         raise ValueError(f"target_buckets must be >= 2: {target_buckets}")
     per_v = materialize_small(per_v)
     bnds = materialize_small(equidepth_boundaries(per_v, "v", target_buckets))
-    return monotone_bucket(per_v.crossJoin(F.broadcast(bnds)), "v").drop(
-        "__bnd"
-    )
+    return monotone_bucket(
+        per_v.crossJoin(F.broadcast(bnds)), "v", target_buckets=target_buckets
+    ).drop("__bnd")
 
 
 def _bucketed_value_prefix(
@@ -877,6 +877,7 @@ def _bucketed_value_prefix(
     count_cols: list[str],
     target_buckets: int = 4096,
     _keep_bucket: bool = False,
+    _bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scale core of :func:`mann_whitney_u` / :func:`ks_2samp_exact`:
     given a distinct-value table with one or more count columns, attach a
@@ -922,7 +923,15 @@ def _bucketed_value_prefix(
     # MEMORY_AND_DISK with lineage retained, so it spills rather than
     # OOMs and recomputes per-partition on executor loss. Released per
     # query by the round-15 pin lifecycle (materialize.release_small_pins).
-    wb = _bucketed_values(per_v, target_buckets)
+    # ``_bucketed``: a caller that already built _bucketed_values for the
+    # SAME per_v (wasserstein's boundary-min table) passes it in so the
+    # subtree isn't constructed twice (plan-equal either way — this saves
+    # py4j plan-building time, not execution).
+    wb = (
+        _bucketed_values(per_v, target_buckets)
+        if _bucketed is None
+        else _bucketed
+    )
     woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = wb.groupBy("__bkt").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in count_cols]
@@ -1267,8 +1276,9 @@ def wasserstein_1d(
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
     )
+    wb0 = _bucketed_values(per_v, target_buckets)
     steps = _bucketed_value_prefix(
-        per_v, ["ca", "cb"], target_buckets, _keep_bucket=True
+        per_v, ["ca", "cb"], target_buckets, _keep_bucket=True, _bucketed=wb0
     )
     # successor value: intra-bucket lead, bucket-boundary handoff from the
     # broadcastable |buckets|-row (bucket -> min v) table. The boundary
@@ -1278,11 +1288,7 @@ def wasserstein_1d(
     # the bucketed table already determines — per-bucket min(v) is
     # identical on both, since the prefix join is 1:1 on rows)
     wnext = Window.partitionBy("__bkt").orderBy("v")
-    bmin = (
-        _bucketed_values(per_v, target_buckets)
-        .groupBy("__bkt")
-        .agg(F.min("v").alias("bv"))
-    )
+    bmin = wb0.groupBy("__bkt").agg(F.min("v").alias("bv"))
     wb = Window.orderBy("__bkt")  # |buckets| rows — bounded by construction
     nxt = bmin.select(
         F.col("__bkt").alias("__nbkt"),

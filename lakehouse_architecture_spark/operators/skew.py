@@ -135,23 +135,37 @@ def equidepth_boundaries(
         )
     )
     b = int(target_buckets)
-    return samp.agg(
-        F.sort_array(F.collect_list("__s.__v")).alias("__sv")
-    ).select(
-        # grid positions are 0-based GetArrayItem; integer `div` so the
-        # index math never touches doubles; array_distinct on a sorted
-        # array = strictly increasing boundaries
-        F.array_distinct(
+    pad_len = (1 << _bucket_search_steps(b)) - 1
+    return (
+        samp.agg(F.sort_array(F.collect_list("__s.__v")).alias("__sv"))
+        .select(
+            # grid positions are 0-based GetArrayItem; integer `div` so
+            # the index math never touches doubles; array_distinct on a
+            # sorted array = strictly increasing boundaries
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, {b - 1}),"
+                    f" i -> __sv[cast((i * size(__sv)) div {b} as int)])"
+                )
+            ).alias("__b")
+        )
+        .select(
+            # padded with +inf to the power-of-two length
+            # monotone_bucket's unrolled binary search probes: +inf never
+            # counts below a finite value, and rows AT +inf overshooting
+            # into the padding stay monotone-with-ties. Padding happens
+            # HERE, on the 1-row table, never per data row.
             F.expr(
-                f"transform(sequence(1, {b - 1}),"
-                f" i -> __sv[cast((i * size(__sv)) div {b} as int)])"
-            )
-        ).alias("__bnd")
+                f"concat(__b, array_repeat(double('Infinity'),"
+                f" {pad_len} - size(__b)))"
+            ).alias("__bnd")
+        )
     )
 
 
-#: Coarse stride of the two-level boundary count in :func:`monotone_bucket`.
-_BUCKET_SEARCH_STRIDE = 64
+def _bucket_search_steps(target_buckets: int) -> int:
+    """Unrolled-binary-search depth: smallest s with 2**s >= buckets."""
+    return max(1, (int(target_buckets) - 1).bit_length())
 
 
 def monotone_bucket(
@@ -159,54 +173,46 @@ def monotone_bucket(
     value_col: str,
     bnd_col: str = "__bnd",
     out_col: str = "__bkt",
+    target_buckets: int = 4096,
 ) -> DataFrame:
-    """Attach the bucket index for the ascending boundary array carried
-    in ``bnd_col`` (attach :func:`equidepth_boundaries`' row with a
-    broadcast cross join first): bucket i covers
-    ``[bnd[i-1], bnd[i])`` with open ends — monotone in the value and
-    equal values always share a bucket, so two-phase prefix/rank forms
-    built on it are bit-identical to their global-window equivalents.
+    """Attach the bucket index for the +inf-padded ascending boundary
+    array carried in ``bnd_col`` (attach :func:`equidepth_boundaries`'
+    row — built with the SAME ``target_buckets`` — via a broadcast cross
+    join first): bucket i covers ``[bnd[i-1], bnd[i])`` with open ends —
+    monotone in the value and equal values always share a bucket, so
+    two-phase prefix/rank forms built on it are bit-identical to their
+    global-window equivalents.
 
-    The index is ``#(bnd <= v)``, computed as a TWO-LEVEL count: one
-    ``aggregate()`` over every ``_BUCKET_SEARCH_STRIDE``-th boundary
-    locates the coarse segment, a second over that segment's ``slice()``
-    refines — ~2·stride comparisons per row, all inside the JVM, with a
-    plan-sized expression tree (no 4096-literal array: see
-    :func:`equidepth_boundaries` for why boundaries stay a column). A
-    NULL boundary entry (empty input's placeholder) compares to no
-    value, leaving every row in bucket 0. Input values must be non-null,
-    non-NaN (callers pre-filter); column names must be plain
-    identifiers."""
-    g = _BUCKET_SEARCH_STRIDE
-    v, bc = f"`{value_col}`", f"`{bnd_col}`"
-
-    def count_le(arr_sql: str) -> str:
-        return (
-            f"aggregate({arr_sql}, 0L,"
-            f" (acc, s) -> acc + if({v} >= s, 1L, 0L))"
+    The index is ``#(bnd <= v)`` via an UNROLLED branchless binary
+    search: ``log2(target_buckets)`` chained projections, each one
+    array probe + one comparison + one add — all whole-stage-codegen
+    expressions (element_at / CASE / +). Measured alternatives lose:
+    a higher-order ``aggregate()`` count pays ~2·sqrt(buckets)
+    interpreted-lambda evals per row, and every literal-embedding
+    scheme (Bucketizer params, SQL-text arrays, nested-IF trees) pays
+    0.5-3 s per build in py4j/parse/optimizer walks of a 4096-wide
+    node. Each step lives in its own projection so the running index is
+    evaluated once per level (CollapseProject will not inline a
+    non-cheap alias referenced twice — nesting the expression naively
+    would double per level into a 2^12 tree). A NULL boundary entry
+    (empty input's placeholder) fails every comparison, leaving rows in
+    bucket 0. Input values must be non-null, non-NaN (callers
+    pre-filter)."""
+    v = F.col(value_col)
+    k = 1 << (_bucket_search_steps(target_buckets) - 1)
+    out = df.withColumn(out_col, F.lit(0).cast("bigint"))
+    while k >= 1:
+        # 1-based element_at(b + k) == 0-based bnd[b + k - 1]
+        probe = F.element_at(
+            F.col(bnd_col), (F.col(out_col) + k).cast("int")
         )
-
-    # every g-th boundary (empty when the array is shorter than g —
-    # slice(.., 1, 0) is the TYPED empty-array literal); after counting
-    # c coarse hits, indices < c*g are all <= v and indices
-    # >= (c+1)*g - 1 are all > v, so only segment c's g-1 boundaries
-    # remain — slice() clamps past the end of a short last segment
-    coarse = (
-        f"if(size({bc}) >= {g},"
-        f" transform(sequence({g - 1}, size({bc}) - 1, {g}),"
-        f" j -> {bc}[cast(j as int)]),"
-        f" slice({bc}, 1, 0))"
-    )
-    ctmp = f"{out_col}_c"
-    fine = f"slice({bc}, {ctmp} * {g} + 1, {g - 1})"
-    return (
-        df.withColumn(ctmp, F.expr(count_le(coarse)))
-        .withColumn(
+        out = out.withColumn(
             out_col,
-            (F.col(ctmp) * g + F.expr(count_le(fine))).cast("bigint"),
+            F.col(out_col)
+            + F.when(v >= probe, F.lit(k)).otherwise(F.lit(0)),
         )
-        .drop(ctmp)
-    )
+        k >>= 1
+    return out
 
 
 def two_phase_rank(
@@ -279,7 +285,8 @@ def two_phase_rank(
             )
         )
         with_b = monotone_bucket(
-            base_d.crossJoin(F.broadcast(bnds)), vd
+            base_d.crossJoin(F.broadcast(bnds)), vd,
+            target_buckets=target_buckets,
         ).drop(vd, "__bnd")
     else:
         b = F.floor(
