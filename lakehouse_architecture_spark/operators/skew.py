@@ -253,11 +253,12 @@ def two_phase_rank(
     equi-width ``range / target_buckets``, which killed the tiny-range
     collapse but still degenerated on heavy-tailed or outlier-bearing
     columns: one extreme value stretches the range until every other row
-    lands in bucket 0): :func:`equidepth_splits` fetches the
-    ``1/target_buckets`` quantile grid once (bounded driver fetch, plan
-    literals — deterministic under recompute) and
-    :func:`monotone_bucket` assigns by binary search, so per-bucket row
-    counts track the distribution's mass regardless of shape. Any
+    lands in bucket 0): :func:`equidepth_boundaries` derives the
+    ``1/target_buckets`` grid IN-PLAN from a deterministic bottom-hash
+    sample (a pinned 1-row array, attached as a broadcast fold) and
+    :func:`monotone_bucket` assigns by an unrolled binary search, so
+    per-bucket row counts track the distribution's mass regardless of
+    shape. Any
     monotone assignment yields bit-identical ranks, so an explicit width
     (domain-tuned callers) remains supported and equivalent.
     """
