@@ -144,6 +144,8 @@ def main() -> None:
     cold_total = 0.0
     cold_queries: dict[str, float] = {}
     for name in HEADLINE:
+        # guide §1.5: label jobs so UI/event-log stages attribute per query
+        spark.sparkContext.setJobDescription(f"bench cold: {name}")
         t0 = time.time()
         ALL_QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -198,6 +200,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = ALL_QUERIES[name]
+        spark.sparkContext.setJobDescription(f"bench warm: {name}")
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
