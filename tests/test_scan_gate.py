@@ -66,8 +66,12 @@ def test_live_scan_count_bounded(spark, name):
         c = scan_counts(df)
     finally:
         release_small_pins(spark)
-    bound = WHITELIST.get(name, THRESHOLD)
-    assert c["live"] < bound or name in WHITELIST and c["live"] <= bound, (
+    # per-entry inclusive bounds (ADVICE r15 #4: the old mixed and/or
+    # disjunct was redundant and easy to misread): non-whitelisted queries
+    # must stay strictly UNDER the audit threshold, whitelisted ones at or
+    # under their own bound — expressed as one inclusive comparison.
+    bound = WHITELIST.get(name, THRESHOLD - 1)
+    assert c["live"] <= bound, (
         f"{name}: {c['live']} live file scans (bound {bound}) — a "
         "multiply-referenced intermediate probably lost its "
         "materialize_small pin (tools/scan_audit.py for the full audit)"
