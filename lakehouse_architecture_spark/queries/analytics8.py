@@ -52,20 +52,45 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls 8 peel rounds as CTEs — more than the measured depth
     (3 at sf0.01, 5 at sf0.1), so both engines land on the same core."""
     t = tables(spark, sf_dir)
-    e = (
+    # Pair generation via per-order part SETS (round 16, guide §8 — use
+    # what you know that the optimizer does not): an order holds at most
+    # 7 line items (TPC-H schema contract), so collecting each order's
+    # distinct parts is a BOUNDED-state aggregate and the co-occurrence
+    # pairs expand in-plan from a ≤7-element array. This replaces the
+    # former distinct + self-join-on-orderkey (3 exchanges: distinct,
+    # join key, pair aggregate) with 2 (per-order set, pair aggregate)
+    # and removes the join entirely. Pair multiset is identical: each
+    # unordered part pair is emitted once per common order with
+    # id_a < id_b, exactly as the a.n < b.n join filter did. A generic
+    # co-occurrence graph with UNBOUNDED context degree must keep the
+    # join form (see operators/graph.adamic_adar) — this shape is
+    # query-level knowledge, not an operator default.
+    per_order = (
         t["lineitem"]
-        .select(F.col("l_partkey").alias("n"), F.col("l_orderkey").alias("c"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("c"))
+        .agg(F.collect_set(F.col("l_partkey")).alias("ns"))
     )
-    a, b = e.alias("a"), e.alias("b")
     pairs = (
-        a.join(b, "c")
-        .filter(F.col("a.n") < F.col("b.n"))
-        .groupBy(F.col("a.n").alias("id_a"), F.col("b.n").alias("id_b"))
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, x -> "
+                    "transform(filter(ns, y -> y > x), "
+                    "y -> named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("nc"))
         .filter(F.col("nc") >= _KCORE_MIN_COMMON)
     )
-    return k_core(pairs, "id_a", "id_b", k=_KCORE_K, max_rounds=12).orderBy("node")
+    # edges_unique: pairs is a groupBy(id_a, id_b) output with id_a <
+    # id_b — each undirected edge appears exactly once, so k_core's
+    # defensive distinct() (a full edge-list shuffle) is skipped (r16)
+    return k_core(
+        pairs, "id_a", "id_b", k=_KCORE_K, max_rounds=12, edges_unique=True
+    ).orderBy("node")
 
 
 def _kcore_sql() -> str:

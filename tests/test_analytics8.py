@@ -48,13 +48,15 @@ def test_k_core_k3_empties_triangle_plus_edge(spark):
 
 
 def test_k_core_one_driver_action_per_round(spark, monkeypatch):
-    """VERDICT r12 #6: each peel round must run exactly ONE driver action
-    (the dropped-count aggregate that also populates the round's degree
-    cache and flushes the lazy lineage cut) — counted by instrumenting
-    DataFrame.collect/count/checkpoint, which is AQE-proof where raw job
-    ids are not (AQE splits one action into several jobs)."""
+    """VERDICT r12 #6 / round 16: each DRIVER round must run exactly ONE
+    action (the dropped-count aggregate that also populates the round's
+    degree caches and flushes the lazy lineage cut), and round 16's
+    two-peels-per-round unroll halves the driver rounds — counted by
+    instrumenting DataFrame.collect/count/checkpoint, which is AQE-proof
+    where raw job ids are not (AQE splits one action into several jobs)."""
     # pendant 2-chain off a triangle: peels 5, then 4, then confirms ->
-    # exactly 3 loop rounds -> exactly 3 driver actions inside k_core
+    # peel levels (1,2) then (3) -> exactly 2 driver rounds -> exactly 2
+    # driver actions inside k_core (was 3 with one peel per round)
     e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
 
     # patch the CONCRETE DataFrame class (Spark 4 classic mode subclasses
@@ -86,7 +88,7 @@ def test_k_core_one_driver_action_per_round(spark, monkeypatch):
         lambda self, eager=True: no_eager(self, eager, orig_lckpt),
     )
     core = k_core(e, k=2)
-    assert calls["n"] == 3
+    assert calls["n"] == 2
     assert {r.node for r in core.collect()} == {1, 2, 3}
 
 
@@ -96,6 +98,29 @@ def test_k_core_exhausted_rounds_raises(spark):
     e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
     with pytest.raises(RuntimeError, match="fixpoint"):
         k_core(e, k=2, max_rounds=1)
+
+
+def test_k_core_edges_unique_and_odd_rounds_parity(spark):
+    """Round 16 internals: ``edges_unique=True`` (skips the defensive
+    distinct) and the odd-``max_rounds`` single-level remainder path must
+    both reproduce the default path's core exactly."""
+    # unique canonical pairs (a < b, no duplicates): triangle + 2-chain +
+    # a second triangle sharing node 3 — peel depth 2 at k=2
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 6), (3, 7), (6, 7)]
+    e = _edges(spark, pairs)
+    want = {(r.node, r.degree) for r in k_core(e, k=2).collect()}
+    got_unique = {
+        (r.node, r.degree)
+        for r in k_core(e, k=2, edges_unique=True).collect()
+    }
+    assert got_unique == want
+    # odd max_rounds exercises the single-level remainder round; the
+    # fixpoint (and the raise contract, covered above) must not depend on
+    # how levels pack into driver rounds
+    got_odd = {
+        (r.node, r.degree) for r in k_core(e, k=2, max_rounds=3).collect()
+    }
+    assert got_odd == want
 
 
 # --- snapshot diff ------------------------------------------------------------
