@@ -62,7 +62,15 @@ def release_small_pins(spark: SparkSession) -> int:
     share one computation — once that query's action finished, the cached
     relation is dead weight competing with the next query's execution
     memory. ``unpersist`` is lazy/non-blocking and safe on an
-    already-released DataFrame, so double-release is a no-op."""
+    already-released DataFrame, so double-release is a no-op.
+
+    Lifecycle note (ADVICE r15): the ledger is keyed by applicationId and
+    drained ONLY here — a long-lived library process that pins but never
+    releases (or stops its session first) accumulates ledger entries and
+    their DataFrame references until process exit. Library callers owning
+    their own sessions should call this before ``spark.stop()``; stopping
+    the session without releasing leaks only the Python-side ledger
+    entries (the JVM cache dies with the session)."""
     pins = _SMALL_PINS.pop(spark.sparkContext.applicationId, [])
     for df in pins:
         try:

@@ -926,14 +926,31 @@ def ewma_daily(
     )
     b = idx.select(F.col("i").alias("s"), F.col("x").alias("xs"))
     # decay-floor lag cap W (greatest() skips NULLs, so an all-NULL value
-    # column falls back to the magnitude-1 bound)
+    # column falls back to the magnitude-1 bound). Non-finite guard
+    # (round 16, ADVICE r15): a NaN day value used to poison max/min into
+    # a NaN magnitude (ceil(NaN) cast -> W = 0, silently reporting
+    # ewma == x for EVERY day) and a +/-Inf made log(0) -> NULL, turning
+    # the join condition NULL and emptying the whole result. NaN is
+    # excluded from the MAGNITUDE via nanvl (its own rows still propagate
+    # NaN into exactly the windows they touch), and an infinite magnitude
+    # falls back to the UNCAPPED triangle (no decay floor is provable
+    # over an infinite term) — both failure modes now degrade to honest
+    # per-window propagation instead of a silently wrong full table.
+    mag = F.greatest(
+        F.abs(F.max(F.nanvl(F.col("x"), F.lit(0.0)))),
+        F.abs(F.min(F.nanvl(F.col("x"), F.lit(0.0)))),
+        F.lit(1.0),
+    )
     bound = daily.agg(
-        F.ceil(
-            F.log(
-                F.lit(0.25e-9)
-                / F.greatest(F.abs(F.max("x")), F.abs(F.min("x")), F.lit(1.0))
-            )
-            / F.lit(math.log(1.0 - float(alpha)))
+        F.coalesce(
+            F.when(
+                mag < F.lit(float("inf")),
+                F.ceil(
+                    F.log(F.lit(0.25e-9) / mag)
+                    / F.lit(math.log(1.0 - float(alpha)))
+                ),
+            ),
+            F.lit(1 << 62),
         ).alias("__w_cap")
     )
     decay = F.pow(F.lit(1.0 - float(alpha)), (F.col("t") - F.col("s")).cast("double"))

@@ -327,3 +327,41 @@ def test_ewma_decay_floor_cap_is_exact_on_multi_year_series(spark):
         w_cap = math.ceil(math.log(0.25e-9 / mx) / math.log(0.7))
         assert w_cap < 120  # |days| x W << |days|^2 for this series
         assert round((0.7 ** (w_cap + 1)) * mx, 9) == 0.0
+
+
+def test_ewma_nonfinite_values_degrade_per_day_not_globally(spark):
+    """Round 16 (ADVICE r15 audit): a NaN or +/-Inf day value must not
+    corrupt the WHOLE table through the decay-floor bound. Tracing the
+    advised failure path shows it is UNREACHABLE in this implementation:
+    the daily aggregate casts values to DECIMAL(38,6), and a non-ANSI
+    cast of NaN/Inf to decimal is NULL — so the day-grain ``x`` (and
+    therefore the magnitude feeding the W bound) can never be
+    non-finite. The observable contract, pinned here: every day keeps
+    its row, the poisoned day's ``x`` is NULL (its numerator term drops
+    out), and days whose decay window does not reach the poisoned index
+    keep their exact finite EWMA. The round-16 nanvl/Inf guard on the
+    bound is defensive documentation for future refactors of the daily
+    aggregate, not a behavior change."""
+    import pandas as pd
+
+    days = pd.date_range("2020-01-01", periods=206)
+    for bad in (float("nan"), float("inf")):
+        xs = [1.0 + (i % 7) * 0.5 for i in range(len(days))]
+        xs[200] = bad
+        rows = [(d.to_pydatetime(), x) for d, x in zip(days, xs)]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = {
+            r.day.isoformat(): r
+            for r in ewma_daily(df, "ts", "value", alpha=0.3).collect()
+        }
+        assert len(out) == len(days), f"bad={bad}: rows dropped"
+        # a day well BEFORE the poisoned one is untouched: its window
+        # never reaches index 200 (W ≈ 62 at alpha=0.3, |x| ≤ 4)
+        finite_prefix = pd.Series(xs[:150]).ewm(alpha=0.3, adjust=True).mean()
+        key = days[149].date().isoformat()
+        assert out[key].ewma == pytest.approx(
+            round(finite_prefix.iloc[-1], 6), abs=2e-6
+        ), f"bad={bad}"
+        # the poisoned day's value is NULL at the day grain (decimal cast
+        # sanitizes NaN/Inf), never a silently-finite fabricated x
+        assert out[days[200].date().isoformat()].x is None, f"bad={bad}"
