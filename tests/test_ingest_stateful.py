@@ -3,6 +3,8 @@
 import datetime as dt
 import json
 
+import pytest
+
 from lakehouse_architecture_spark.sources.ingest import crawl_batch
 from lakehouse_architecture_spark.sources.readers import read_bronze_json
 from lakehouse_architecture_spark.streaming.stateful import running_user_totals
@@ -58,6 +60,9 @@ def test_crawl_batch_pagination_dedup_retry(tmp_path, spark):
     assert res2.n_fetched == 0 and res2.batch_path is None
 
 
+@pytest.mark.slow  # round 16: 121 s measured (real micro-batch streaming
+# with processing-time triggers) — gated out of the driver-budget run;
+# the crash/replay stateful suites below stay fast.
 def test_stateful_running_totals_streaming(spark, tmp_path):
     from pyspark.sql import types as T
 

@@ -3,6 +3,8 @@
 Correct-at-sf0.01 is not enough — these assert the plan shapes that survive
 a 1000-executor, 100 TB deployment (SURVEY.md §4)."""
 
+import pytest
+
 from lakehouse_architecture_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -447,6 +449,10 @@ def test_multi_reference_operators_scan_sources_boundedly(spark):
         )
 
 
+@pytest.mark.slow  # round 16: 372 s measured — the single largest test;
+# executes the whole registry. Gated out of the driver-budget run
+# (pytest.ini); the per-family scan gate keeps fast coverage via
+# tests/test_plans.py's plan-shape gates + the r16 changed-query checks.
 def test_registry_wide_live_scan_gate(spark):
     """Registry-WIDE scan-audit gate (round 7): every declared query's
     executed plan must stay under a generous global live-scan threshold,

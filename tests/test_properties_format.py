@@ -274,3 +274,10 @@ def test_materialized_refresh_matches_recompute_under_op_sequences(spark, ops):
             assert view.refresh() is None
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# Round 16 (VERDICT r15 #1): heavy plan-executing / randomized-fuzz
+# suite, gated out of the default (driver-budget) run; run with
+# pytest -m slow  (or -m 'slow or not slow' for everything).
+# See pytest.ini.
+pytestmark = pytest.mark.slow

@@ -695,3 +695,10 @@ def test_catalog_op_sequences_reads_match_residual(
                 assert got == want, (where, got[:8], want[:8])
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+# Round 16 (VERDICT r15 #1): heavy plan-executing / randomized-fuzz
+# suite, gated out of the default (driver-budget) run; run with
+# pytest -m slow  (or -m 'slow or not slow' for everything).
+# See pytest.ini.
+pytestmark = pytest.mark.slow

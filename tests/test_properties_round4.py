@@ -281,3 +281,11 @@ def test_triangle_stats_matches_bruteforce(spark, edges):
     assert row["n_edges"] == len(simple)
     assert row["n_triangles"] == tri, (row["n_triangles"], tri)
     assert row["n_wedges"] == wedges, (row["n_wedges"], wedges)
+
+
+# Round 16 (VERDICT r15 #1): heavy plan-executing / randomized-fuzz
+# suite, gated out of the default (driver-budget) run; run with
+# pytest -m slow  (or -m 'slow or not slow' for everything).
+# See pytest.ini.
+import pytest  # noqa: E402  (slow-marker gate)
+pytestmark = pytest.mark.slow
